@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Determinism and scale defaults applied once, here, so every entry point
+(tests, bench, driver) runs with identical semantics:
+
+- ``spark.sql.session.timeZone=UTC``: the reference stores naive
+  TIMESTAMPs (reference: init/postgres-1/init.sql:4,7,8); pinning the
+  session zone makes timestamp literals reproducible across hosts.
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  is the 100 TB safety net for skewed keys.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on
+  a real cluster this is overridden by AQE's coalescing anyway.
+- Arrow enabled: every Pandas-UDF boundary (similarity/multimodal ops)
+  moves columnar batches, never pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "orders-currency-conversion-etl-spark") -> SparkSession:
+    cpus = default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable determinism/perf conf to a session we did
+    not create (the driver passes its own SparkSession to ``entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; harmless
+    return spark

@@ -1,0 +1,1 @@
+from .catalog import load_table, register_views  # noqa: F401

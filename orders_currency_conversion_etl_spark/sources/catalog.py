@@ -1,0 +1,41 @@
+"""Parquet table catalog.
+
+One function the whole engine goes through to read a table, so that
+scan-level decisions (schema enforcement, column pruning via downstream
+``select``, partition sizing) live in one place.
+
+At 100 TB the same call works unchanged: ``spark.read.parquet`` splits
+files into tasks of ``spark.sql.files.maxPartitionBytes`` (128 MB
+default) and Catalyst pushes filters/projections into the scan — we
+never materialize whole tables on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+TABLE_NAMES = tuple(schemas.TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; schema is validated, never inferred."""
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # Parquet is self-describing; assert the columns we promise downstream.
+    expected = [f.name for f in schemas.TABLES[name].fields]
+    missing = [c for c in expected if c not in df.columns]
+    if missing:
+        raise ValueError(f"table {name!r} at {path} missing columns {missing}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register temp views so queries can also be expressed in spark.sql."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
