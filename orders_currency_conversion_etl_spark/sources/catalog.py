@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
 
@@ -26,6 +27,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+        # to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+        # int64 and truncate to microseconds — exactly what DuckDB's
+        # µs-precision TIMESTAMP does to the same file, so oracle
+        # comparisons agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     df = spark.read.parquet(path)
     # Parquet is self-describing; assert the columns we promise downstream.
     expected = [f.name for f in schemas.TABLES[name].fields]

@@ -102,5 +102,8 @@ def currency_alphabet_sql_list() -> str:
 
 def rates_sql_values() -> str:
     """The rates fixture as a SQL VALUES relation for the DuckDB oracle."""
-    rows = ", ".join(f"('{c}', {r!r})" for c, r in sorted(DEFAULT_EUR_RATES.items()))
+    # CAST AS DOUBLE: DuckDB would otherwise parse the literal as
+    # DECIMAL, whose downscale truncates instead of rounding like the
+    # DOUBLE→DECIMAL cast Spark performs.
+    rows = ", ".join(f"('{c}', CAST({r!r} AS DOUBLE))" for c, r in sorted(DEFAULT_EUR_RATES.items()))
     return f"(VALUES {rows}) AS rates(currency, rate)"
