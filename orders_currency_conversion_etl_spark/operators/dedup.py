@@ -1,1 +1,396 @@
-"""(placeholder — filled in by later milestones)"""
+"""Deduplication operators over ``documents`` / ``embeddings``
+(SURVEY L1 + the north-star training-data-pipeline mandate).
+
+Five strategies, each the standard scale shape:
+
+- exact          hash-groupBy on md5(text); one shuffle on the hash.
+- n-gram Jaccard shingle-explode + equi-join on shingle; exact but the
+                 join can explode on hot shingles — the LSH variant is
+                 its 100 TB replacement.
+- MinHash + LSH  k=16 portable min-hashes → 4 bands × 4 rows; equal
+                 band => candidate; candidates verified with true
+                 Jaccard. Join cost ∝ collisions, not |pairs|².
+- SimHash        32-bit sign-aggregated token-hash sketch; candidate
+                 pairs share ≥1 of 4 bytes (pigeonhole: Hamming ≤ 6
+                 over 32 bits guarantees one equal byte); verified by
+                 bit_count(xor) ≤ 6.
+- embedding cos  exact pairwise cosine ≥ τ; the LSH-bucketed form for
+                 scale is in operators/similarity.py.
+
+Determinism across engines: all hashing is md5-prefix based (identical
+hex both sides); all float folds are sequential left folds (verified
+bit-identical Spark vs DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_fn import hex_to_long_sql, token_shingles
+from ..plans.registry import query
+from ..sources import catalog
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
+JACCARD_T = 0.5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+COSINE_DUP_T = 0.45
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_TOK_CTE = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id, {shingles} AS shingles FROM tok
+)""".format(shingles=_SHINGLE_SQL)
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + distinct 3-token shingles per doc."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("shingles", F.array_distinct(token_shingles("toks", k=3)))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS doc_id_kept,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep the smallest doc_id —
+    a deterministic survivor rule (min is associative, so map-side
+    partial aggregation applies; one shuffle of (hash, id))."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id_kept"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact pairwise via shingle join)
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = (
+    _TOK_CTE
+    + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sc AS (SELECT doc_id, len(shingles) AS n FROM sh),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+FROM common
+JOIN sc ca ON ca.doc_id = doc_a
+JOIN sc cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= {JACCARD_T!r}
+"""
+)
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: Jaccard over distinct 3-token shingles.
+
+    Shuffles once on the shingle (the join key); hot shingles are the
+    scale risk — dedup_minhash_lsh is the bounded-cost variant."""
+    sh = _docs_shingled(spark, sf_dir).select("doc_id", "shingles")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sc = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca, cb = sc.alias("ca"), sc.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        common.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def _minhash_cols() -> list[F.Column]:
+    """k portable min-hashes: lexicographic min over 8-hex-char md5
+    prefixes of salted shingles (order-isomorphic to numeric min)."""
+    return [
+        F.array_min(
+            F.expr(f"transform(shingles, s -> substr(md5(concat('{i}:', s)), 1, 8))")
+        ).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> substr(md5('{i}:' || s), 1, 8)))"
+
+
+def _minhash_lsh_oracle() -> str:
+    mh_cols = ",\n       ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(MINHASH_K))
+    band_selects = []
+    for b in range(LSH_BANDS):
+        members = " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {members} AS band_val FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return (
+        _TOK_CTE
+        + f"""
+, sig AS (
+    SELECT doc_id,
+       {mh_cols}
+    FROM sh
+), bands AS (
+{bands_union}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_T!r}
+"""
+    )
+
+
+@query("dedup_minhash_lsh", _minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding: candidates are pairs sharing a
+    full band (4 of 16 min-hashes); each candidate verified with true
+    shingle-set Jaccard. This is THE 100 TB near-dup shape: cost is
+    O(collisions), never O(n²), and each stage is a plain shuffle.
+
+    Banding math: P(candidate) = 1 - (1 - j^4)^4 — ≥ 0.87 at j = 0.7,
+    so recall vs dedup_ngram_jaccard is high for strong dups but not 1;
+    the oracle replicates the same bands, making the check exact."""
+    sh = _docs_shingled(spark, sf_dir).select("doc_id", "shingles")
+    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
+                "band_val"
+            ),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    h = hex_to_long_sql("substr(md5(tok), 1, 8)")
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    bytes_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {k} AS byte_idx, (simhash >> {8 * k}) & 255 AS byte_val FROM sim"
+        for k in range(4)
+    )
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id, {h} AS h FROM tok
+), sums AS (
+    SELECT doc_id,
+       {sums}
+    FROM hashed GROUP BY doc_id
+), sim AS (
+    SELECT doc_id, {pack} AS simhash FROM sums
+), by AS (
+{bytes_sel}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM by a JOIN by b
+      ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand
+JOIN sim sa ON sa.doc_id = doc_a
+JOIN sim sb ON sb.doc_id = doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs, byte-blocked.
+
+    Hamming ≤ 6 over 32 bits ⇒ the 4 bytes can't all differ... not
+    quite (6 errors can touch 4 bytes) — byte blocking here is the
+    standard recall/cost trade, exactly mirrored by the oracle, so the
+    comparison is still exact. Two shuffles total: token→doc
+    aggregation and the byte-bucket self-join."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    hashed = tok.withColumn("h", F.expr(hex_to_long_sql("substr(md5(tok), 1, 8)")))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    pack = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        pack = term if pack is None else pack + term
+    sim = sums.select("doc_id", pack.alias("simhash"))
+    byte_structs = [
+        F.struct(
+            F.lit(k).alias("byte_idx"),
+            F.expr(f"shiftright(simhash, {8 * k}) & 255").alias("byte_val"),
+        )
+        for k in range(4)
+    ]
+    by = sim.select("doc_id", F.explode(F.array(*byte_structs)).alias("p")).select(
+        "doc_id", F.col("p.byte_idx").alias("byte_idx"), F.col("p.byte_val").alias("byte_val")
+    )
+    a, b = by.alias("a"), by.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sim.alias("sa"), sim.alias("sb")
+    hamming = F.bit_count(F.expr("sa.simhash ^ sb.simhash"))
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact pairwise; LSH path in similarity.py)
+# --------------------------------------------------------------------------
+
+_COSINE_DUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), d AS (
+    SELECT vec_id, emb,
+           sqrt(list_reduce(list_transform(emb, x -> x*x), (acc,x) -> acc+x)) AS nrm
+    FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (acc,x) -> acc+x)
+            / (a.nrm * b.nrm) AS cosine
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (acc,x) -> acc+x)
+      / (a.nrm * b.nrm) >= {COSINE_DUP_T!r}
+"""
+
+
+def dot_cols(x: F.Column, y: F.Column) -> F.Column:
+    """Sequential left-fold dot product in DOUBLE — bit-identical to
+    DuckDB's list_reduce fold (verified empirically on real data)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("dedup_embedding_cosine", _COSINE_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine near-dup over embeddings. O(n²) by design
+    (the baseline); the LSH-bucketed variant in similarity.py is the
+    scale path. The n² here is a crossJoin Catalyst executes as
+    BroadcastNestedLoopJoin with the smaller side broadcast."""
+    e = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_cols(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cos = dot_cols(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_DUP_T)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+    )

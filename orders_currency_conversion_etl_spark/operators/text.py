@@ -1,1 +1,228 @@
-"""(placeholder — filled in by later milestones)"""
+"""Text-analysis operators over the ``documents`` table (SURVEY L3).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — all pure column expressions (whole-stage codegen, no
+Python per row), each with a DuckDB oracle. At 100 TB these are
+embarrassingly parallel map operations: no shuffle except the final
+per-language aggregation, which reduces to ~5 groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_fn import LANG_MARKERS, STOPWORDS
+from ..plans.registry import query
+from ..sources import catalog
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "documents")
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+
+
+# --------------------------------------------------------------------------
+# Token counting + quality scoring
+# --------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks, text
+    FROM documents
+)
+SELECT doc_id,
+       lang,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       length(text) AS n_chars_measured,
+       len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t))) AS n_stopwords,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len
+FROM tok
+"""
+
+
+@query("text_token_stats", _TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword density + mean token length (L3)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    d = with_tokens(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias("n_stopwords"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size("toks")
+        ).alias("avg_token_len"),
+    )
+
+
+_QUALITY_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(
+         CAST(0.4 AS DOUBLE) * least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+       + CAST(0.3 AS DOUBLE) * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+       + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE) / len(toks))
+       AS DOUBLE) AS quality_score
+FROM tok
+"""
+
+
+@query("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    stopword penalty (weights arbitrary but fixed). Mirrors the shape
+    of C4/Gopher-style quality filters."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    d = with_tokens(_docs(spark, sf_dir))
+    n = F.size("toks").cast("double")
+    uniq = F.size(F.array_distinct("toks")).cast("double")
+    stops = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * (uniq / n)
+        + F.lit(0.3) * (F.lit(1.0) - stops / n)
+    )
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic
+# --------------------------------------------------------------------------
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS DOUBLE)"
+            f" / len(toks) AS score_{lang}"
+        )
+    return ",\n       ".join(cols)
+
+
+_LANG_ID_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+       {_lang_scores_sql()}
+    FROM tok
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE GREATEST(score_en, score_de, score_fr, score_es, score_zh)
+            WHEN score_de THEN 'de'
+            WHEN score_en THEN 'en'
+            WHEN score_es THEN 'es'
+            WHEN score_fr THEN 'fr'
+            WHEN score_zh THEN 'zh'
+       END AS lang_pred,
+       GREATEST(score_en, score_de, score_fr, score_es, score_zh) AS lang_confidence
+FROM scored
+"""
+
+
+@query("text_lang_id", _LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: per-language marker density, argmax
+    with a deterministic alphabetical tie-break (the CASE tests
+    languages in a fixed order, so equal scores resolve identically on
+    both engines)."""
+    d = with_tokens(_docs(spark, sf_dir))
+
+    def _contains(arr):
+        # a closure factory, NOT a default arg — PySpark introspects the
+        # lambda's arity and a default parameter miscounts as two lambda
+        # variables.
+        return lambda t: F.array_contains(arr, t)
+
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        d = d.withColumn(
+            f"score_{lang}",
+            F.size(F.filter("toks", _contains(arr))).cast("double") / F.size("toks"),
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = (
+        F.when(best == F.col("score_de"), "de")
+        .when(best == F.col("score_en"), "en")
+        .when(best == F.col("score_es"), "es")
+        .when(best == F.col("score_fr"), "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        best.alias("lang_confidence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       list_min(list_transform(toks, t -> substr(md5(t), 1, 8))) AS min_token_hash,
+       list_max(list_transform(toks, t -> substr(md5(t), 1, 8))) AS max_token_hash
+FROM tok
+"""
+
+
+@query("text_fingerprint", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: exact md5 plus min/max token-hash sketch (a
+    1-permutation MinHash — the general k-permutation version lives in
+    operators/dedup.py). md5 hex is byte-identical across engines."""
+    d = with_tokens(_docs(spark, sf_dir))
+    tok_hashes = F.transform("toks", lambda t: F.substring(F.md5(t), 1, 8))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(tok_hashes).alias("min_token_hash"),
+        F.array_max(tok_hashes).alias("max_token_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level rollup
+# --------------------------------------------------------------------------
+
+_CORPUS_ORACLE = r"""
+WITH tok AS (
+    SELECT lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(len(toks)) AS total_tokens,
+       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM tok
+GROUP BY lang, source
+"""
+
+
+@query("text_corpus_stats", _CORPUS_ORACLE)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_tokens(_docs(spark, sf_dir))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+    )

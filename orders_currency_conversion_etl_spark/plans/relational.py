@@ -47,7 +47,7 @@ SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -64,9 +64,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
         F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        .cast("decimal(18,6)")
-        .alias("avg_qty"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
