@@ -11,7 +11,19 @@ module only adapts the package's query registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the repo importable for THIS process and for Spark's Python
+# workers (the pyspark daemon inherits PYTHONPATH at first-UDF time;
+# driver-side sys.path alone is invisible to workers when the driver
+# runs from another cwd).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,6 +37,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     text as _text,
     multimodal as _multimodal,
 )
+from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,81 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end through the noop sink (full computation,
+no driver collect, no disk write)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from orders_currency_conversion_etl_spark.plans import registry
+from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
+from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from orders_currency_conversion_etl_spark.streaming import events_stream  # noqa: F401
+from orders_currency_conversion_etl_spark.session import get_spark
+
+#: The queries whose wall-clock defines the headline metric — one per
+#: operator family (scan+join, agg, window, as-of, dedup exact/LSH,
+#: knn, text, json, sessionize, multimodal UDF).
+HEADLINE = (
+    "flagship_conversion",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "window_running_total",
+    "topk_expensive_orders",
+    "join_asof_rates",
+    "json_extract_props",
+    "events_hourly_stats",
+    "events_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "text_token_stats",
+    "multimodal_features",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,174 @@
-"""(placeholder — filled in by later milestones)"""
+"""Similarity search over the ``embeddings`` table (SURVEY L2).
+
+Two strategies:
+
+- brute-force top-k cosine: the exact baseline. Queries broadcast; the
+  corpus never moves; per-partition top-k via window rank. Linear in
+  corpus size — the right choice when Q (query count) is small.
+- hyperplane-LSH buckets: the scale path. Every vector gets a bucket
+  id from the sign pattern of dot products with B fixed random
+  hyperplanes; search only touches the query's bucket. Expected bucket
+  population n/2^B turns a 100 TB scan into a partition-pruned probe
+  when the corpus is written bucket-partitioned.
+
+The hyperplanes are generated once from a fixed seed and inlined as
+literals on BOTH the Spark and the oracle side, so there is no
+cross-engine randomness and the oracle check is exact (recall loss vs
+brute force is a property of the *operator*, faithfully mirrored).
+
+All dot products are sequential left folds in DOUBLE — verified
+bit-identical between Spark's ``aggregate`` and DuckDB's
+``list_reduce`` on real data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import catalog
+from .dedup import dot_cols
+
+TOP_K = 10
+QUERY_IDS = (0, 1, 2)
+LSH_PLANES = 6  # 2^6 = 64 buckets; ~8 vectors/bucket at 500 rows
+EMB_DIM = 64
+_RNG_SEED = 42
+
+
+def lsh_planes() -> list[list[float]]:
+    """B fixed random hyperplanes (seeded, generated once, inlined as
+    literals on both engines)."""
+    rng = np.random.default_rng(_RNG_SEED)
+    return rng.standard_normal((LSH_PLANES, EMB_DIM)).tolist()
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _with_norm(e: DataFrame) -> DataFrame:
+    return e.withColumn("nrm", F.sqrt(dot_cols(F.col("embedding"), F.col("embedding"))))
+
+
+_DUCK_EMB_CTE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), d AS (
+    SELECT vec_id, emb,
+           sqrt(list_reduce(list_transform(emb, x -> x*x), (acc,x) -> acc+x)) AS nrm
+    FROM e
+)"""
+
+_DUCK_COS = (
+    "list_reduce(list_transform(list_zip(q.emb, c.emb), p -> p[1]*p[2]), (acc,x) -> acc+x)"
+    " / (q.nrm * c.nrm)"
+)
+
+_BRUTE_ORACLE = f"""
+{_DUCK_EMB_CTE}
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+    FROM d q JOIN d c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id IN {QUERY_IDS!r}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_brute_force", _BRUTE_ORACLE)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query set against the
+    corpus; rank per query with a deterministic vec_id tiebreak."""
+    d = _with_norm(_emb(spark, sf_dir))
+    q = d.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot_cols(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + "]"
+
+
+def _bucket_sql(emb: str) -> str:
+    """Bucket id: sum of sign bits across planes (DuckDB syntax)."""
+    bits = []
+    for i, plane in enumerate(lsh_planes()):
+        dot = (
+            f"list_reduce(list_transform(list_zip({emb}, {_plane_sql(plane)}), "
+            "p -> p[1]*p[2]), (acc,x) -> acc+x)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    return f"""
+{_DUCK_EMB_CTE}, b AS (
+    SELECT vec_id, emb, nrm, {_bucket_sql("emb")} AS bucket FROM d
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+    FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id IN {QUERY_IDS!r}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def bucket_col(emb_col: F.Column) -> F.Column:
+    """Spark-side LSH bucket id for an array<float> embedding column."""
+    b = None
+    for i, plane in enumerate(lsh_planes()):
+        dot = dot_cols(emb_col, F.array(*[F.lit(v) for v in plane]))
+        term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = term if b is None else b + term
+    return b
+
+
+@query("knn_lsh_bucketed", _lsh_oracle())
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: candidates share the query's
+    bucket; exact cosine ranks within. At scale, write the corpus
+    partitioned by bucket once, and each query reads 1/2^B of the data
+    (partition pruning) instead of scanning everything."""
+    d = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket_col(F.col("embedding")))
+    q = d.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = dot_cols(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        d.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
