@@ -141,19 +141,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    """k affine-transform parameters (a, b), fixed-seed, inlined on
+    both engines. h_i(s) = (a*base + b) mod p over the 32-bit md5-prefix
+    base hash — ONE md5 per shingle instead of k (the classic
+    a*x+b universal-hash family)."""
+    import random
+
+    rng = random.Random(20260813)
+    return [(rng.randrange(1, 1 << 20), rng.randrange(0, 1 << 20)) for _ in range(MINHASH_K)]
+
+
+#: base-hash of one shingle: 32-bit integer from the md5 prefix —
+#: computed ONCE per shingle into a `hashes` array, then each of the k
+#: min-hashes is a cheap affine pass over that array.
+_BASE_HASH_SQL = hex_to_long_sql("substr(md5(s), 1, 8)")
+
+
+def _hashes_col() -> F.Column:
+    return F.expr(f"transform(shingles, s -> {_BASE_HASH_SQL})")
+
+
 def _minhash_cols() -> list[F.Column]:
-    """k portable min-hashes: lexicographic min over 8-hex-char md5
-    prefixes of salted shingles (order-isomorphic to numeric min)."""
     return [
         F.array_min(
-            F.expr(f"transform(shingles, s -> substr(md5(concat('{i}:', s)), 1, 8))")
+            F.expr(f"transform(hashes, h -> ({a} * h + {b}) % {MINHASH_PRIME})")
         ).alias(f"mh{i}")
-        for i in range(MINHASH_K)
+        for i, (a, b) in enumerate(_minhash_params())
     ]
 
 
 def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> substr(md5('{i}:' || s), 1, 8)))"
+    a, b = _minhash_params()[i]
+    return f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
 
 
 def _minhash_lsh_oracle() -> str:
@@ -166,10 +189,12 @@ def _minhash_lsh_oracle() -> str:
     return (
         _TOK_CTE
         + f"""
-, sig AS (
+, hs AS (
+    SELECT doc_id, list_transform(shingles, s -> {_BASE_HASH_SQL}) AS hashes FROM sh
+), sig AS (
     SELECT doc_id,
        {mh_cols}
-    FROM sh
+    FROM hs
 ), bands AS (
 {bands_union}
 ), cand AS (
@@ -200,7 +225,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so recall vs dedup_ngram_jaccard is high for strong dups but not 1;
     the oracle replicates the same bands, making the check exact."""
     sh = _docs_shingled(spark, sf_dir).select("doc_id", "shingles")
-    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+    sig = sh.withColumn("hashes", _hashes_col()).select(
+        "doc_id", "shingles", *_minhash_cols()
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),

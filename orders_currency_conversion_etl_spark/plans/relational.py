@@ -578,3 +578,80 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
     )
+
+
+# --------------------------------------------------------------------------
+# A2 approx, P7 empty short-circuit, W2 lead, F9-F11 generator
+# --------------------------------------------------------------------------
+
+_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+FROM orders
+"""
+
+
+@query("window_lead_first", _LEAD_ORACLE)
+def window_lead_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = _dec("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("totalprice"),
+        F.lead(price).over(w).alias("next_price"),
+        F.first(price).over(wf).alias("first_price"),
+    )
+
+
+_EMPTY_ORACLE = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'Z'
+"""
+
+
+@query("filter_empty_shortcircuit", _EMPTY_ORACLE)
+def filter_empty_shortcircuit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: a predicate matching nothing must flow through cleanly as an
+    empty result (the reference early-returns on empty batches,
+    reference: dags/order_currency_conversion_dag.py:97-99 — in Spark an
+    empty DataFrame is just a plan like any other)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "Z")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@query("agg_approx_distinct", None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 approx: HyperLogLog++ count-distinct per status. No SQL
+    oracle — DuckDB's approx sketch differs by construction; the driver
+    records the rows-only check and tests/test_relational_extra.py
+    asserts ±5% of exact."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("generate_orders_seeded", None)
+def generate_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8-F11: distributed seeded order synthesis (the generator DAG).
+    Spark-side randomness (seeded F.rand) has no DuckDB twin, so the
+    driver records rows-only; determinism within Spark is asserted in
+    tests/test_convert.py."""
+    import datetime as _dt
+
+    from ..operators.generate import generate_orders
+
+    return generate_orders(spark, n=5000, seed=42, base_time=_dt.datetime(2026, 1, 1))

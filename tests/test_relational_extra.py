@@ -1,0 +1,57 @@
+"""Extra relational coverage: approx count-distinct accuracy, empty
+short-circuit, lead/first windows, seeded generator query registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.plans.relational import (
+    agg_approx_distinct,
+    filter_empty_shortcircuit,
+    generate_orders_seeded,
+    window_lead_first,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """rsd=0.02 HLL++ must land within ±5% of exact per group."""
+    approx = {
+        r.o_orderstatus: r.approx_customers
+        for r in agg_approx_distinct(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.exact
+        for r in spark.read.parquet(SF_SMOKE + "/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for status, ex in exact.items():
+        assert abs(approx[status] - ex) <= max(1, 0.05 * ex), status
+
+
+def test_empty_shortcircuit_is_empty_with_schema(spark):
+    df = filter_empty_shortcircuit(spark, SF_SMOKE)
+    assert df.count() == 0
+    assert df.columns == ["o_orderkey", "o_orderstatus"]
+
+
+def test_window_lead_first_semantics(spark):
+    rows = window_lead_first(spark, SF_SMOKE).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    # within every customer, first_price is constant and equals the
+    # first row's totalprice; last row's next_price is NULL
+    for cust, rs in by_cust.items():
+        firsts = {r.first_price for r in rs}
+        assert len(firsts) == 1, cust
+        assert sum(1 for r in rs if r.next_price is None) == 1, cust
+
+
+def test_generator_query_shape(spark):
+    df = generate_orders_seeded(spark, SF_SMOKE)
+    assert df.count() == 5000
+    assert set(df.columns) >= {"order_id", "customer_email", "order_date", "amount", "currency"}
