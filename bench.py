@@ -55,12 +55,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Untimed warmup: JVM/codegen/python-worker spin-up is session cost,
-    # not per-query cost; the baseline envelope is steady-state.
+    # Untimed warmup pass: run every headline query once so JVM JIT +
+    # whole-stage-codegen compilation + python-worker spin-up (one-time
+    # session costs, ~3 s for the most complex plans) don't land in the
+    # timed pass; the baseline envelope is steady-state throughput.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    registry.QUERIES["flagship_conversion"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    for name in HEADLINE:
+        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()  # warmup must not donate cached data
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -24,6 +24,7 @@ bit-identical Spark vs DuckDB).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,12 +53,22 @@ WITH tok AS (
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + distinct 3-token shingles per doc."""
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    """documents + distinct 3-token shingles per doc (scan spread
+    across all cores — shingling is CPU-bound, see load_table_parallel)."""
+    docs = catalog.load_table_parallel(spark, sf_dir, "documents")
     return (
         docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
         .withColumn("shingles", F.array_distinct(token_shingles("toks", k=3)))
     )
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    """Persist a diamond-shaped intermediate that downstream joins read
+    more than once. The 100 TB analog is materializing the signature
+    table once (write-then-read) instead of recomputing the shingle +
+    hash pipeline per consumer; locally MEMORY_AND_DISK does the same
+    with LRU eviction bounding footprint."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +126,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffles once on the shingle (the join key); hot shingles are the
     scale risk — dedup_minhash_lsh is the bounded-cost variant."""
-    sh = _docs_shingled(spark, sf_dir).select("doc_id", "shingles")
+    sh = _shared(_docs_shingled(spark, sf_dir).select("doc_id", "shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sc = sh.select("doc_id", F.size("shingles").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -224,7 +235,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banding math: P(candidate) = 1 - (1 - j^4)^4 — ≥ 0.87 at j = 0.7,
     so recall vs dedup_ngram_jaccard is high for strong dups but not 1;
     the oracle replicates the same bands, making the check exact."""
-    sh = _docs_shingled(spark, sf_dir).select("doc_id", "shingles")
+    sh = _shared(_docs_shingled(spark, sf_dir).select("doc_id", "shingles"))
     sig = sh.withColumn("hashes", _hashes_col()).select(
         "doc_id", "shingles", *_minhash_cols()
     )
@@ -315,7 +326,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard recall/cost trade, exactly mirrored by the oracle, so the
     comparison is still exact. Two shuffles total: token→doc
     aggregation and the byte-bucket self-join."""
-    docs = catalog.load_table(spark, sf_dir, "documents")
+    docs = catalog.load_table_parallel(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
@@ -332,7 +343,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         pack = term if pack is None else pack + term
-    sim = sums.select("doc_id", pack.alias("simhash"))
+    sim = _shared(sums.select("doc_id", pack.alias("simhash")))
     byte_structs = [
         F.struct(
             F.lit(k).alias("byte_idx"),

@@ -47,6 +47,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and guarantee the scan feeds every core.
+
+    CPU-heavy per-row operators (hashing, shingling, Arrow UDFs) are
+    bottlenecked by scan parallelism, and a small parquet file arrives
+    as ONE task. Round-robin repartition to ``defaultParallelism`` fixes
+    that; when the scan already has enough partitions — always true at
+    100 TB, where maxPartitionBytes yields thousands of tasks — this is
+    a no-op with no shuffle."""
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
     """Register temp views so queries can also be expressed in spark.sql."""
     for name in names:
