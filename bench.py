@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orders_currency_conversion_etl_spark.plans import registry
 from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
+from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup,
     multimodal,

@@ -1,0 +1,379 @@
+"""Extended relational surface: pivot, grouping sets, percentiles,
+explode, date/regex functions, HAVING, correlated subqueries, scalar
+subqueries, union-by-name, ntile/percent_rank, seeded sampling.
+
+Same ground rules as plans/relational.py: DataFrame-first (SQL only
+where the DataFrame API has no construct, e.g. GROUPING SETS), every
+compared column aliased identically on both engines, doubles never
+round()ed — cast to DECIMAL.
+
+Scale notes:
+- pivot with an explicit value list compiles to one hash aggregation
+  (no second pass to discover pivot values, no extra shuffle);
+- the correlated "above customer average" is written as agg + re-join
+  on the key — Catalyst plans the same for a correlated subquery, but
+  the explicit form lets AQE pick broadcast for the aggregated side;
+- the scalar-subquery share is a 25-row aggregate cross-joined with a
+  1-row total: both sides are post-aggregation tiny, so the join is a
+  broadcast nested loop over 25 rows regardless of input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import catalog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+def _dec(col: str | F.Column, p: int = 18, s: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------------
+# Pivot (explicit value list => single-pass aggregation)
+# --------------------------------------------------------------------------
+
+_STATUSES = ("F", "O", "P")
+
+_PIVOT_ORACLE = f"""
+SELECT o_orderpriority,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS total_{s}"
+           for s in _STATUSES
+       )}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_pivot_status", _PIVOT_ORACLE)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns. The explicit values list is the
+    scale-relevant detail: without it Spark runs an extra distinct scan
+    to discover pivot columns."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(38,2)"))
+    )
+    return out.select(
+        "o_orderpriority", *[F.col(s).alias(f"total_{s}") for s in _STATUSES]
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (SQL surface; DataFrame API stops at rollup/cube)
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", _GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: arbitrary grouping sets — one aggregation producing three
+    groupings in a single shuffle (Expand + partial agg), vs three
+    separate jobs. GROUPING() disambiguates real NULLs from subtotal
+    rows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    df = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return df
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / median
+# --------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT o_orderstatus,
+       CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,4)) AS p25,
+       CAST(quantile_cont(o_totalprice, 0.5)  AS DECIMAL(18,4)) AS median,
+       CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,4)) AS p75
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_percentiles", _PCTL_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (same linear-interpolation
+    definition as DuckDB's quantile_cont). Exact percentile sorts per
+    group; at 100 TB swap to approx_percentile — registered separately
+    so callers choose cost explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).cast("decimal(18,4)").alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,4)").alias("median"),
+        F.percentile("o_totalprice", F.lit(0.75)).cast("decimal(18,4)").alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# posexplode / lateral unnest
+# --------------------------------------------------------------------------
+
+_EXPLODE_ORACLE = """
+WITH w AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part)
+SELECT p_partkey, CAST(pos - 1 AS INT) AS pos, words[pos] AS word
+FROM w, unnest(range(1, len(words)+1)) AS u(pos)
+"""
+
+
+@query("explode_part_types", _EXPLODE_ORACLE)
+def explode_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per (part, word-position). Row count grows
+    by the array length — the flatten happens before any shuffle, so
+    it's a pure map stage at any scale."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time functions
+# --------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT) AS days_to_ref,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+FROM orders
+"""
+
+
+@query("date_functions", _DATE_ORACLE)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 family: truncation, extraction, day arithmetic, intervals —
+    all whole-stage-codegen column expressions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.datediff(F.lit("2026-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ref"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex extract / replace
+# --------------------------------------------------------------------------
+
+_REGEX_ORACLE = r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_value,
+       regexp_replace(event_type, '^ev_', 'type:') AS type_tag
+FROM events
+"""
+
+
+@query("regex_functions", _REGEX_ORACLE)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction + anchored replace (both engines
+    use the same RE2-ish semantics for these patterns)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_value"),
+        F.regexp_replace("event_type", r"^ev_", "type:").alias("type_tag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING (post-aggregation filter)
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+@query("agg_having_big_customers", _HAVING_ORACLE)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING == filter after agg; Catalyst keeps it post-shuffle (it
+    can't push below the aggregation) but prunes columns into the
+    scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subquery: orders above their customer's average
+# --------------------------------------------------------------------------
+
+_ABOVE_AVG_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+    SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("subquery_above_customer_avg", _ABOVE_AVG_ORACLE)
+def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated the way Catalyst does
+    it internally: aggregate once per key, re-join on the key. The
+    aggregated side is |customers| rows — broadcast under AQE."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg), o["o_custkey"] == avg["k"])
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", _dec("o_totalprice").alias("totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: revenue share of total
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH per_nation AS (
+    SELECT n.n_name AS nation,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation,
+       CAST(revenue AS DECIMAL(38,2)) AS revenue,
+       CAST(CAST(revenue AS DOUBLE) / (SELECT CAST(SUM(revenue) AS DOUBLE) FROM per_nation) AS DECIMAL(18,8)) AS share
+FROM per_nation
+"""
+
+
+@query("scalar_subquery_revenue_share", _SHARE_ORACLE)
+def scalar_subquery_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a 1-row broadcast cross join against the
+    (tiny, post-aggregation) per-nation rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    )
+    total = per_nation.agg(F.sum("revenue").cast("double").alias("grand_total"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "nation",
+        F.col("revenue").cast("decimal(38,2)").alias("revenue"),
+        (F.col("revenue").cast("double") / F.col("grand_total"))
+        .cast("decimal(18,8)")
+        .alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Union by name with missing columns
+# --------------------------------------------------------------------------
+
+_UNION_NAME_ORACLE = """
+SELECT * FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0)
+UNION ALL BY NAME
+SELECT * FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 1)
+"""
+
+
+@query("union_by_name_missing_cols", _UNION_NAME_ORACLE)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two disjoint projections, missing
+    columns NULL-filled by name (not by position)."""
+    c = _t(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    odd = c.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_acctbal")
+    return even.unionByName(odd, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# ntile / percent_rank
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+       CAST(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS DECIMAL(18,8)) AS pct_rank
+FROM orders
+"""
+
+
+@query("window_ntile_percent_rank", _NTILE_ORACLE)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 extension: quartile assignment + relative rank; ORDER BY
+    carries the unique orderkey tiebreak so output is deterministic."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _dec("o_totalprice").alias("totalprice"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("decimal(18,8)").alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded sampling (no SQL oracle: RNG streams differ across engines)
+# --------------------------------------------------------------------------
+
+
+@query("sample_seeded", None)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample, fixed seed: deterministic for a given
+    partitioning of the input. Rows-only driver check; the ±20%
+    tolerance test lives in tests/test_relational_extra.py. Sampling is
+    a scan-local filter — no shuffle, fully pushed into the read at any
+    scale."""
+    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=7).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

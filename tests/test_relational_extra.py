@@ -51,6 +51,16 @@ def test_window_lead_first_semantics(spark):
         assert sum(1 for r in rs if r.next_price is None) == 1, cust
 
 
+def test_sample_seeded_fraction_and_determinism(spark):
+    from orders_currency_conversion_etl_spark.plans.relational_ext import sample_seeded
+
+    total = spark.read.parquet(SF_SMOKE + "/orders.parquet").count()
+    a = sample_seeded(spark, SF_SMOKE)
+    n1, n2 = a.count(), sample_seeded(spark, SF_SMOKE).count()
+    assert n1 == n2  # same seed + same input partitioning => deterministic
+    assert 0.05 * total <= n1 <= 0.2 * total  # Bernoulli(0.1) within tolerance
+
+
 def test_generator_query_shape(spark):
     df = generate_orders_seeded(spark, SF_SMOKE)
     assert df.count() == 5000
