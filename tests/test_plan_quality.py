@@ -1,0 +1,129 @@
+"""Physical-plan assertions: the properties that decide whether a query
+survives a 100x scale-up — broadcast vs shuffle joins, predicate
+pushdown into the parquet scan, partial aggregation, partition pruning,
+shuffle-free bucketed joins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.plans.relational import (
+    agg_pricing_summary,
+    filter_composite_predicates,
+    topk_expensive_orders,
+)
+from orders_currency_conversion_etl_spark.plans.registry import QUERIES
+from orders_currency_conversion_etl_spark.sources import catalog, sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flagship_is_shuffle_free_broadcast_join(spark):
+    """The flagship conversion must be scan -> broadcast join -> project:
+    no shuffle exchange anywhere (rates are ~25 rows)."""
+    plan = _plan(QUERIES["flagship_conversion"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_filters_push_into_parquet_scan(spark):
+    plan = _plan(filter_composite_predicates(spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one concrete predicate reached the scan
+    assert "IsNotNull" in plan.split("PushedFilters:")[1][:400] or "GreaterThan" in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate nodes (partial + final) with
+    one exchange between them; hot path inside whole-stage codegen."""
+    df = agg_pricing_summary(spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    df.collect()  # AQE finalizes the physical plan only on execution
+    final_plan = _plan(df)
+    # "*(n) HashAggregate" = the operator runs inside WholeStageCodegen
+    assert "*(" in final_plan and "isFinalPlan=true" in final_plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k then merge), never a global sort."""
+    plan = _plan(topk_expensive_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over the 7-column orders table must scan
+    only those columns."""
+    df = catalog.load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    plan = _plan(df)
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in scan and "o_custkey" in scan
+    assert "o_totalprice" not in scan and "o_orderpriority" not in scan
+
+
+def test_partition_pruning_reads_only_matching_dirs(spark):
+    orders = catalog.load_table(spark, SF, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_part")
+        sinks.write_partitioned(orders, path, ["o_orderstatus"])
+        back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        plan = _plan(back)
+        pf = plan.split("PartitionFilters:")[1][:200]
+        assert "o_orderstatus" in pf and "= F" in pf
+        # and the data actually matches
+        assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = catalog.load_table(spark, SF, "orders")
+    customer = catalog.load_table(spark, SF, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_bucketed(
+            orders.withColumn("k", F.col("o_custkey")),
+            spark, "orders_bkt", os.path.join(d, "o"), "k", 8,
+        )
+        sinks.write_bucketed(
+            customer.withColumn("k", F.col("c_custkey")),
+            spark, "customer_bkt", os.path.join(d, "c"), "k", 8,
+        )
+        try:
+            # disable broadcast so the test exercises the bucketed path:
+            # without bucketing this join would need two exchanges
+            with_conf = spark.conf
+            old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = spark.table("orders_bkt").join(spark.table("customer_bkt"), "k")
+                plan = _plan(j)
+                assert "SortMergeJoin" in plan
+                assert "Exchange hashpartitioning" not in plan
+                assert j.count() > 0
+            finally:
+                with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS orders_bkt")
+            spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_limit_pushed_to_scan_side(spark):
+    """LIMIT without ORDER BY stays a LocalLimit above the scan — no
+    shuffle, no global coordination (SURVEY P3)."""
+    df = catalog.load_table(spark, SF, "orders").limit(100)
+    plan = _plan(df)
+    # single-stage CollectLimit (or Local+Global pair on multi-part
+    # scans) — in no case a hash exchange
+    assert "CollectLimit" in plan or ("GlobalLimit" in plan and "LocalLimit" in plan)
+    assert "Exchange hashpartitioning" not in plan
