@@ -35,6 +35,7 @@ from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup as _dedup,
     similarity as _similarity,
+    skew as _skew,
     text as _text,
     multimodal as _multimodal,
 )

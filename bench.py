@@ -23,6 +23,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    skew,
     text,
 )
 from orders_currency_conversion_etl_spark.streaming import events_stream  # noqa: F401

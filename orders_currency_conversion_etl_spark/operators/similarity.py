@@ -147,6 +147,82 @@ def bucket_col(emb_col: F.Column) -> F.Column:
     return b
 
 
+IVF_CENTROID_STRIDE = 64  # vec_id % stride == 0 => centroid (deterministic "training")
+
+
+def _ivf_oracle() -> str:
+    return f"""
+{_DUCK_EMB_CTE}, cent AS (
+    SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d
+    WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+), scored AS (
+    SELECT d.vec_id, d.emb, d.nrm, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY list_reduce(list_transform(list_zip(d.emb, c.cemb), p -> p[1]*p[2]), (acc,x) -> acc+x)
+                        / (d.nrm * c.cnrm) DESC, c.cid) AS rn
+    FROM d, cent c
+), cell AS (
+    SELECT vec_id, emb, nrm, cid FROM scored WHERE rn = 1
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+    FROM cell q JOIN cell c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+    WHERE q.vec_id IN {QUERY_IDS!r}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_ivf", _ivf_oracle())
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) cells: every vector is assigned to
+    its nearest centroid; a query searches only its own cell.
+
+    Centroid selection here is a deterministic stride over vec_id (a
+    k-means stand-in that keeps the oracle exact — real training would
+    bake learned centroids as literals the same way). The scale story
+    matches FAISS IVF: centroids broadcast (tiny), assignment is one
+    map-side pass, and the corpus written partitioned-by-cell makes a
+    query touch 1/n_cells of the data via partition pruning."""
+    d = _with_norm(_emb(spark, sf_dir))
+    cent = d.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
+    cell = (
+        d.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cos_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    q = cell.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cid").alias("q_cid"),
+    )
+    cos = dot_cols(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cell.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 @query("knn_lsh_bucketed", _lsh_oracle())
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH bucketing: candidates share the query's

@@ -202,6 +202,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex token counting
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer, simplified to the subset whose semantics
+#: are identical in Java regex (Spark) and RE2 (DuckDB): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+_BPE_ORACLE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+           / len(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS chars_per_bpe_token
+FROM documents
+"""
+
+
+@query("text_bpe_token_count", _BPE_ORACLE)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, tokenizer-shaped: a BPE-style pre-tokenizer
+    regex next to the whitespace count. chars/token is the standard
+    cheap proxy for LLM token cost of a corpus. Pure codegen — the
+    regex runs JVM-side, no Python."""
+    d = _docs(spark, sf_dir)
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_bpe_token"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus-level rollup
 # --------------------------------------------------------------------------
 
