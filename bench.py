@@ -36,6 +36,7 @@ HEADLINE = (
     "flagship_conversion",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
+    "join_fact_to_fact_revenue",
     "window_running_total",
     "topk_expensive_orders",
     "join_asof_rates",

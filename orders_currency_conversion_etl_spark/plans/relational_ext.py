@@ -363,6 +363,49 @@ def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Large fact-to-fact join (the one join neither side can broadcast)
+# --------------------------------------------------------------------------
+
+_FACT_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_fact_to_fact_revenue", _FACT_JOIN_ORACLE)
+def join_fact_to_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders: both sides scale with the data, so this is
+    the genuine shuffle join (sort-merge on orderkey) — the case
+    broadcast can't save. What keeps it fast at 100 TB: the shipdate
+    filter is pushed into the lineitem scan before the shuffle, both
+    sides exchange only (join key + needed columns) after column
+    pruning, and AQE coalesces/splits post-shuffle partitions at
+    runtime. Bucketing both tables by orderkey (sources/sinks.py)
+    removes the exchange entirely — asserted in
+    tests/test_plan_quality.py::test_bucketed_join_has_no_shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Seeded sampling (no SQL oracle: RNG streams differ across engines)
 # --------------------------------------------------------------------------
 
