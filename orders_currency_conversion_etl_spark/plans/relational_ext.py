@@ -406,6 +406,133 @@ def join_fact_to_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unpivot / melt
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status_col, CAST(n AS BIGINT) AS n
+FROM wide UNPIVOT (n FOR status_col IN (n_F, n_O, n_P))
+"""
+
+
+@query("unpivot_status_counts", _UNPIVOT_ORACLE)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): the inverse of pivot. Pure local
+    row-expansion — no shuffle beyond the feeding aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).alias(f"n_{s}")
+            for s in _STATUSES
+        ]
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=[f"n_{s}" for s in _STATUSES],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic array aggregation (collect_list is order-nondeterministic
+# until sorted — emitted as a joined string for portable comparison)
+# --------------------------------------------------------------------------
+
+_ARRAY_AGG_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("agg_collect_sorted", _ARRAY_AGG_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg made deterministic: collect_list order depends on task
+    scheduling, so any comparable/persisted result must sort_array
+    first. The array stays bounded by group size — grouping on a key
+    with millions of rows per group needs a different design
+    (re-aggregate or explode), not a bigger array."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions (transform/filter/aggregate/zip_with)
+# --------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, range(1, 6) AS xs FROM orders
+)
+SELECT o_orderkey,
+       CAST(list_reduce(list_transform(xs, x -> x * x), (a, b) -> a + b) AS BIGINT) AS sum_squares,
+       CAST(len(list_filter(xs, x -> x % 2 = 0)) AS INT) AS n_even,
+       CAST(list_reduce(list_transform(list_zip(xs, xs), p -> p[1] * p[2]), (a, b) -> a + b) AS BIGINT) AS dot_self
+FROM base
+"""
+
+
+@query("higher_order_array_funcs", _HOF_ORACLE)
+def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-expression surface: transform / filter / aggregate /
+    zip_with run as JVM codegen'd expressions — the same machinery the
+    embedding dot products use (operators/dedup.py::dot_cols), shown
+    here on a deterministic per-row array."""
+    o = _t(spark, sf_dir, "orders").withColumn("xs", F.sequence(F.lit(1), F.lit(5)))
+    squares_sum = F.aggregate(
+        F.transform("xs", lambda x: x * x), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    dot_self = F.aggregate(
+        F.zip_with("xs", "xs", lambda p, q: p * q), F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    return o.select(
+        "o_orderkey",
+        squares_sum.alias("sum_squares"),
+        F.size(F.filter("xs", lambda x: x % 2 == 0)).alias("n_even"),
+        dot_self.alias("dot_self"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-typed column construction + access
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_from_map,
+       'k' AS first_key
+FROM events
+"""
+
+
+@query("map_column_access", _MAP_ORACLE)
+def map_column_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: parse the JSON props into map<string,int>,
+    read through element_at / map_keys. Maps are the schema shape for
+    sparse/ragged metadata at scale (vs exploding columns)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Seeded sampling (no SQL oracle: RNG streams differ across engines)
 # --------------------------------------------------------------------------
 
