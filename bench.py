@@ -67,12 +67,18 @@ def main() -> None:
         registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # warmup must not donate cached data
 
+    # best-of-2: a GC pause or compaction blip in either run shouldn't
+    # define the recorded number; steady-state cost is the minimum.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -97,6 +97,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
+_FRAME_LEN = 16
+_FRAME_STRIDE = 64
+
+# documents.text is pure ASCII (asserted in tests), so byte offsets in
+# the utf-8 payload equal character offsets in the text — the oracle
+# recomputes every frame with substr + md5.
+_FRAMES_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           CAST(pos AS INT) AS frame_idx,
+           md5(substr(text, pos * {_FRAME_STRIDE} + 1, {_FRAME_LEN})) AS frame_md5
+    FROM documents,
+         unnest(range(0, CAST(ceil(CAST(strlen(text) AS DOUBLE) / {_FRAME_STRIDE}) AS BIGINT))) AS u(pos)
+    WHERE strlen(text) > 0
+)
+SELECT doc_id, frame_idx, frame_md5 FROM f
+"""
+
+
+@query("multimodal_frame_sample", _FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas plumbing; frames are
+    emitted as md5 digests so the comparison is byte-portable."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        with_binary_payload(docs), frame_len=_FRAME_LEN, stride=_FRAME_STRIDE
+    )
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS orig_len,
+       CAST(least(strlen(text), 64) AS INT) AS new_len,
+       md5(substr(text, 1, 64)) AS payload_md5
+FROM documents
+"""
+
+
+@query("multimodal_resize", _RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget 'resize' through mapInPandas; output digested for
+    portable comparison."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    out = resize_payloads(with_binary_payload(docs), target_len=64)
+    return out.select(
+        "doc_id", "orig_len", "new_len", F.md5("payload").alias("payload_md5")
+    )
+
+
 # --------------------------------------------------------------------------
 # The genuine decode path (gated: codecs absent in this container)
 # --------------------------------------------------------------------------
@@ -142,3 +192,68 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def decode_images(docs_with_payload: DataFrame) -> DataFrame:
     """mapInPandas wiring for the real decoder (raises without PIL)."""
     return docs_with_payload.mapInPandas(decode_image_batch, schema=IMAGE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Resize / frame-sample: deterministic byte-level stand-ins with the
+# production batch shape (binary in -> binary/array out)
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_len", T.IntegerType()),
+        T.StructField("new_len", T.IntegerType()),
+    ]
+)
+
+
+def resize_payloads(docs_with_payload: DataFrame, target_len: int = 64) -> DataFrame:
+    """'Resize' = truncate/keep bytes to a fixed budget — the stand-in
+    for image down-scaling. The contract production cares about:
+    binary column in, binary column out, bounded per-row output size
+    (what keeps shuffle/write volume predictable downstream)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            resized = payloads.map(lambda b: bytes(b[:target_len]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "orig_len": payloads.map(len).astype("int32"),
+                    "new_len": resized.map(len).astype("int32"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(docs_with_payload: DataFrame, frame_len: int = 16, stride: int = 64) -> DataFrame:
+    """Frame sampling: one row per sampled fixed-length slice of the
+    payload (the video-keyframe shape: 1 input row -> N output rows).
+    Row expansion happens executor-side inside the Arrow batch, never
+    on the driver."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), stride)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[off : off + frame_len]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return docs_with_payload.mapInPandas(_batches, schema=FRAMES_SCHEMA)

@@ -119,7 +119,11 @@ def foreach_batch_dual_sink(out_dir: str):
 def run_stream_once(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """Drive the full stream to completion (availableNow) through the
     dual sink; returns the final orders_eur content read back."""
-    stage = stage_events_as_stream_source(spark, sf_dir, os.path.join(work_dir, "stage"))
+    stage = os.path.join(work_dir, "stage")
+    if not os.path.exists(stage):
+        # stage once: re-writing emits new-named part files the file
+        # source would (correctly) re-ingest as fresh data
+        stage_events_as_stream_source(spark, sf_dir, stage)
     agg = tumbling_hourly(read_events_stream(spark, stage))
     q = (
         agg.writeStream.outputMode("append")
