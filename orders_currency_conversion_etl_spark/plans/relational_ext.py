@@ -533,6 +533,160 @@ def map_column_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT o_orderstatus,
+       CAST(stddev_samp(o_totalprice) AS DECIMAL(18,2)) AS price_stddev,
+       CAST(var_samp(o_totalprice) AS DECIMAL(24,0)) AS price_var,
+       CAST(corr(o_totalprice, o_custkey) AS DECIMAL(18,6)) AS price_cust_corr,
+       CAST(covar_samp(o_totalprice, o_custkey) AS DECIMAL(24,0)) AS price_cust_covar
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_statistics", _STATS_ORACLE)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-based statistics — single-pass, merge-able accumulators
+    (Welford-style), so partial aggregation and AQE coalescing apply
+    exactly as for sum/count. Outputs cast to DECIMAL at precisions
+    that absorb accumulation-order float noise."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.stddev_samp("o_totalprice").cast("decimal(18,2)").alias("price_stddev"),
+        F.var_samp("o_totalprice").cast("decimal(24,0)").alias("price_var"),
+        F.corr("o_totalprice", "o_custkey").cast("decimal(18,6)").alias("price_cust_corr"),
+        F.covar_samp("o_totalprice", "o_custkey").cast("decimal(24,0)").alias("price_cust_covar"),
+    )
+
+
+_ARGMINMAX_ORACLE = """
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_min_by_max_by", _ARGMINMAX_ORACLE)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by + boolean/conditional aggregates. o_totalprice
+    values are unique-ish doubles so arg_min/arg_max are deterministic
+    on this data (ties would need an explicit tiebreak struct)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame (value-based, vs the row-based frames elsewhere)
+# --------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_30d_spend
+FROM orders
+"""
+
+
+@query("window_range_frame", _RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a RANGE frame over event
+    time (value-based bounds), the moving-aggregate shape rows-based
+    frames can't express when rows are irregularly spaced."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _dec("o_totalprice").alias("totalprice"),
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("trailing_30d_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + forward-fill (hypertable-rollup shape)
+# --------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('hour', ts)
+), bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+)
+SELECT s.bucket,
+       a.purchase_value,
+       last_value(a.purchase_value IGNORE NULLS) OVER (
+           ORDER BY s.bucket ROWS UNBOUNDED PRECEDING) AS filled_value,
+       CAST(a.purchase_value IS NULL AS BOOLEAN) AS was_gap
+FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+"""
+
+
+@query("timeseries_gapfill_ffill", _GAPFILL_ORACLE)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly aggregate, dense time spine
+    (sequence + explode), forward-fill through gaps with
+    last(ignorenulls) over the ordered spine.
+
+    Scale notes: the spine is hours-between-bounds — tiny regardless of
+    event volume, so the left join broadcasts the AGGREGATE, not raw
+    events; the forward-fill window is a single global ORDER BY over
+    the spine (again |hours| rows, not |events|). A per-entity fill
+    would partition the window by the entity key."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("purchase_value")
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(F.broadcast(agg), on="bucket", how="left")
+        .select(
+            "bucket",
+            "purchase_value",
+            F.last("purchase_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("purchase_value").isNull().alias("was_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Seeded sampling (no SQL oracle: RNG streams differ across engines)
 # --------------------------------------------------------------------------
 
