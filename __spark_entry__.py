@@ -39,6 +39,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     text as _text,
     multimodal as _multimodal,
 )
+from orders_currency_conversion_etl_spark.streaming import attribution as _attribution  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

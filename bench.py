@@ -26,6 +26,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     skew,
     text,
 )
+from orders_currency_conversion_etl_spark.streaming import attribution  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.session import get_spark
 
