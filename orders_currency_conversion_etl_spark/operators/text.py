@@ -237,6 +237,102 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Document chunking (training-window preparation)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       array_to_string(toks[ci*{CHUNK_STRIDE} + 1 : ci*{CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(len(toks[ci*{CHUNK_STRIDE} + 1 : ci*{CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS chunk_len
+FROM tok,
+     unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1) / {CHUNK_STRIDE}.0) AS BIGINT))) AS u(ci)
+"""
+
+
+@query("text_chunk_documents", _CHUNK_ORACLE)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 50-token windows every 40 tokens (10
+    overlap) — the 1-row → N-chunks reshape every pretraining pipeline
+    runs before tokenization. Executor-side explode, no shuffle; chunk
+    count scales with corpus tokens, not document count."""
+    d = with_tokens(_docs(spark, sf_dir))
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i", "chunk_idx"),
+    )
+    piece = F.slice("toks", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (blocklist n-gram overlap)
+# --------------------------------------------------------------------------
+
+#: "benchmark" 3-grams that must not leak into training data — fixed
+#: literals on both engines (drawn from the shared synthetic vocabulary
+#: so some documents actually hit).
+CONTAMINATION_BLOCKLIST = (
+    "scan scan fast",
+    "window merge spark",
+    "filter column order",
+    "the table scan",
+)
+
+_DECONTAM_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM tok
+)
+SELECT doc_id,
+       CAST(len(list_intersect(shingles, {list(CONTAMINATION_BLOCKLIST)!r})) AS INT) AS n_blocked,
+       len(list_intersect(shingles, {list(CONTAMINATION_BLOCKLIST)!r})) > 0 AS contaminated
+FROM sh
+"""
+
+
+@query("text_decontaminate", _DECONTAM_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any 3-gram
+    with the blocklist. At 100 TB the blocklist (eval sets, ~millions
+    of shingles) broadcasts or becomes a bloom filter pushed into the
+    scan; the per-doc check stays a map-side set intersection."""
+    from ..functions.text_fn import token_shingles
+
+    d = with_tokens(_docs(spark, sf_dir)).withColumn(
+        "shingles", F.array_distinct(token_shingles("toks", k=3))
+    )
+    blocked = F.array(*[F.lit(s) for s in CONTAMINATION_BLOCKLIST])
+    n_blocked = F.size(F.array_intersect("shingles", blocked))
+    return d.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        (n_blocked > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus-level rollup
 # --------------------------------------------------------------------------
 
