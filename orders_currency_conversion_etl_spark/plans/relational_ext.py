@@ -687,6 +687,99 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cume_dist / nth_value windows
+# --------------------------------------------------------------------------
+
+_CUME_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CUME_DIST() OVER w AS DECIMAL(18,8)) AS cume,
+       NTH_VALUE(o_orderkey, 3) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("window_cume_nth", _CUME_ORACLE)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.cume_dist().over(w).cast("decimal(18,8)").alias("cume"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL-handling functions (coalesce / nullif / nvl2 / nanvl semantics)
+# --------------------------------------------------------------------------
+
+_NULLS_ORACLE = """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'P') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+       CAST(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 0
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS price_unless_pending,
+       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS is_pending
+FROM orders
+"""
+
+
+@query("null_handling_functions", _NULLS_ORACLE)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL algebra: nullif / coalesce / nvl2-style branch / null-safe
+    equality (<=>). Tri-state semantics identical across engines."""
+    o = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif("o_orderstatus", F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
+        F.nvl2(status_or_null, _dec("o_totalprice"), F.lit(0).cast("decimal(18,2)")).alias(
+            "price_unless_pending"
+        ),
+        status_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_pending"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cast matrix (cross-type conversion semantics)
+# --------------------------------------------------------------------------
+
+_CASTS_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor_long,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_roundtrip,
+       CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS date_roundtrip
+FROM orders
+"""
+
+
+@query("cast_matrix", _CASTS_ORACLE)
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type casts both engines agree on bit-for-bit: long→string,
+    timestamp→date→string, floor→bigint (double→bigint is NOT portable:
+    Spark truncates, DuckDB rounds — floor() first pins it down),
+    double→decimal→double, string→date."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor_long"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_roundtrip"),
+        F.substring(F.col("o_orderdate").cast("date").cast("string"), 1, 10)
+        .cast("date")
+        .alias("date_roundtrip"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Seeded sampling (no SQL oracle: RNG streams differ across engines)
 # --------------------------------------------------------------------------
 
