@@ -34,11 +34,13 @@ from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup as _dedup,
+    merge as _merge,
     similarity as _similarity,
     skew as _skew,
     text as _text,
     multimodal as _multimodal,
 )
+from orders_currency_conversion_etl_spark.functions import pandas_fn as _pandas_fn  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import attribution as _attribution  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
 

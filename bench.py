@@ -21,11 +21,13 @@ from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup,
+    merge,
     multimodal,
     similarity,
     skew,
     text,
 )
+from orders_currency_conversion_etl_spark.functions import pandas_fn  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import attribution  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.session import get_spark
