@@ -376,6 +376,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup cluster formation: connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+def connected_components(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Min-label propagation to a fixed point: every node ends with the
+    smallest doc_id reachable from it — the canonical cluster
+    representative a dedup pipeline keeps.
+
+    Each iteration is one shuffle (join on the edge endpoint + min-agg
+    per node); iterations needed = graph diameter (near-dup clusters
+    are shallow, so a handful). localCheckpoint between rounds
+    truncates the lineage that would otherwise grow per iteration —
+    the thing that kills iterative Spark jobs at scale."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    for _ in range(_CC_MAX_ITERS):
+        # candidate labels: own label ∪ neighbours' labels
+        neighbour_labels = (
+            sym.join(labels.withColumnRenamed("u", "v"), on="v")
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbour_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+    SELECT n, n FROM nodes
+    UNION
+    SELECT e.u, r.m FROM edges e JOIN reach r ON r.n = e.v
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+@query("dedup_connected_components", _cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation over the exact near-dup pairs: the step after
+    pairwise detection — transitive closure so "A~B, B~C" lands A,B,C
+    in one cluster with the min doc_id as representative. The oracle is
+    a recursive-CTE transitive closure over the same pairs."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact pairwise; LSH path in similarity.py)
 # --------------------------------------------------------------------------
 

@@ -784,6 +784,20 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@query("agg_approx_percentile", None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale replacement for agg_percentiles: KLL/GK-style
+    sketch, single pass, merge-able across partitions (no per-group
+    sort). No cross-engine oracle — sketch internals differ; the ±1%
+    accuracy bound vs exact is asserted in
+    tests/test_relational_extra.py."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+    )
+
+
 @query("sample_seeded", None)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sample, fixed seed: deterministic for a given

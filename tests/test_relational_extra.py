@@ -51,6 +51,31 @@ def test_window_lead_first_semantics(spark):
         assert sum(1 for r in rs if r.next_price is None) == 1, cust
 
 
+def test_approx_percentile_within_tolerance(spark):
+    from orders_currency_conversion_etl_spark.plans.relational_ext import (
+        agg_approx_percentile,
+    )
+
+    approx = {
+        r.o_orderstatus: (r.approx_median, r.approx_p95)
+        for r in agg_approx_percentile(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.m, r.p95)
+        for r in spark.read.parquet(SF_SMOKE + "/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("m"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for status, (m, p95) in exact.items():
+        am, ap = approx[status]
+        assert abs(am - m) <= 0.01 * m, status
+        assert abs(ap - p95) <= 0.01 * p95, status
+
+
 def test_sample_seeded_fraction_and_determinism(spark):
     from orders_currency_conversion_etl_spark.plans.relational_ext import sample_seeded
 
