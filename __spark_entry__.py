@@ -32,6 +32,7 @@ from orders_currency_conversion_etl_spark.plans import registry
 # Importing submodules for their @query registration side effects.
 from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F401
+from orders_currency_conversion_etl_spark.plans import analytics  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     dedup as _dedup,
     merge as _merge,

@@ -1,0 +1,273 @@
+"""Decision-support analytics: multi-way join reports (TPC-H Q3/Q10
+shape), single-pass column profiling, deterministic stratified
+sampling, and IQR outlier detection.
+
+The reference pipeline computes no reports (SURVEY §2.5: zero GROUP
+BYs in either DAG) — these are EXT surface exercising the classic
+warehouse shapes a user of the engine runs over the fixture tables.
+
+Scale notes (the part that matters at 100 TB):
+- Q3/Q10 are selective-filter → shuffle-join → agg → top-k. The
+  segment/date/returnflag filters are pushed into the parquet scans
+  (asserted for this family in tests/test_plan_quality.py), customer
+  and nation broadcast, and the final ORDER BY + LIMIT compiles to
+  TakeOrderedAndProject — per-partition heaps, no global sort.
+- the profiler is ONE scan: every per-column metric is an aggregate
+  of the same pass; count(distinct) over many columns expands via
+  Spark's Expand operator (rows × columns before the partial agg) —
+  the documented scale path is approx_count_distinct, kept exact here
+  for DuckDB parity.
+- stratified sampling uses a *portable deterministic hash* (md5 →
+  integer bucket), not rand(): the sample is reproducible across
+  engines, retries, and partitionings — which is what you want when
+  the sample feeds a training run. It is also embarrassingly
+  parallel: a per-row predicate, no shuffle at all.
+- the IQR outlier filter is agg-to-one-row + broadcast cross join +
+  filter: two passes over orders, no shuffle wider than the 1-row
+  quantile frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_fn import hex_to_long_sql
+from ..sources import catalog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+#: revenue term shared by Q3/Q10 — cast to DECIMAL *before* SUM so the
+#: total is exact and independent of accumulation order (SURVEY §4.3).
+_REV_SQL = "CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(18,4))"
+
+
+def _revenue() -> F.Column:
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Shipping priority (TPC-H Q3 shape): 3-way join, agg, top-k
+# --------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", _Q3_ORACLE)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped high-value orders for one market segment.
+
+    Plan at scale: customer(filtered to 1/5 segment) broadcasts into
+    orders, the result shuffle-joins lineitem on orderkey, and the
+    top-10 is TakeOrderedAndProject. The l_orderkey tiebreak makes the
+    LIMIT boundary deterministic for the oracle compare.
+    """
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Returned-item reporting (TPC-H Q10 shape): 4-way join, agg, top-k
+# --------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", _Q10_ORACLE)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in one quarter.
+
+    orders is pre-filtered to the quarter (partition-prunable on a
+    date-partitioned lake), lineitem to returnflag='R'; customer and
+    nation are broadcast dims, so the only big shuffle is the
+    lineitem⋈orders orderkey exchange.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiler: one scan → per-column null/distinct stats
+# --------------------------------------------------------------------------
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name,"
+    f" COUNT(*) - COUNT({c}) AS n_null,"
+    f" COUNT(DISTINCT {c}) AS n_distinct"
+    " FROM documents"
+    for c in _DOC_COLS
+)
+
+
+@query("profile_columns", _PROFILE_ORACLE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of `documents`: null count + cardinality
+    per column, in a SINGLE pass (one wide aggregate, then stack() to
+    long form) — vs. the oracle's 5 scans. The multi-count(distinct)
+    plans via Expand; swap in approx_count_distinct at 100 TB where a
+    ±2% cardinality is profile-grade anyway."""
+    d = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in _DOC_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = d.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _DOC_COLS)
+    return wide.selectExpr(
+        f"stack({len(_DOC_COLS)}, {stack}) AS (column_name, n_null, n_distinct)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample (portable hash bucket per stratum)
+# --------------------------------------------------------------------------
+
+#: per-mille keep rate per order status — the sampling design.
+_STRATA = {"F": 100, "O": 100, "P": 500}
+
+#: md5 of the key → first 4 hex chars → int → bucket in [0, 1000).
+#: Valid in BOTH engines (functions/text_fn.py builds the hex parse
+#: from substr/instr arithmetic), so the oracle reproduces the exact
+#: same sample — impossible with rand()/TABLESAMPLE.
+_BUCKET_SQL = (
+    "(" + hex_to_long_sql("substr(md5(CAST(o_orderkey AS STRING)), 1, 4)", 4) + " % 1000)"
+)
+_BUCKET_SQL_DUCK = _BUCKET_SQL.replace("AS STRING", "AS VARCHAR")
+
+_KEEP_CASE = (
+    "CASE o_orderstatus "
+    + " ".join(f"WHEN '{s}' THEN {pm}" for s, pm in _STRATA.items())
+    + " ELSE 0 END"
+)
+
+_STRATified_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders
+WHERE {_BUCKET_SQL_DUCK} < {_KEEP_CASE}
+"""
+
+
+@query("sample_stratified_hash", _STRATified_ORACLE)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample of orders: keep 10% of F/O rows and 50% of the
+    rare P stratum, selected by md5-bucket of the key. Reproducible
+    across engines/retries/partitionings and shuffle-free (pure per-row
+    predicate) — `df.sampleBy` gives neither guarantee."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.expr(f"{_BUCKET_SQL} < {_KEEP_CASE}"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection (quantile frame + broadcast cross join)
+# --------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+    SELECT event_type,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+    FROM events
+    GROUP BY event_type
+)
+SELECT e.event_id,
+       e.event_type,
+       CAST(e.value AS DECIMAL(18,4)) AS value
+FROM events e
+JOIN q ON e.event_type = q.event_type
+WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@query("outlier_events_iqr", _IQR_ORACLE)
+def outlier_events_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise Tukey-fence outliers on the heavy-tailed event value:
+    exact linear-interpolated quartiles per event_type (Spark
+    `percentile` ≡ DuckDB percentile_cont) reduced to a handful of
+    rows, broadcast back onto the fact, filter. At 100 TB swap the
+    exact percentile for approx_percentile(…, accuracy) — same plan
+    shape, single-pass sketch instead of a per-group sort."""
+    e = _t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .filter(F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,4)").alias("value"),
+        )
+    )

@@ -127,3 +127,38 @@ def test_limit_pushed_to_scan_side(spark):
     # scans) — in no case a hash exchange
     assert "CollectLimit" in plan or ("GlobalLimit" in plan and "LocalLimit" in plan)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_q3_report_plan_broadcasts_dims_and_takes_ordered(spark):
+    """The Q3-shape report must broadcast the filtered customer dim,
+    push both date filters into the scans, and compile its top-10 to
+    TakeOrderedAndProject (never a global sort)."""
+    from orders_currency_conversion_etl_spark.plans.analytics import (
+        tpch_q3_shipping_priority,
+    )
+
+    plan = _plan(tpch_q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters:", 1)[1]
+    assert "GreaterThan" in pushed or "LessThan" in pushed
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """The hash-bucket sample is a pure per-row predicate: no exchange
+    of any kind in the plan."""
+    from orders_currency_conversion_etl_spark.plans.analytics import (
+        sample_stratified_hash,
+    )
+
+    plan = _plan(sample_stratified_hash(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_profiler_is_single_scan(spark):
+    """One wide aggregate = one pass over documents (the oracle needs
+    five); the plan must contain exactly one parquet scan."""
+    from orders_currency_conversion_etl_spark.plans.analytics import profile_columns
+
+    plan = _plan(profile_columns(spark, SF))
+    assert plan.count("Scan parquet") == 1
