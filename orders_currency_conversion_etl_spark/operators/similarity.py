@@ -248,3 +248,52 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-class centroids (the aggregation IVF "training" needs)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, dim,
+       CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(18,8)) AS centroid_val
+FROM (
+    SELECT label,
+           unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+@query("embedding_centroids", _CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector per label, computed dimension-wise: posexplode to
+    (label, dim, val), hash-aggregate on (label, dim). This is how you
+    average vectors on a cluster — the work distributes over
+    labels x dims instead of serializing whole arrays to one reducer.
+
+    Parity detail: the per-dimension SUM runs in DECIMAL(30,15)
+    (exact and commutative, so partition/accumulation order can't
+    change the result — a DOUBLE sum would). 15 fractional digits sits
+    far below a float32's decimal expansion, so the element-level
+    rounding both engines do before the sum can never disagree (at 8
+    digits it did, by one ulp on ~6% of groups). One deterministic
+    DOUBLE division at the end.
+
+    At 100 TB this is the k-means "M step" / IVF centroid refresh:
+    one shuffle of (label, dim, partial-sum) pairs after map-side
+    combine, output k x 64 rows."""
+    e = catalog.load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return e.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,8)")
+        .alias("centroid_val")
+    )

@@ -79,22 +79,29 @@ FROM tok
 """
 
 
+def quality_score_col() -> F.Column:
+    """The quality heuristic as a reusable expression over a ``toks``
+    column (length saturation + lexical diversity + stopword penalty).
+    Shared by text_quality_score and the composed curation pipeline so
+    both stay bit-identical with the oracle's formula."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size("toks").cast("double")
+    uniq = F.size(F.array_distinct("toks")).cast("double")
+    stops = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast("double")
+    return (
+        F.lit(0.4) * F.least(n / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * (uniq / n)
+        + F.lit(0.3) * (F.lit(1.0) - stops / n)
+    )
+
+
 @query("text_quality_score", _QUALITY_ORACLE)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length saturation + lexical diversity +
     stopword penalty (weights arbitrary but fixed). Mirrors the shape
     of C4/Gopher-style quality filters."""
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     d = with_tokens(_docs(spark, sf_dir))
-    n = F.size("toks").cast("double")
-    uniq = F.size(F.array_distinct("toks")).cast("double")
-    stops = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast("double")
-    score = (
-        F.lit(0.4) * F.least(n / F.lit(200.0), F.lit(1.0))
-        + F.lit(0.3) * (uniq / n)
-        + F.lit(0.3) * (F.lit(1.0) - stops / n)
-    )
-    return d.select("doc_id", score.alias("quality_score"))
+    return d.select("doc_id", quality_score_col().alias("quality_score"))
 
 
 # --------------------------------------------------------------------------
