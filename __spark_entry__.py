@@ -37,6 +37,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     curation as _curation,
     dedup as _dedup,
     merge as _merge,
+    mixing as _mixing,
     similarity as _similarity,
     skew as _skew,
     text as _text,
