@@ -271,3 +271,49 @@ def outlier_events_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(18,4)").alias("value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape): conditional agg over a join
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT CAST(
+         CAST(100.0 AS DOUBLE) * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_REV_SQL}) AS DOUBLE)
+       AS DECIMAL(18,8)) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_revenue", _Q14_ORACLE)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from promo parts: conditional
+    aggregation over a fact-dim join. part broadcasts (it is a dim);
+    the month filter is pushed into the lineitem scan so only ~1/80 of
+    the fact is read on a date-partitioned lake. Both SUMs are exact
+    DECIMAL; the ratio is one deterministic DOUBLE division at the end.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double")
+            )
+            .cast("decimal(18,8)")
+            .alias("promo_revenue_pct")
+        )
+    )
