@@ -16,20 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# __spark_entry__ is the single registration point — importing it pulls
+# in every @query module, so bench can never drift from the registry.
+import __spark_entry__  # noqa: F401
+
 from orders_currency_conversion_etl_spark.plans import registry
-from orders_currency_conversion_etl_spark.plans import relational  # noqa: F401
-from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F401
-from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
-    dedup,
-    merge,
-    multimodal,
-    similarity,
-    skew,
-    text,
-)
-from orders_currency_conversion_etl_spark.functions import pandas_fn  # noqa: F401
-from orders_currency_conversion_etl_spark.streaming import attribution  # noqa: F401
-from orders_currency_conversion_etl_spark.streaming import events_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.session import get_spark
 
 #: The queries whose wall-clock defines the headline metric — one per
