@@ -43,7 +43,7 @@ HEADLINE = (
     "knn_lsh_bucketed",
     "text_token_stats",
     "multimodal_features",
-    "curation_pipeline",
+    "curation_pipeline_lsh",
 )
 
 

@@ -153,3 +153,160 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("chunk_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# The scale variant: near-dedup stage replaced by MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _lsh_curation_oracle() -> str:
+    """The curation CTE chain with the near-dedup stage swapped for the
+    MinHash/LSH band join (same parameters and SQL generators as
+    operators/dedup.py::dedup_minhash_lsh, applied to the post-
+    decontamination survivor set)."""
+    from .dedup import (
+        _BASE_HASH_SQL,
+        _minhash_sql,
+        JACCARD_T,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+    )
+
+    mh_cols = ",\n       ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(MINHASH_K))
+    band_selects = []
+    for b in range(LSH_BANDS):
+        members = " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {members} AS band_val FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    jac = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), scored AS (
+    SELECT doc_id, text, toks FROM tok WHERE {_SCORE_SQL} >= {QUALITY_THRESHOLD!r}
+), ex AS (
+    SELECT doc_id, toks FROM scored
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM scored GROUP BY md5(text))
+), shingled AS (
+    SELECT doc_id, toks, {_SHINGLE_SQL} AS shingles FROM ex
+), clean AS (
+    SELECT doc_id, toks, shingles FROM shingled
+    WHERE len(list_intersect(shingles, {list(CONTAMINATION_BLOCKLIST)!r})) = 0
+), hs AS (
+    SELECT doc_id, list_transform(shingles, s -> {_BASE_HASH_SQL}) AS hashes FROM clean
+), sig AS (
+    SELECT doc_id,
+       {mh_cols}
+    FROM hs
+), bands AS (
+{bands_union}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), dups AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM cand
+    JOIN clean sa ON sa.doc_id = doc_a
+    JOIN clean sb ON sb.doc_id = doc_b
+    WHERE {jac} >= {JACCARD_T!r}
+), survivors AS (
+    SELECT doc_id, toks FROM clean
+    WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       array_to_string(toks[ci*{CHUNK_STRIDE} + 1 : ci*{CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(len(toks[ci*{CHUNK_STRIDE} + 1 : ci*{CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS chunk_len
+FROM survivors,
+     unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1) / {CHUNK_STRIDE}.0) AS BIGINT))) AS u(ci)
+"""
+
+
+@query("curation_pipeline_lsh", _lsh_curation_oracle())
+def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_pipeline with the near-dedup stage swapped for
+    MinHash + LSH banding: candidates are pairs sharing a full band,
+    verified with exact shingle Jaccard — so pair-join cost is
+    O(band collisions) instead of O(shared-shingle pairs). On the
+    synthetic corpus (tiny vocabulary => nearly every 3-gram repeats)
+    this is the difference between a quadratic-ish shingle join and a
+    bounded one; at 100 TB it is the only viable shape, which is why
+    THIS variant is the benched headline."""
+    from .dedup import (
+        JACCARD_T,
+        LSH_BANDS,
+        LSH_ROWS,
+        _hashes_col,
+        _minhash_cols,
+    )
+
+    d = with_tokens(catalog.load_table_parallel(spark, sf_dir, "documents"))
+    d = d.filter(quality_score_col() >= QUALITY_THRESHOLD)
+    kept = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    d = d.join(kept.select("doc_id"), "doc_id", "left_semi")
+    blocked = F.array(*[F.lit(s) for s in CONTAMINATION_BLOCKLIST])
+    clean = (
+        d.withColumn("shingles", F.array_distinct(token_shingles("toks", k=3)))
+        .filter(F.size(F.array_intersect("shingles", blocked)) == 0)
+        .select("doc_id", "toks", "shingles")
+    )
+    clean = _shared(clean)
+
+    sig = clean.withColumn("hashes", _hashes_col()).select("doc_id", *_minhash_cols())
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
+                "band_val"
+            ),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = clean.alias("sa"), clean.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - inter
+    dups = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(inter.cast("double") / union >= JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = clean.join(dups, "doc_id", "left_anti")
+
+    n_chunks = F.ceil(
+        F.greatest(F.size("toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))
+        / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    chunks = survivors.select(
+        "doc_id", "toks", F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i", "chunk_idx")
+    )
+    piece = F.slice("toks", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_len"),
+    )
