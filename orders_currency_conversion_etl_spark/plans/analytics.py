@@ -317,3 +317,37 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promo_revenue_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio
+    FROM orders
+), stats AS (
+    SELECT NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+           COUNT(*) AS n_in_bucket
+    FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.prio, s.n_in_bucket
+FROM o JOIN stats s ON o.prio IS NOT DISTINCT FROM s.prio
+"""
+
+
+@query("join_null_safe", _NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: unspecified priority maps to NULL, and the
+    NULL bucket must still join to its stats row — plain `=` would
+    silently drop it (NULL = NULL is NULL). Spark's `<=>` stays a
+    hash-joinable equality key (BroadcastHashJoin here), NOT a theta
+    join: null-safe equality hashes like any other key."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    left = o.select("o_orderkey", prio.alias("prio"))
+    stats = o.groupBy(prio.alias("prio")).agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    return left.join(
+        F.broadcast(stats), left["prio"].eqNullSafe(stats["prio"])
+    ).select(left["o_orderkey"], left["prio"], stats["n_in_bucket"])

@@ -808,3 +808,44 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=7).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding (overlapping) window aggregation — batch twin
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH assigned AS (
+    SELECT u.s AS bucket_start, value
+    FROM events,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS u(s)
+)
+SELECT bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM assigned
+GROUP BY bucket_start
+"""
+
+
+@query("events_sliding_stats", _SLIDING_ORACLE)
+def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows every 30 minutes, so
+    each event lands in exactly two overlapping windows (the oracle
+    assigns both starts explicitly). Completes the window-agg family
+    next to tumbling (events_hourly_stats) and session
+    (events_session_window); in streaming form the identical expression
+    runs under a watermark. Spark expands each row into its windows
+    executor-side (an Expand of factor window/slide) before ONE hash
+    aggregation — no extra shuffle vs the tumbling case."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
+        )
+    )
