@@ -351,3 +351,96 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         F.broadcast(stats), left["prio"].eqNullSafe(stats["prio"])
     ).select(left["o_orderkey"], left["prio"], stats["n_in_bucket"])
+
+
+# --------------------------------------------------------------------------
+# Local-supplier revenue (TPC-H Q5 shape): six-table join
+# --------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@query("tpch_q5_local_supplier_revenue", _Q5_ORACLE)
+def tpch_q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders where customer and supplier share a nation,
+    per nation of one region — the classic six-table join.
+
+    Join-order reasoning at scale: region filters nation (a handful of
+    rows) which filters customer; customer, supplier, nation, region
+    all broadcast; so the ONLY shuffle is lineitem⋈orders on orderkey.
+    The supplier join carries the extra c_nationkey = s_nationkey
+    residual — still a hash join on s_suppkey with the nation match as
+    a post-probe filter. Catalyst + AQE derive this order from the
+    declared plan; nothing is hand-scheduled.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Late-shipment order counts (TPC-H Q4 shape): EXISTS => semi-join + agg
+# --------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4_late_orders", _Q4_ORACLE)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped more than 90 days after
+    the order date, counted by priority. The correlated EXISTS is
+    written as an explicit left-semi join — the exact plan Catalyst
+    de-correlates EXISTS into, but stated declaratively: one shuffle on
+    orderkey, semi-join short-circuits on first match (no fact-fact
+    row blow-up), then a 5-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
