@@ -162,3 +162,16 @@ def test_profiler_is_single_scan(spark):
 
     plan = _plan(profile_columns(spark, SF))
     assert plan.count("Scan parquet") == 1
+
+
+def test_q5_six_table_join_broadcasts_all_dims(spark):
+    """The six-table join must broadcast every dimension (customer,
+    supplier, nation, region) so the lineitem⋈orders orderkey exchange
+    is the only shuffle join in the plan."""
+    from orders_currency_conversion_etl_spark.plans.analytics import (
+        tpch_q5_local_supplier_revenue,
+    )
+
+    plan = _plan(tpch_q5_local_supplier_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
