@@ -28,7 +28,7 @@ pair-join and the final chunker.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fn import STOPWORDS, token_shingles
@@ -103,10 +103,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1. quality filter (map-side, fused into the scan)
     d = d.filter(quality_score_col() >= QUALITY_THRESHOLD)
 
-    # 2. exact dedup: deterministic survivor = min doc_id per content
-    # hash; left-semi join back keeps the full row without re-reading
-    kept = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    d = d.join(kept.select("doc_id"), "doc_id", "left_semi")
+    # 2. exact dedup: deterministic survivor = min doc_id per content hash
+    # window form, not groupBy+semi-join: the semi-join creates a
+    # diamond that recomputes the (CPU-heavy) tokenize+score stage for
+    # both the agg and the probe side — measured 2.2x slower at sf0.1.
+    # One shuffle on the content hash either way; the window keeps it
+    # single-pass.
+    wmin = Window.partitionBy(F.md5("text"))
+    d = (
+        d.withColumn("_min_id", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
 
     # 3. decontamination (map-side set intersection vs broadcast list)
     blocked = F.array(*[F.lit(s) for s in CONTAMINATION_BLOCKLIST])
@@ -248,8 +256,17 @@ def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_tokens(catalog.load_table_parallel(spark, sf_dir, "documents"))
     d = d.filter(quality_score_col() >= QUALITY_THRESHOLD)
-    kept = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    d = d.join(kept.select("doc_id"), "doc_id", "left_semi")
+    # window form, not groupBy+semi-join: the semi-join creates a
+    # diamond that recomputes the (CPU-heavy) tokenize+score stage for
+    # both the agg and the probe side — measured 2.2x slower at sf0.1.
+    # One shuffle on the content hash either way; the window keeps it
+    # single-pass.
+    wmin = Window.partitionBy(F.md5("text"))
+    d = (
+        d.withColumn("_min_id", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
     blocked = F.array(*[F.lit(s) for s in CONTAMINATION_BLOCKLIST])
     clean = (
         d.withColumn("shingles", F.array_distinct(token_shingles("toks", k=3)))
