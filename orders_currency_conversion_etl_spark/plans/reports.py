@@ -1,0 +1,472 @@
+"""Decision-support reports, second batch: the remaining TPC-H shapes
+expressible over the reduced fixture schema (no partsupp, no
+l_shipmode/l_commitdate/l_receiptdate, no c_phone — see TESTDATA.md).
+
+Like plans/analytics.py these are EXT surface (the reference computes
+no reports — SURVEY §2.5: zero GROUP BYs in either DAG file of
+/root/reference/dags/); they exercise the classic warehouse shapes the
+engine must run at 100 TB:
+
+- Q6  scan-heavy single-table agg → the pure predicate-pushdown +
+  whole-stage-codegen case; at scale it is bandwidth-bound, zero
+  shuffle, and the three filters reach the parquet reader.
+- Q7  two-nation volume join → nation broadcast twice under different
+  aliases; the only wide exchange is lineitem⋈orders on orderkey.
+- Q8  market share → same join spine as Q7 plus part/region; the
+  num/den conditional aggregates are one pass (no self-join).
+- Q13 outer-join distribution → LEFT JOIN with a join-time filter
+  (NOT a post-filter: that would turn the outer join inner), two
+  cascaded aggs on different keys.
+- Q17 small-quantity revenue → the correlated scalar subquery
+  (per-part avg) expressed as a WINDOW over the already-joined rows:
+  one shuffle by partkey instead of a second scan + re-join of
+  lineitem. DuckDB oracle keeps the textbook correlated form,
+  proving the rewrite equivalent.
+- Q18 large-volume customers → HAVING on a grouped fact, then the
+  group result re-joined to the fact's dimensions; the HAVING output
+  is tiny (orders over a 300-qty threshold) so it broadcasts.
+- Q19 disjunctive predicates → OR-of-ANDs across both join sides;
+  Catalyst extracts the common `p_partkey = l_partkey` equi-condition
+  so this stays a hash join (not a nested-loop), with the residual
+  disjunction as a post-join filter.
+
+Numeric parity (SURVEY §4.3): l_quantity is integral (1..50) so
+DOUBLE sums are exact at any accumulation order; money terms cast to
+DECIMAL before SUM; no DOUBLE is ever round()ed in compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import catalog
+from .analytics import _REV_SQL, _revenue
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q6: forecast revenue change — single-table scan + filter + agg
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4))
+         AS promo_revenue,
+       COUNT(*) AS qualifying_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", _Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase from eliminating small discounts (TPC-H Q6).
+
+    The canonical bandwidth-bound query: no join, no wide shuffle —
+    three pushed-down filters, a 4-column read, one partial+final agg.
+    At 100 TB this is the shape that proves scan efficiency: the plan
+    must show PushedFilters on shipdate/discount/quantity and a
+    ReadSchema of exactly the referenced columns.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("qualifying_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DECIMAL(38,4)) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {_REV_SQL} AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", _Q7_ORACLE)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two trading nations by year (TPC-H Q7).
+
+    nation appears twice under different aliases — both broadcast, as
+    do supplier and customer after their nation filters cut them to
+    2/N of rows. The only wide exchange is lineitem⋈orders on
+    orderkey; the OR-of-nation-pairs is a residual filter after both
+    small joins, evaluated pre-shuffle on the lineitem side.
+    """
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp_side = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")).filter(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
+    cust_side = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")).filter(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    return (
+        li.join(F.broadcast(supp_side), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share within a region
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DECIMAL(38,4))
+         AS nation_volume,
+       CAST(SUM(volume) AS DECIMAL(38,4)) AS total_volume
+FROM (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           {_REV_SQL} AS volume,
+           n1.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN region r   ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of regional promo-part revenue by year
+    (TPC-H Q8). Returns numerator and denominator as exact DECIMALs
+    instead of their DOUBLE ratio — decimal division scale rules
+    differ across engines, and the share is trivially derivable.
+
+    Plan: part(filtered to one type), supplier+nation, and the
+    customer→nation→region chain all broadcast; lineitem⋈orders on
+    orderkey is again the single wide shuffle. The share split
+    (nation vs total) is a conditional aggregate in the same pass —
+    never a second scan or a self-join.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n2.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,4)")
+            .alias("nation_volume"),
+            F.sum(vol).cast("decimal(38,4)").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution (outer join with join-time filter)
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("tpch_q13_customer_distribution", _Q13_ORACLE)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2… non-urgent orders (TPC-H
+    Q13). The priority predicate must live IN the join condition — as
+    a WHERE it would silently drop the zero-order customers the query
+    exists to count.
+
+    Plan: one shuffle join customer⋈orders on custkey (both sides
+    already hash-partitioned on it), COUNT per custkey reuses that
+    partitioning (no second exchange), then the tiny distribution agg
+    shuffles a few hundred distinct counts.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated scalar subquery → window)
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS small_qty_revenue,
+       COUNT(*) AS small_qty_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_qty_revenue", _Q17_ORACLE)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost if small-quantity orders were no longer taken
+    (TPC-H Q17). The textbook form is a correlated scalar subquery
+    (per-part average quantity) — the oracle keeps it; the Spark plan
+    rewrites it as AVG OVER (PARTITION BY l_partkey) on the
+    brand-joined rows, which is both legal (the join keeps every
+    lineitem of every Brand#23 part, exactly the subquery's domain)
+    and one full lineitem scan cheaper than the self-join rewrite.
+
+    Parity: l_quantity is integral so the DOUBLE average is exact
+    (sum of ints / count) and the 0.2× threshold compares identically
+    in both engines.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("small_qty_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING subquery → broadcast semi-join)
+# --------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18_large_volume_customers", _Q18_ORACLE)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders totalling >300 units (TPC-H Q18).
+
+    The IN-subquery (grouped HAVING over the fact table) produces a
+    tiny key set — it broadcasts into a LEFT SEMI join against
+    lineitem, so the big table is filtered *before* the orders and
+    customer joins instead of after. Final ORDER BY + LIMIT is
+    TakeOrderedAndProject with deterministic orderkey tiebreak.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty")
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: disjunctive predicate join (OR-of-ANDs across both sides)
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS matched_lineitems
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_disjunctive_revenue", _Q19_ORACLE)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue for three brand/size/quantity baskets
+    (TPC-H Q19, adapted: no shipmode/shipinstruct columns in the
+    fixture). The predicate is an OR-of-ANDs spanning both join
+    sides; the equi-key p_partkey = l_partkey is common to every
+    branch, so this compiles to a broadcast HASH join (part is the
+    small side) with the disjunction as a residual filter — never a
+    nested-loop. Side-local prefilters (brand∈{{12,23,34}}, qty≤30)
+    are pushed below the join to shrink both inputs first.
+    """
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    basket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(basket)
+        .agg(
+            F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("matched_lineitems"),
+        )
+    )
