@@ -15,6 +15,7 @@ from orders_currency_conversion_etl_spark.plans.relational import (
     filter_composite_predicates,
     topk_expensive_orders,
 )
+from orders_currency_conversion_etl_spark.plans import reports  # noqa: F401 — @query registration
 from orders_currency_conversion_etl_spark.plans.registry import QUERIES
 from orders_currency_conversion_etl_spark.sources import catalog, sinks
 
@@ -175,3 +176,49 @@ def test_q5_six_table_join_broadcasts_all_dims(spark):
     plan = _plan(tpch_q5_local_supplier_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    """Q6 is the pure scan query: all three predicates must appear in
+    PushedFilters and the ReadSchema must exclude unused columns."""
+    plan = _plan(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters:")[1][:600]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_orderkey" not in scan
+
+
+def test_q19_disjunctive_stays_hash_join(spark):
+    """The OR-of-ANDs predicate must not defeat the equi-key: the plan
+    is a broadcast HASH join with a residual filter, never a
+    nested-loop."""
+    plan = _plan(QUERIES["tpch_q19_disjunctive_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q18_having_filter_feeds_semi_join(spark):
+    """The >300-qty key set must broadcast into a LEFT SEMI join so
+    lineitem is filtered before the wide joins."""
+    plan = _plan(QUERIES["tpch_q18_large_volume_customers"](spark, SF))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_window_rewrite_single_lineitem_scan(spark):
+    """The correlated-subquery rewrite must touch lineitem ONCE: the
+    per-part average is a window over the joined rows, not a second
+    scan + re-join."""
+    plan = _plan(QUERIES["tpch_q17_small_qty_revenue"](spark, SF))
+    assert plan.count("Scan parquet") - plan.lower().count("scan parquet [p_") <= 2
+    opt = _optimized(QUERIES["tpch_q17_small_qty_revenue"](spark, SF))
+    assert opt.lower().count("lineitem.parquet") <= 1
+
+
+def test_q7_single_wide_shuffle(spark):
+    """Q7's only hash-partitioned exchanges are the lineitem⋈orders
+    orderkey join and the final small agg — every dimension join is a
+    broadcast."""
+    plan = _plan(QUERIES["tpch_q7_volume_shipping"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 3
