@@ -364,3 +364,125 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("toks")).alias("total_tokens"),
         (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition filter (Gopher-style duplicate-n-gram fraction)
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), tri AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE [] END AS trigrams
+    FROM tok
+)
+SELECT doc_id,
+       len(trigrams) AS n_trigrams,
+       CASE WHEN len(trigrams) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE)
+                 / len(trigrams) END AS dup_trigram_frac,
+       (CASE WHEN len(trigrams) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE)
+                  / len(trigrams) END) <= 0.5 AS keep_doc
+FROM tri
+"""
+
+
+@query("text_repetition_filter", _REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of word trigrams that
+    are duplicates within the document; heavily repetitive docs
+    (boilerplate, keyword stuffing, generation loops) are flagged.
+
+    Implementation is pure higher-order functions — transform over an
+    index sequence builds the trigram list in place, no explode, no
+    shuffle: per-row embarrassingly parallel, which is exactly what a
+    100 TB curation pass needs (the alternative explode→groupBy
+    formulation shuffles |tokens| rows per doc).
+
+    The sequence is guarded for <3-token docs because Spark's
+    sequence(0, n) generates a DESCENDING range when n < 0 rather
+    than an empty one.
+    """
+    d = with_tokens(_docs(spark, sf_dir))
+    tri = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("trigrams", tri)
+    n = F.size("trigrams")
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct("trigrams"))).cast("double") / n
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        frac.alias("dup_trigram_frac"),
+        (frac <= 0.5).alias("keep_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex scrub; cross-engine regex parity)
+# --------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+WITH synth AS (
+    -- fixture text is clean word-salad, so PII is synthesized
+    -- deterministically from doc_id to exercise the scrubber
+    SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' || text AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+           '\+?[0-9]+(-[0-9]+)+', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS n_emails,
+       len(regexp_extract_all(text, '\+?[0-9]+(-[0-9]+)+')) AS n_phones
+FROM synth
+"""
+
+
+@query("text_redact_pii", _PII_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails and dashed phone numbers with
+    typed placeholder tokens and count the redactions per doc.
+
+    The fixture corpus is synthetic word-salad with no PII, so the
+    query plants deterministic doc_id-derived email/phone strings
+    first — the scrub itself is the operator under test. Patterns stay
+    in the Java-regex ∩ RE2 common subset so Spark and DuckDB agree.
+    Per-row regexp_replace, no shuffle; at 100 TB this runs at scan
+    speed inside whole-stage codegen.
+    """
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" re: "),
+            F.col("text"),
+        ),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+    phone = r"\+?[0-9]+(-[0-9]+)+"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone), F.lit(0))).alias("n_phones"),
+    )
