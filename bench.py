@@ -29,6 +29,8 @@ from orders_currency_conversion_etl_spark.session import get_spark
 HEADLINE = (
     "flagship_conversion",
     "agg_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
     "agg_revenue_by_nation",
     "join_fact_to_fact_revenue",
     "window_running_total",
