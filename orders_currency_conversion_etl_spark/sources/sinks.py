@@ -59,3 +59,53 @@ def append_idempotent(src: DataFrame, sink_df: DataFrame | None, key: str) -> Da
     if sink_df is None:
         return src
     return src.join(sink_df.select(key), on=key, how="left_anti")
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, key-sorted parquet layout for min/max skipping.
+
+    ``repartitionByRange`` samples the key distribution and assigns
+    contiguous, non-overlapping key ranges to files; ``
+    sortWithinPartitions`` orders rows inside each file. Parquet then
+    records tight per-file/per-row-group min-max stats on ``key``, so
+    a later selective read (``WHERE key BETWEEN …``) skips every file
+    whose range doesn't intersect — at 100 TB this is the difference
+    between reading one file and reading all of them. The one-time
+    layout cost is a single range shuffle.
+    """
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a many-small-files dataset into ~target-sized files.
+
+    Small files are the silent killer of big scans: each costs a task,
+    a footer read, and a driver-side listing entry, so 10^6 × 1 MB
+    files can be slower to scan than 10^4 × 100 MB ones. Compaction
+    computes the file count from actual on-disk bytes and uses
+    ``coalesce`` (narrow, no shuffle — it only merges read splits).
+    Returns the chosen output file count.
+    """
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, int(total_bytes // target_file_bytes) + (1 if total_bytes % target_file_bytes else 0))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -76,3 +76,49 @@ def test_failfast_surfaces_malformed_rows(spark):
         )
         with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
             formats.read_csv(spark, d + "/bad.csv", schema).collect()
+
+
+def test_sorted_layout_files_have_disjoint_key_ranges(spark, tmp_path):
+    """write_sorted_layout must yield files whose key ranges don't
+    overlap — the precondition for parquet min/max skipping."""
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.sources.catalog import load_table
+    from orders_currency_conversion_etl_spark.sources.sinks import write_sorted_layout
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_sorted_layout(orders, out, "o_orderkey", n_files=4)
+
+    ranges = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) >= 2
+    for prev, nxt in zip(ranges, ranges[1:]):
+        assert prev["hi"] < nxt["lo"], "file key ranges overlap — no skipping possible"
+
+    # and a selective range read must touch a strict subset of files
+    lo = ranges[0]["lo"]
+    hit = spark.read.parquet(out).filter(F.col("o_orderkey") <= lo)
+    assert hit.count() >= 1
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from orders_currency_conversion_etl_spark.sources.catalog import load_table
+    from orders_currency_conversion_etl_spark.sources.sinks import compact_small_files
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(64).write.parquet(frag)  # simulate small-file explosion
+    import glob
+
+    assert len(glob.glob(frag + "/*.parquet")) == 64
+    n = compact_small_files(spark, frag, out, target_file_bytes=1 * 1024 * 1024)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n and n < 64
+    assert spark.read.parquet(out).count() == orders.count()
