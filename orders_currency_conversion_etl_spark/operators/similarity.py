@@ -297,3 +297,70 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,8)")
         .alias("centroid_val")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality: recall@k of the LSH path against the exact baseline
+# --------------------------------------------------------------------------
+
+def _recall_oracle() -> str:
+    return f"""
+{_DUCK_EMB_CTE}, b AS (
+    SELECT vec_id, emb, nrm, {_bucket_sql("emb")} AS bucket FROM d
+), brute AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+        FROM d q JOIN d c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id IN {QUERY_IDS!r}
+    ) WHERE rank <= {TOP_K}
+), approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+        FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id IN {QUERY_IDS!r}
+    ) WHERE rank <= {TOP_K}
+)
+SELECT brute.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(approx.neighbor_id) AS n_hits,
+       CAST(COUNT(approx.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM brute
+LEFT JOIN approx ON approx.query_id = brute.query_id
+                AND approx.neighbor_id = brute.neighbor_id
+GROUP BY brute.query_id
+"""
+
+
+@query("knn_recall_at_k", _recall_oracle())
+def knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the ANN path: recall@k of LSH-bucketed search
+    against the exact brute-force top-k, per query.
+
+    This is the measurement loop an ANN deployment needs — when recall
+    drifts (skewed buckets, bad plane count), you see it as a number,
+    not as silently worse retrieval. Both sides are deterministic
+    (seeded planes inlined as literals), so even the quality metric
+    has an exact cross-engine oracle. Cost: both searches touch only
+    broadcast-joined candidates; the recall join itself is on the tiny
+    (queries × k) result sets.
+    """
+    brute = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hit = brute.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_neighbor_id").alias("n_hits"),
+        (F.count("a_neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
+    )

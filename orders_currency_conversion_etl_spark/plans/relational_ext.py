@@ -849,3 +849,38 @@ def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit null ordering under LIMIT (engine defaults diverge)
+# --------------------------------------------------------------------------
+
+_TOPK_NULLS_ORACLE = """
+WITH e AS (
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN NULL ELSE value END AS score
+    FROM events
+)
+SELECT event_id, score
+FROM e
+ORDER BY score DESC NULLS LAST, event_id
+LIMIT 50
+"""
+
+
+@query("topk_nulls_last", _TOPK_NULLS_ORACLE)
+def topk_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under EXPLICIT null ordering. Engine defaults diverge —
+    Spark sorts NULLs first ascending / last descending, DuckDB's
+    default null_order is configurable — so any LIMIT over a nullable
+    sort key silently returns different rows unless NULLS FIRST/LAST
+    is pinned on both sides. The nullable key is synthesized (clicks →
+    NULL) because the fixtures have no natural NULLs. Still compiles
+    to TakeOrderedAndProject — null ordering doesn't cost the heap."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("score"),
+    )
+    return e.orderBy(F.col("score").desc_nulls_last(), "event_id").limit(50)
