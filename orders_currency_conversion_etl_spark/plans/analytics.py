@@ -444,3 +444,137 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# OLS trend per group via exact aggregate sums
+# --------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+WITH pts AS (
+    SELECT n.n_name AS nation,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+           CAST(floor(o.o_totalprice) AS BIGINT) AS y
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+), s AS (
+    SELECT nation, COUNT(*) AS n_orders,
+           SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+    FROM pts GROUP BY nation
+)
+SELECT nation, n_orders,
+       (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS price_per_day_slope
+FROM s
+"""
+
+
+@query("regression_price_drift", _REGR_ORACLE)
+def regression_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS slope of order price over time — regression as a
+    distributed aggregate.
+
+    Built-in regr_slope accumulates floating covariances whose value
+    depends on partition merge order — not reproducible across runs,
+    let alone engines. Here x (days since epoch date) and y (floored
+    price) are integers, the four moment sums are exact DECIMALs
+    (mergeable in any order), and only the final closed-form division
+    runs in DOUBLE — bit-identical everywhere. One shuffle (custkey
+    join), one partial+final agg; the slope math is free.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            F.floor("o_totalprice").cast("bigint").alias("y"),
+        )
+    )
+    s = pts.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n_orders").cast("double")
+    return s.select(
+        "nation",
+        "n_orders",
+        (
+            (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("price_per_day_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel over the event stream
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH steps AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS stage_signup,
+       SUM(CASE WHEN t_view  > t_signup THEN 1 ELSE 0 END) AS stage_view,
+       SUM(CASE WHEN t_view  > t_signup AND t_click > t_view THEN 1 ELSE 0 END) AS stage_click,
+       SUM(CASE WHEN t_view  > t_signup AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END)
+         AS stage_purchase
+FROM steps
+"""
+
+
+@query("funnel_user_conversion", _FUNNEL_ORACLE)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: a user
+    advances a stage only if the next step's FIRST occurrence is
+    strictly after the previous step's (NULL timestamps fail the
+    comparison, dropping the user — standard tri-state funnel logic).
+
+    One shuffle on user_id, conditional MIN per step in a single pass
+    (never one scan per stage), then a one-row rollup. At 100 TB the
+    events table is the only big input and it is touched exactly once.
+    """
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    steps = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view") > F.col("t_signup")
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(F.col("t_signup").isNotNull()).alias("stage_signup"),
+        cnt(reached_view).alias("stage_view"),
+        cnt(reached_click).alias("stage_click"),
+        cnt(reached_purchase).alias("stage_purchase"),
+    )
