@@ -364,3 +364,53 @@ def knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor_id").alias("n_hits"),
         (F.count("a_neighbor_id").cast("double") / F.count(F.lit(1))).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization (int8) — training-data compression prep
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), m AS (
+    SELECT vec_id, emb,
+           list_reduce(list_transform(emb, x -> abs(x)), (a, x) -> CASE WHEN x > a THEN x ELSE a END)
+             AS max_abs
+    FROM e
+)
+SELECT vec_id,
+       max_abs,
+       list_transform(emb, x -> CAST(floor(x * 127.0 / max_abs) AS INT)) AS q_emb,
+       len(emb) AS dim
+FROM m
+"""
+
+
+@query("embedding_quantize_int8", _QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale by 127/max|x| and
+    floor. Floor (not round) keeps the map portable — round() on
+    DOUBLE diverges between engines at ties, floor never does. The
+    per-vector max is a fold over the array, so the whole op is one
+    narrow map pass: at 100 TB it quantizes at scan speed with zero
+    shuffle, cutting embedding storage 4x before an ANN index build.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    max_abs = F.aggregate(
+        F.transform("emb", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, x: F.when(x > a, x).otherwise(a),
+    )
+    m = e.withColumn("max_abs", max_abs)
+    return m.select(
+        "vec_id",
+        "max_abs",
+        F.transform(
+            "emb", lambda x: F.floor(x * F.lit(127.0) / F.col("max_abs")).cast("int")
+        ).alias("q_emb"),
+        F.size("emb").alias("dim"),
+    )
