@@ -470,3 +470,202 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("matched_lineitems"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted): shipping-window priority split — conditional agg on join
+# --------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_priority_lines,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_priority_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@query("tpch_q12_priority_split", _Q12_ORACLE)
+def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line counts by status split into high/low order priority
+    (TPC-H Q12 adapted: the fixture has no l_shipmode/commitdate/
+    receiptdate, so the mode filter becomes a shipdate window and the
+    late-arrival predicate is dropped — the operator under test, the
+    join + dual conditional aggregate, is unchanged).
+
+    Both CASE branches are counted in the same pass: one shuffle join
+    on orderkey, one partial+final agg, never two scans.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 (adapted): top supplier(s) by period revenue — scalar-subquery max
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum quarterly revenue (TPC-H Q15;
+    the view becomes a CTE/DataFrame, semantics identical — ties all
+    returned, which is why this is NOT a LIMIT 1).
+
+    The revenue aggregate is computed ONCE and reused for both the max
+    (a 1-row frame) and the equality probe — a window max over an
+    empty partition spec would collapse to a single task at scale, so
+    the 1-row aggregate + broadcast cross join is the right shape.
+    DECIMAL revenue makes the `= MAX` comparison exact; on DOUBLE this
+    query would be nondeterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("decimal(38,4)").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 (adapted): supplier variety per part attribute — distinct agg after
+# using the fact table as the part↔supplier bridge (no partsupp fixture)
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 50
+"""
+
+
+@query("tpch_q16_supplier_variety", _Q16_ORACLE)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers ship each part profile (TPC-H Q16
+    adapted: no partsupp table in the fixture, so lineitem's observed
+    (partkey, suppkey) pairs are the bridge; no s_comment, so the
+    complaints exclusion is dropped).
+
+    part is filtered then broadcast; COUNT(DISTINCT) expands to a
+    two-phase aggregate (dedup on group+suppkey, then count) — one
+    shuffle keyed on the group columns, no distinct-driven second
+    exchange of the fact table.
+    """
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 (adapted): dormant high-balance customers — scalar subquery + anti-join
+# --------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN avg_bal
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("tpch_q22_dormant_customers", _Q22_ORACLE)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no orders at all
+    (TPC-H Q22 adapted: no c_phone in the fixture, so the country-code
+    grouping becomes the nation dimension).
+
+    The global average is a 1-row aggregate broadcast into the filter
+    (computed on DECIMAL so it is exact — an AVG over raw DOUBLEs
+    would make the > comparison depend on partition merge order); the
+    "never ordered" predicate is a LEFT ANTI join against orders'
+    custkey projection — the same idempotency primitive as the
+    incremental pipeline (SURVEY §7.4).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(bal).cast("decimal(18,6)").alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(bal > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("decimal(38,2)").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
