@@ -222,3 +222,28 @@ def test_q7_single_wide_shuffle(spark):
     plan = _plan(QUERIES["tpch_q7_volume_shipping"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    """The never-ordered predicate must be a broadcast LEFT ANTI join;
+    the average-balance scalar is a broadcast 1-row frame."""
+    plan = _plan(QUERIES["tpch_q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q15_revenue_agg_feeds_broadcast_max_probe(spark):
+    """The quarterly revenue aggregate is computed once; the = MAX
+    probe joins against a broadcast 1-row max, not a re-aggregation
+    wrapped in a global window."""
+    plan = _plan(QUERIES["tpch_q15_top_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q16_distinct_agg_is_two_phase(spark):
+    """COUNT(DISTINCT suppkey) must expand to partial/final aggregates
+    (dedup then count), not funnel rows to one task."""
+    plan = _plan(QUERIES["tpch_q16_supplier_variety"](spark, SF))
+    assert plan.count("HashAggregate") >= 3
+    assert "BroadcastHashJoin" in plan
