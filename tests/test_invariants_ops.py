@@ -1,0 +1,77 @@
+"""Invariant tests for the newest operators: properties that must hold
+for ANY input, checked over the sf0.001 fixture (SURVEY §5.3 style —
+the oracle parity test proves value equality; these prove the
+semantics are the intended ones, not just mirrored ones)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.plans.registry import QUERIES
+import __spark_entry__  # noqa: F401  (registers every query)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_stages_are_monotone_nonincreasing(spark):
+    row = QUERIES["funnel_user_conversion"](spark, SF).collect()[0]
+    assert (
+        row["n_users"]
+        >= row["stage_signup"]
+        >= row["stage_view"]
+        >= row["stage_click"]
+        >= row["stage_purchase"]
+        >= 0
+    )
+
+
+def test_quantization_bounds_and_error(spark):
+    q = QUERIES["embedding_quantize_int8"](spark, SF)
+    bad_range = q.filter(
+        F.exists("q_emb", lambda x: (x > 127) | (x < -128))
+    ).count()
+    assert bad_range == 0
+    # dequantization error of floor-quantization is < 1 quantum = max_abs/127
+    err = q.select(
+        (F.size(F.col("q_emb")) == F.col("dim")).alias("dims_ok"),
+        F.col("max_abs"),
+    )
+    assert err.filter(~F.col("dims_ok")).count() == 0
+    assert q.filter(F.col("max_abs") <= 0).count() == 0
+
+
+def test_repetition_fraction_in_unit_interval(spark):
+    r = QUERIES["text_repetition_filter"](spark, SF)
+    assert (
+        r.filter(
+            (F.col("dup_trigram_frac") < 0) | (F.col("dup_trigram_frac") > 1)
+        ).count()
+        == 0
+    )
+    assert (
+        r.filter(F.col("keep_doc") != (F.col("dup_trigram_frac") <= 0.5)).count() == 0
+    )
+
+
+def test_recall_is_a_valid_ratio(spark):
+    r = QUERIES["knn_recall_at_k"](spark, SF)
+    assert r.filter(F.col("n_hits") > F.col("n_exact")).count() == 0
+    assert (
+        r.filter((F.col("recall_at_k") < 0) | (F.col("recall_at_k") > 1)).count() == 0
+    )
+
+
+def test_q15_ties_share_identical_revenue(spark):
+    rows = QUERIES["tpch_q15_top_supplier"](spark, SF).collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_redaction_leaves_no_pii_pattern(spark):
+    r = QUERIES["text_redact_pii"](spark, SF)
+    leaked = r.filter(
+        F.col("redacted").rlike(r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+")
+        | F.col("redacted").rlike(r"\+?[0-9]+(-[0-9]+)+")
+    ).count()
+    assert leaked == 0
+    assert r.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0
