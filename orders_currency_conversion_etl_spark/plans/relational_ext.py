@@ -884,3 +884,88 @@ def topk_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score"),
     )
     return e.orderBy(F.col("score").desc_nulls_last(), "event_id").limit(50)
+
+
+# --------------------------------------------------------------------------
+# Boolean / filtered aggregate battery
+# --------------------------------------------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0)
+         AS n_big_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("agg_boolean_battery", _BOOL_AGG_ORACLE)
+def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered counts and boolean quantifiers per group: count_if /
+    every / some are single-pass conditional aggregates — the portable
+    spelling of SQL's FILTER clause (one scan for all four, never a
+    scan per predicate)."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000.0
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(big).alias("n_big"),
+            F.every(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+            F.some(urgent).alias("any_urgent"),
+            F.count_if(urgent & big).alias("n_big_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching: edit distance between adjacent documents
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH p AS (
+    SELECT doc_id, substr(text, 1, 64) AS prefix, source FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist,
+       levenshtein(a.prefix, b.prefix) <= 16 AS near_match
+FROM p a JOIN p b ON b.doc_id = a.doc_id + 1 AND a.source = b.source
+"""
+
+
+@query("fuzzy_match_adjacent_docs", _FUZZY_ORACLE)
+def fuzzy_match_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between same-source neighbor docs —
+    the fuzzy-matching primitive (record linkage, OCR dedup) on a
+    deterministic linear pair set. Edit distance is O(len²) per pair,
+    so at scale the pair generation must stay bounded (here: one
+    neighbor per doc via an equi-join — never a cross join; prefix
+    capped at 64 chars bounds the DP table)."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select("doc_id", F.substring("text", 1, 64).alias("prefix"), "source")
+    a = p.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("pa"),
+        F.col("source").alias("sa"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("pb"),
+        F.col("source").alias("sb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("sa") == F.col("sb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            (dist <= 16).alias("near_match"),
+        )
+    )
