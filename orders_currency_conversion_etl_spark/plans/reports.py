@@ -29,6 +29,19 @@ engine must run at 100 TB:
   Catalyst extracts the common `p_partkey = l_partkey` equi-condition
   so this stays a hash join (not a nested-loop), with the residual
   disjunction as a post-join filter.
+- Q12 dual conditional aggregate on the orderkey join (one pass).
+- Q15 ties-preserving top supplier: exact-DECIMAL `= MAX` against a
+  broadcast 1-row aggregate (nondeterministic on DOUBLE; a global
+  window max would collapse to one task).
+- Q16 supplier variety with lineitem's observed (partkey, suppkey)
+  pairs standing in for the absent partsupp table.
+- Q22 dormant high-balance customers: decimal-exact average threshold
+  plus the never-ordered broadcast anti-join.
+
+With plans/analytics.py (q1-shape pricing summary, q3, q4, q5, q10,
+q14) this registers 16 of the 22 TPC-H shapes; the remaining six
+(q2/q9/q11/q20: partsupp; q21: receipt/commit dates) need columns the
+fixture schema does not carry.
 
 Numeric parity (SURVEY §4.3): l_quantity is integral (1..50) so
 DOUBLE sums are exact at any accumulation order; money terms cast to
