@@ -9,7 +9,7 @@ per-language aggregation, which reduces to ~5 groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fn import LANG_MARKERS, STOPWORDS
@@ -485,4 +485,60 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted"),
         F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(phone), F.lit(0))).alias("n_phones"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedy token-budget bins for training batches
+# --------------------------------------------------------------------------
+
+PACK_CAPACITY = 2048
+
+_PACK_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+), run AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS tokens_before
+    FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(tokens_before / {PACK_CAPACITY}.0) AS BIGINT) AS bin_id,
+       tokens_before % {PACK_CAPACITY} AS bin_offset
+FROM run
+"""
+
+
+@query("pack_sequences_greedy", _PACK_ORACLE)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-capacity token bins (sequence packing
+    for training batches): within each source, docs are laid end-to-end
+    in doc_id order and a doc's bin is where its first token lands.
+
+    Deterministic and single-pass: one running-sum window per source
+    partition — the same shuffle a sort by (source, doc_id) needs
+    anyway, so packing is free at scale. The offset column lets a
+    loader place each doc inside its bin without recomputing anything.
+    (True bin-*optimal* packing is NP-hard and order-dependent;
+    greedy-by-key is the reproducible variant a distributed pipeline
+    wants.)
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.withColumn("tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / float(PACK_CAPACITY)).cast("bigint").alias("bin_id"),
+        (F.col("tokens_before") % PACK_CAPACITY).alias("bin_offset"),
     )
