@@ -508,3 +508,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup observability: cluster-size histogram
+# --------------------------------------------------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    return f"""
+WITH cc AS ({_cc_oracle()})
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_histogram", _cluster_stats_oracle())
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the dedup
+    run's health metric: a sudden giant component means the similarity
+    threshold collapsed (boilerplate bridging unrelated docs), a
+    histogram of all-2s means it's too strict. Two tiny aggregations
+    on top of the (already iterative) components output; at 100 TB the
+    histogram domain is ≤ max cluster size, so the final agg is free.
+    """
+    cc = dedup_connected_components(spark, sf_dir)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
