@@ -1,0 +1,536 @@
+"""Behavioral / lifecycle analytics: cohort retention, gap
+sessionization, SCD Type 2 history, data-quality expectations,
+top-N-per-group, mode/median battery, repurchase intervals, a
+grouped-map ``applyInPandas`` z-score, and bitwise aggregates.
+
+The reference ETL (SURVEY §0) has none of these — they are EXT surface
+(north star `/root/repo/BASELINE.json:6`), the shapes a user pointing
+this engine at event/order history actually runs.
+
+Scale notes (100 TB):
+- every window here partitions by a high-cardinality key (user_id /
+  o_custkey): one hash shuffle on the key, then per-partition sorts —
+  no global sort, no driver state. Skewed users are bounded by the
+  per-user event cap of any real logging pipeline; if not, the salting
+  pattern from operators/skew.py applies.
+- SCD2 runs TWO window functions over the SAME partitioning
+  (change-detection, then interval-close). Catalyst reuses the child
+  distribution: one shuffle total — asserted in test_plan_quality.
+- cohort retention is two aggs over the same shuffle key (user_id),
+  then a coarse (cohort_week, offset) agg whose cardinality is tiny
+  (weeks², not rows) — the classic "reduce early" shape.
+- the data-quality row-local checks are ONE conditional-aggregate scan
+  (no per-check pass); only the referential check pays a join, and its
+  build side (customer keys) broadcasts.
+- the grouped-map z-score ships each group through Arrow once; group
+  count = |event_type| (tiny), group size = rows/5 — at 100 TB you'd
+  pre-aggregate moments JVM-side instead (documented in SCALE.md), so
+  the pandas path is here to exercise the engine surface, not as the
+  recommended plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import catalog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention over events
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH act AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+    FROM events GROUP BY 1, 2
+),
+coh AS (
+    SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+       COUNT(*) AS active_users
+FROM act a JOIN coh c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention_weekly", _COHORT_ORACLE)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in week N after their first-seen week.
+
+    Spark ``date_trunc('week')`` and DuckDB agree on Monday week starts;
+    the TIMESTAMP-vs-DATE rendering gap is closed by casting to DATE on
+    both sides (SURVEY §4.3 family of traps). Both aggs shuffle on
+    user_id once; the final rollup is over O(weeks²) groups.
+    """
+    ev = _t(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        act.join(coh, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization by inactivity gap (30 min)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # microseconds
+
+_SESSION_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, epoch_us(ts) AS t_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                     OR lag(epoch_us(ts)) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, t_us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MAX(t_us) - MIN(t_us) AS dur_us
+    FROM sess GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(n_events AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_events,
+       CAST(SUM(CAST(dur_us AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) / 1e6
+           AS avg_duration_sec
+FROM per_session
+"""
+
+
+@query("sessionize_gap_summary", _SESSION_ORACLE)
+def sessionize_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lag-gap sessionization: a new session starts after >30
+    minutes of user inactivity; report corpus-level session stats.
+
+    The gap test runs on exact integer microseconds (``unix_micros`` /
+    ``epoch_us``) so the session boundaries are bit-identical across
+    engines. One shuffle on user_id serves both windows (same
+    partitioning), then a single-row summary.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t_us"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w) > _SESSION_GAP_US)
+            | F.lag("t_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_seq", F.sum("new_session").over(wrun))
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("dur_us"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.col("n_events").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_events"),
+        (
+            F.sum(F.col("dur_us").cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+        ).alias("avg_duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2: order-priority history per customer
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+           CAST(o_orderdate AS DATE) AS odate,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_p
+    FROM orders
+),
+changes AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority, odate
+    FROM ordered WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+)
+SELECT o_custkey,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderpriority,
+       odate AS valid_from,
+       lead(odate) OVER w AS valid_to
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+"""
+
+
+@query("scd2_priority_history", _SCD2_ORACLE)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: collapse each customer's
+    order stream into priority "versions" with [valid_from, valid_to)
+    intervals (valid_to NULL = current).
+
+    Change-detection (lag) and interval-close (lead/row_number) are two
+    window passes over the SAME o_custkey partitioning — Catalyst plans
+    one shuffle. Deterministic under ties via the o_orderkey tiebreak.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")))
+        .drop("prev_p")
+    )
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w).cast("int").alias("version"),
+        "o_orderpriority",
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w).alias("valid_to"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report over orders
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH rowlocal AS (
+    SELECT COUNT(*) AS checked,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate,
+           SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+               AS price_out_of_range,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_orderkey
+    FROM orders
+),
+ref AS (
+    SELECT COUNT(*) AS dangling_custkey
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'null_orderdate' AS check_name,
+       CAST(null_orderdate AS BIGINT) AS violations,
+       CAST(checked AS BIGINT) AS checked FROM rowlocal
+UNION ALL
+SELECT 'price_out_of_range', CAST(price_out_of_range AS BIGINT),
+       CAST(checked AS BIGINT) FROM rowlocal
+UNION ALL
+SELECT 'duplicate_orderkey', CAST(duplicate_orderkey AS BIGINT),
+       CAST(checked AS BIGINT) FROM rowlocal
+UNION ALL
+SELECT 'dangling_custkey', CAST(dangling_custkey AS BIGINT),
+       (SELECT CAST(checked AS BIGINT) FROM rowlocal) FROM ref
+"""
+
+
+@query("dq_expectations_orders", _DQ_ORACLE)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality report: each row is one check
+    with its violation count — the contract a pipeline asserts before
+    publishing a table.
+
+    All row-local checks share ONE conditional-aggregate scan; only the
+    referential check joins (left-anti against customer keys, which
+    broadcasts). A 100 TB run costs one pass over the fact table plus a
+    broadcast — no per-check rescans.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    rowlocal = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "null_orderdate"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1_000_000), 1
+            ).otherwise(0)
+        ).alias("price_out_of_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "duplicate_orderkey"
+        ),
+    )
+    dangling = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("dangling_custkey"))
+    )
+    wide = rowlocal.crossJoin(dangling)
+    return wide.selectExpr(
+        """stack(4,
+             'null_orderdate', CAST(null_orderdate AS BIGINT),
+             'price_out_of_range', CAST(price_out_of_range AS BIGINT),
+             'duplicate_orderkey', CAST(duplicate_orderkey AS BIGINT),
+             'dangling_custkey', CAST(dangling_custkey AS BIGINT)
+           ) AS (check_name, violations)""",
+        "CAST(checked AS BIGINT) AS checked",
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-3 orders per customer (top-N-per-group)
+# --------------------------------------------------------------------------
+
+_TOP3_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+       CAST(rn AS INT) AS rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("window_top3_per_customer", _TOP3_ORACLE)
+def window_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group via ranking window — the general form of
+    window_latest_order_per_customer (N=1).
+
+    At scale this is the shape AQE cannot save you from if you wrote it
+    as a self-join with a max-subquery; the window form is one shuffle
+    and streams each partition once.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mode / median battery per order priority
+# --------------------------------------------------------------------------
+
+_MODE_MEDIAN_ORACLE = """
+WITH stats AS (
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(median(o_totalprice) AS DECIMAL(18,3)) AS median_price
+    FROM orders GROUP BY 1
+),
+status_counts AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+),
+modal AS (
+    SELECT o_orderpriority, o_orderstatus AS modal_status
+    FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cnt DESC, o_orderstatus) AS rn
+        FROM status_counts
+    ) WHERE rn = 1
+)
+SELECT s.o_orderpriority, s.n, s.median_price, m.modal_status
+FROM stats s JOIN modal m USING (o_orderpriority)
+"""
+
+
+@query("agg_mode_median", _MODE_MEDIAN_ORACLE)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median plus a DETERMINISTIC mode per group.
+
+    Native ``mode()`` breaks ties arbitrarily in both engines, so the
+    mode is spelled as count + row_number with a lexicographic
+    tiebreak — same answer everywhere. Median interpolates the two
+    middle doubles identically on both engines; DECIMAL(18,3) holds the
+    midpoint of 2-decimal prices exactly (SURVEY §4.3 discipline).
+    """
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.median("o_totalprice").cast("decimal(18,3)").alias("median_price"),
+    )
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("o_orderstatus")
+    )
+    modal = (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"))
+    )
+    return stats.join(modal, "o_orderpriority").select(
+        "o_orderpriority", "n", "median_price", "modal_status"
+    )
+
+
+# --------------------------------------------------------------------------
+# Repurchase intervals: days between consecutive orders
+# --------------------------------------------------------------------------
+
+_REORDER_ORACLE = """
+WITH gaps AS (
+    SELECT o_orderpriority,
+           date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(CAST(gap_days AS DECIMAL(18,2))) AS DOUBLE) / COUNT(gap_days)
+           AS avg_gap_days,
+       CAST(MAX(gap_days) AS INT) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("reorder_interval_by_priority", _REORDER_ORACLE)
+def reorder_interval_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average days between a customer's consecutive orders, grouped by
+    the later order's priority — integer date math end-to-end, so the
+    only double is the final exact-sum ÷ count division.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("odate", F.col("o_orderdate").cast("date"))
+        .withColumn("gap_days", F.datediff(F.col("odate"), F.lag("odate").over(w)))
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("o_orderpriority").agg(
+        F.count("gap_days").alias("n_gaps"),
+        (
+            F.sum(F.col("gap_days").cast("decimal(18,2)")).cast("double")
+            / F.count("gap_days")
+        ).alias("avg_gap_days"),
+        F.max("gap_days").cast("int").alias("max_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-event-type z-score outlier counts
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+    SELECT event_type, value,
+           avg(value) OVER (PARTITION BY event_type) AS m,
+           stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN abs((value - m) / sd) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM s GROUP BY 1
+"""
+
+
+@query("grouped_zscore_pandas", _ZSCORE_ORACLE)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's grouped-map surface: ``groupBy().applyInPandas``
+    ships each event_type group through Arrow to a pandas function that
+    z-scores ``value`` and counts |z| > 2 outliers.
+
+    pandas ``std(ddof=1)`` matches SQL ``stddev_samp``; the comparison
+    threshold sits far from any attainable floating-point tie. At
+    100 TB you would compute (n, Σx, Σx²) JVM-side instead of shipping
+    raw rows through Arrow — see SCALE.md; this query exists to keep
+    the grouped-map API surface tested.
+    """
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - m) / sd
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "n_outliers": [int((z.abs() > 2).sum())],
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        summarize, schema="event_type string, n bigint, n_outliers bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregate battery
+# --------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+       CAST(bit_or(o_orderkey) AS BIGINT) AS key_bit_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+@query("agg_bitwise_battery", _BITWISE_ORACLE)
+def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor aggregates — exact integer ops, fully
+    commutative-associative, so they partial-aggregate map-side like
+    sum/count (no extra shuffle cost at any scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").cast("bigint").alias("key_bit_and"),
+            F.bit_or("o_orderkey").cast("bigint").alias("key_bit_or"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("key_bit_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -75,3 +75,83 @@ def test_redaction_leaves_no_pii_pattern(spark):
     ).count()
     assert leaked == 0
     assert r.filter((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0
+
+
+# ---- behavior.py batch ----------------------------------------------------
+
+
+def test_cohort_week0_equals_cohort_size(spark):
+    """Every user is active in their own first week, so offset-0 rows
+    must account for every distinct user exactly once."""
+    ret = QUERIES["cohort_retention_weekly"](spark, SF)
+    week0 = (
+        ret.filter(F.col("week_offset") == 0)
+        .agg(F.sum("active_users"))
+        .collect()[0][0]
+    )
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    expected = (
+        catalog.load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert week0 == expected
+    assert ret.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_sessions_partition_all_events(spark):
+    row = QUERIES["sessionize_gap_summary"](spark, SF).collect()[0]
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    total = catalog.load_table(spark, SF, "events").count()
+    assert row["n_events"] == total
+    assert 1 <= row["n_sessions"] <= total
+    assert row["avg_events"] * row["n_sessions"] == total
+
+
+def test_scd2_intervals_are_ordered_and_versions_dense(spark):
+    hist = QUERIES["scd2_priority_history"](spark, SF)
+    # valid_from < valid_to whenever closed, and exactly one open row per customer
+    assert (
+        hist.filter(
+            F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
+        ).count()
+        == 0
+    )
+    open_per_cust = (
+        hist.filter(F.col("valid_to").isNull())
+        .groupBy("o_custkey")
+        .count()
+        .filter(F.col("count") != 1)
+        .count()
+    )
+    assert open_per_cust == 0
+    # versions are 1..k dense per customer
+    agg = hist.groupBy("o_custkey").agg(
+        F.min("version").alias("lo"), F.max("version").alias("hi"), F.count("*").alias("n")
+    )
+    assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_dq_expectations_clean_fixture(spark):
+    rows = {r["check_name"]: r for r in QUERIES["dq_expectations_orders"](spark, SF).collect()}
+    assert set(rows) == {
+        "null_orderdate",
+        "price_out_of_range",
+        "duplicate_orderkey",
+        "dangling_custkey",
+    }
+    # the synthetic fixture is referentially clean with unique keys
+    assert rows["duplicate_orderkey"]["violations"] == 0
+    assert rows["dangling_custkey"]["violations"] == 0
+
+
+def test_top3_rank_bounds(spark):
+    t = QUERIES["window_top3_per_customer"](spark, SF)
+    assert t.filter((F.col("rn") < 1) | (F.col("rn") > 3)).count() == 0
+    assert t.groupBy("o_custkey").count().filter(F.col("count") > 3).count() == 0
+
+
+def test_zscore_outliers_bounded_by_chebyshev(spark):
+    """|z|>2 can hold for at most 1/4 of any sample (Chebyshev)."""
+    for r in QUERIES["grouped_zscore_pandas"](spark, SF).collect():
+        assert r["n_outliers"] <= r["n"] / 4

@@ -16,6 +16,7 @@ from orders_currency_conversion_etl_spark.plans.relational import (
     topk_expensive_orders,
 )
 from orders_currency_conversion_etl_spark.plans import reports  # noqa: F401 — @query registration
+from orders_currency_conversion_etl_spark.plans import behavior  # noqa: F401 — @query registration
 from orders_currency_conversion_etl_spark.plans.registry import QUERIES
 from orders_currency_conversion_etl_spark.sources import catalog, sinks
 
@@ -247,3 +248,20 @@ def test_q16_distinct_agg_is_two_phase(spark):
     plan = _plan(QUERIES["tpch_q16_supplier_variety"](spark, SF))
     assert plan.count("HashAggregate") >= 3
     assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_two_windows_one_shuffle(spark):
+    """Change-detection (lag) and interval-close (lead/row_number) both
+    partition by o_custkey — Catalyst must reuse the child distribution
+    and plan exactly ONE hash exchange."""
+    plan = _plan(QUERIES["scd2_priority_history"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dq_rowlocal_checks_share_one_scan(spark):
+    """The three row-local checks are conditional aggregates of a single
+    pass; only the referential check adds a (broadcast) join."""
+    plan = _plan(QUERIES["dq_expectations_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # one scan for rowlocal + one for the anti-join probe + customer dim
+    assert plan.count("FileScan parquet") <= 3
