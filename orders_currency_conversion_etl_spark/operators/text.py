@@ -542,3 +542,43 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tokens_before") / float(PACK_CAPACITY)).cast("bigint").alias("bin_id"),
         (F.col("tokens_before") % PACK_CAPACITY).alias("bin_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary: the classic wordcount, top-k
+# --------------------------------------------------------------------------
+
+_WORDCOUNT_ORACLE = r"""
+WITH tok AS (
+    SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+t AS (
+    SELECT lower(unnest(toks)) AS token FROM tok
+)
+SELECT token, COUNT(*) AS n
+FROM t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+@query("wordcount_topk", _WORDCOUNT_ORACLE)
+def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode → count → top-50 (deterministic
+    via the token tiebreak).
+
+    The explode multiplies rows by tokens-per-doc, but the count
+    partial-aggregates map-side before the single shuffle, and the
+    top-50 compiles to TakeOrderedAndProject — at 100 TB the shuffle
+    carries |vocabulary| rows, not |corpus tokens|.
+    """
+    d = with_tokens(_docs(spark, sf_dir))
+    return (
+        d.select(F.explode("toks").alias("raw"))
+        .select(F.lower(F.col("raw")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

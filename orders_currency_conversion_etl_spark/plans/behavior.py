@@ -534,3 +534,142 @@ def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (quartile scores)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           COUNT(*) AS freq,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, monetary,
+           ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_q,
+           ntile(4) OVER (ORDER BY freq, o_custkey)       AS f_q,
+           ntile(4) OVER (ORDER BY monetary, o_custkey)   AS m_q
+    FROM cust
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DECIMAL(38,2)) AS segment_revenue
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@query("rfm_segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile segmentation — at most 4³
+    output segments with customer counts and revenue.
+
+    ntile needs a GLOBAL order, so this exact form single-partitions
+    the per-customer rollup (fine: one row per customer, not per
+    order). The 100 TB variant replaces ntile with approx_percentile
+    quartile cutoffs broadcast back as a range predicate — documented
+    in SCALE.md; tiebreaks (metric, custkey) make ntile deterministic
+    here.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("int").alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).cast("int").alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("int").alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("decimal(38,2)").alias("segment_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together
+# --------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("part_cooccurrence_topk", _COOCCUR_ORACLE)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence counting (market-basket / co-click matrices): the
+    self-join on the basket key explodes quadratically in basket SIZE,
+    not table size — baskets are bounded (≤7 lines/order here), so the
+    pair stream is a constant factor over lineitem. One shuffle on
+    l_orderkey feeds both join sides; top-20 is TakeOrderedAndProject.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("b_partkey")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_partkey") < F.col("b_partkey")),
+        )
+        .select(F.col("l_partkey").alias("part_a"), F.col("b_partkey").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram over events.value
+# --------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(value / 50) * 50 AS INT) AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bin_sum,
+       CAST(MIN(value) AS DECIMAL(18,2)) AS bin_min,
+       CAST(MAX(value) AS DECIMAL(18,2)) AS bin_max
+FROM events
+GROUP BY 1
+"""
+
+
+@query("histogram_value_bins", _HISTOGRAM_ORACLE)
+def histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-division binning is a pure per-row
+    expression (shuffle only on ~10 bin keys after map-side combine) —
+    the scalable alternative to sort-based quantile binning."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.floor(F.col("value") / 50) * 50).cast("int").alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("bin_sum"),
+            F.min("value").cast("decimal(18,2)").alias("bin_min"),
+            F.max("value").cast("decimal(18,2)").alias("bin_max"),
+        )
+    )
