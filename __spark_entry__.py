@@ -35,6 +35,7 @@ from orders_currency_conversion_etl_spark.plans import relational_ext  # noqa: F
 from orders_currency_conversion_etl_spark.plans import analytics  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import reports  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import behavior  # noqa: F401
+from orders_currency_conversion_etl_spark.plans import graph  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     curation as _curation,
     dedup as _dedup,

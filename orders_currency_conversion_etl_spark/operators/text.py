@@ -582,3 +582,76 @@ def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per source (source = one mega-document)
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+    SELECT source, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents
+),
+tf AS (
+    SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+idf AS (
+    SELECT term, COUNT(DISTINCT source) AS df FROM tok GROUP BY 1
+),
+ns AS (
+    SELECT COUNT(DISTINCT source) AS n FROM documents
+),
+scored AS (
+    SELECT tf.source, tf.term, tf.tf, idf.df,
+           tf.tf * ln(CAST((SELECT n FROM ns) AS DOUBLE) / idf.df) AS tfidf
+    FROM tf JOIN idf ON tf.term = idf.term
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(tfidf AS DECIMAL(18,6)) AS tfidf,
+       CAST(rn AS INT) AS rn
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 10
+"""
+
+
+@query("tfidf_top_terms_per_source", _TFIDF_ORACLE)
+def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-TF-IDF terms per source, treating each source as one
+    aggregate document — the standard "what characterizes this slice
+    of the corpus" diagnostic.
+
+    Two aggs over the exploded token stream (term-frequency and
+    document-frequency) share one explode; both partial-aggregate
+    map-side, so the shuffles carry vocabulary-sized data. The top-10
+    is a ranking window over |vocab × sources| rows.
+    """
+    tok = (
+        with_tokens(_docs(spark, sf_dir))
+        .select("source", F.explode("toks").alias("raw"))
+        .select("source", F.lower(F.col("raw")).alias("term"))
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = _docs(spark, sf_dir).select("source").distinct().count()
+    scored = tf.join(idf, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("tfidf").cast("decimal(18,6)").alias("tfidf"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

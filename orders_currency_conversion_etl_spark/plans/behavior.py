@@ -673,3 +673,53 @@ def histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("decimal(18,2)").alias("bin_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling active users: DAU and trailing-7-day WAU
+# --------------------------------------------------------------------------
+
+_DAU_WAU_ORACLE = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (
+    SELECT DISTINCT d FROM daily
+)
+SELECT s.d,
+       COUNT(DISTINCT CASE WHEN a.d = s.d THEN a.user_id END) AS dau,
+       COUNT(DISTINCT a.user_id) AS wau
+FROM days s JOIN daily a ON a.d BETWEEN s.d - 6 AND s.d
+GROUP BY s.d
+"""
+
+
+@query("dau_wau_rolling", _DAU_WAU_ORACLE)
+def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users.
+
+    Rolling COUNT(DISTINCT) cannot be a window frame (distinct doesn't
+    decompose), so the engine reduces events to the (day, user) level
+    FIRST — collapsing the fact table by orders of magnitude — then
+    range-joins the tiny day spine (broadcast) against it. The expand
+    factor is exactly 7, applied to the reduced table, never the raw
+    events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    days = daily.select("d").distinct().select(F.col("d").alias("spine_d"))
+    joined = daily.join(
+        F.broadcast(days),
+        (F.col("d") >= F.date_sub(F.col("spine_d"), 6))
+        & (F.col("d") <= F.col("spine_d")),
+    )
+    return (
+        joined.groupBy("spine_d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("spine_d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(F.col("spine_d").alias("d"), "dau", "wau")
+    )

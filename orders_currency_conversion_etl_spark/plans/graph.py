@@ -1,0 +1,112 @@
+"""Iterative graph analytics on DataFrames: PageRank over the part
+co-occurrence graph.
+
+The reference has no graph surface (SURVEY §0); this is EXT, the
+iterative-algorithm capability class (alongside
+dedup_connected_components in operators/dedup.py). The pattern is the
+idiomatic Spark one: a driver-side loop over a *persisted* edge list,
+each iteration one join + one aggregation — no RDDs, no collect of
+anything but the node count.
+
+Scale notes (100 TB):
+- edges and degrees are computed ONCE and persisted — every iteration
+  reuses them (the diamond-reuse lesson from operators/dedup.py:
+  recomputing the edge derivation per iteration multiplies the
+  dominant cost by the iteration count).
+- each iteration shuffles on dst exactly once (the contribution agg);
+  rank state is |nodes| rows, far smaller than edges.
+- fixed iteration count keeps the plan finite and the oracle
+  expressible as unrolled CTEs; convergence-tested variants stop on a
+  driver-side delta check (same loop, one extra agg per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import catalog
+from .registry import query
+
+DAMPING = 0.85
+ITERATIONS = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+def _iter_cte(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+    SELECT e.dst AS node,
+           0.15 / (SELECT n FROM nn) + 0.85 * SUM({prev}.rank / deg.outdeg) AS rank
+    FROM edges e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+deg AS (
+    SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+),
+nn AS (
+    SELECT COUNT(*) AS n FROM deg
+),
+r0 AS (
+    SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+),{_iter_cte("r0", "r1")},{_iter_cte("r1", "r2")},{_iter_cte("r2", "r3")}
+SELECT node, CAST(rank AS DECIMAL(18,12)) AS rank
+FROM r3
+"""
+
+
+@query("pagerank_parts", _PAGERANK_ORACLE)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the undirected part
+    co-occurrence graph (parts linked when they share an order).
+
+    The graph is symmetric, so every node with an out-edge has an
+    in-edge — no dangling-mass correction needed. Ranks are pure
+    double arithmetic whose accumulated cross-engine noise is ~1e-15;
+    DECIMAL(18,12) output is far from any rounding boundary.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    b = li.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        li.join(
+            b,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_partkey") != F.col("dst")),
+        )
+        .select(F.col("l_partkey").alias("src"), "dst")
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    n = deg.count()  # the only driver-side scalar; also materializes the persists
+
+    ranks = deg.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+    contrib_src = edges.join(deg, "src")
+    for _ in range(ITERATIONS):
+        ranks = (
+            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy("dst")
+            .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))

@@ -155,3 +155,32 @@ def test_zscore_outliers_bounded_by_chebyshev(spark):
     """|z|>2 can hold for at most 1/4 of any sample (Chebyshev)."""
     for r in QUERIES["grouped_zscore_pandas"](spark, SF).collect():
         assert r["n_outliers"] <= r["n"] / 4
+
+
+def test_pagerank_mass_conserved(spark):
+    """Teleport 0.15/N + damping 0.85 over a symmetric graph conserves
+    total rank mass: Σrank = 1 at every iteration (up to fp noise)."""
+    total = (
+        QUERIES["pagerank_parts"](spark, SF)
+        .agg(F.sum(F.col("rank").cast("double")))
+        .collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_dau_never_exceeds_wau(spark):
+    bad = (
+        QUERIES["dau_wau_rolling"](spark, SF)
+        .filter(F.col("dau") > F.col("wau"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_tfidf_ranks_dense_per_source(spark):
+    t = QUERIES["tfidf_top_terms_per_source"](spark, SF)
+    agg = t.groupBy("source").agg(
+        F.min("rn").alias("lo"), F.max("rn").alias("hi"), F.count("*").alias("n")
+    )
+    assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+    assert t.filter(F.col("rn") > 10).count() == 0

@@ -17,6 +17,7 @@ from orders_currency_conversion_etl_spark.plans.relational import (
 )
 from orders_currency_conversion_etl_spark.plans import reports  # noqa: F401 — @query registration
 from orders_currency_conversion_etl_spark.plans import behavior  # noqa: F401 — @query registration
+from orders_currency_conversion_etl_spark.plans import graph  # noqa: F401 — @query registration
 from orders_currency_conversion_etl_spark.plans.registry import QUERIES
 from orders_currency_conversion_etl_spark.sources import catalog, sinks
 
