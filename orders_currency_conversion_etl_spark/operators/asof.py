@@ -31,17 +31,30 @@ def asof_join_broadcast(
     left_on: str,
     right_on: str,
     left_key: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join with a broadcast right side.
 
     ``left_key`` must be unique per left row (used to pick the single
-    latest match). Right columns other than ``by``/``right_on`` are
+    closest match). Right columns other than ``by``/``right_on`` are
     appended; unmatched left rows keep them NULL.
+
+    ``direction="backward"`` (default) matches the greatest
+    ``right_on <= left_on``; ``"forward"`` the smallest
+    ``right_on >= left_on`` (e.g. "next scheduled rate revision").
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r = right.withColumnRenamed(by, "__by")
-    cond = (F.col(by) == F.col("__by")) & (F.col(right_on) <= F.col(left_on))
+    if direction == "backward":
+        ineq = F.col(right_on) <= F.col(left_on)
+        order = F.col(right_on).desc_nulls_last()
+    else:
+        ineq = F.col(right_on) >= F.col(left_on)
+        order = F.col(right_on).asc_nulls_last()
+    cond = (F.col(by) == F.col("__by")) & ineq
     joined = left.join(F.broadcast(r), cond, "left").drop("__by")
-    w = Window.partitionBy(left_key).orderBy(F.col(right_on).desc_nulls_last())
+    w = Window.partitionBy(left_key).orderBy(order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -723,3 +723,59 @@ def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("spine_d").alias("d"), "dau", "wau")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-granularity time rollup (hypertable-style continuous aggregate)
+# --------------------------------------------------------------------------
+
+_TIME_ROLLUP_ORACLE = """
+WITH src AS (
+    SELECT date_trunc('hour', ts) AS hour_b,
+           CAST(date_trunc('day', ts) AS DATE) AS day_b,
+           CAST(date_trunc('week', ts) AS DATE) AS week_b,
+           value
+    FROM events
+)
+SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour'
+            WHEN day_b IS NOT NULL THEN 'day'
+            ELSE 'week' END AS grain,
+       hour_b, day_b, week_b,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM src
+GROUP BY GROUPING SETS ((hour_b), (day_b), (week_b))
+"""
+
+
+@query("events_time_rollup_sets", _TIME_ROLLUP_ORACLE)
+def events_time_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week continuous-aggregate rollup in ONE pass via
+    GROUPING SETS (the hypertable-rollup shape, expressed through the
+    engine's SQL surface).
+
+    GROUPING SETS compiles to a single Expand + aggregate: the scan
+    runs once and each input row feeds all three grains before the
+    map-side partial agg — strictly cheaper at scale than three
+    separate jobs, and the per-grain group counts are bounded by the
+    time range, not the row count.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_b"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day_b"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_b"),
+        "value",
+    )
+    ev.createOrReplaceTempView("events_time_rollup_src")
+    return ev.sparkSession.sql(
+        """
+        SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour'
+                    WHEN day_b IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               hour_b, day_b, week_b,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        FROM events_time_rollup_src
+        GROUP BY GROUPING SETS ((hour_b), (day_b), (week_b))
+        """
+    )

@@ -655,3 +655,62 @@ def generate_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.generate import generate_orders
 
     return generate_orders(spark, n=5000, seed=42, base_time=_dt.datetime(2026, 1, 1))
+
+# --------------------------------------------------------------------------
+# J4 (forward) — next-revision as-of join, broadcast strategy
+# --------------------------------------------------------------------------
+
+
+def _asof_forward_oracle() -> str:
+    from ..sources.rates import currency_alphabet_sql_list
+
+    return f"""
+WITH src AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+           o_orderdate AS order_date,
+           ({currency_alphabet_sql_list()})[CAST(o_orderkey % 25 AS INT) + 1] AS currency
+    FROM orders
+),
+cand AS (
+    SELECT src.order_id, src.currency, src.order_date, rh.rate, rh.rate_date,
+           row_number() OVER (PARTITION BY src.order_id
+                              ORDER BY rh.rate_date ASC NULLS LAST) AS rn
+    FROM src LEFT JOIN {_rates_history_sql()}
+      ON src.currency = rh.currency AND rh.rate_date >= src.order_date
+)
+SELECT order_id, currency, order_date, rate_date AS next_rate_date,
+       CAST(rate AS DECIMAL(16,6)) AS next_rate
+FROM cand WHERE rn = 1
+"""
+
+
+@query("join_asof_forward_rates", _asof_forward_oracle())
+def join_asof_forward_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (smallest rate_date >= order_date): "which
+    rate revision will apply NEXT" — the broadcast strategy this time
+    (rates history is tiny), so the big side never shuffles. The plain
+    row_number oracle avoids any reliance on DuckDB ASOF direction
+    semantics."""
+    from ..operators.asof import asof_join_broadcast
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        currency_from_orderkey(F.col("o_orderkey")).alias("currency"),
+    )
+    rh = spark.createDataFrame(
+        rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
+    )
+    joined = asof_join_broadcast(
+        src, rh, by="currency", left_on="order_date", right_on="rate_date",
+        left_key="order_id", direction="forward",
+    )
+    return joined.select(
+        "order_id",
+        "currency",
+        "order_date",
+        F.col("rate_date").alias("next_rate_date"),
+        F.col("rate").cast("decimal(16,6)").alias("next_rate"),
+    )
+
