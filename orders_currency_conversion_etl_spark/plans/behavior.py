@@ -779,3 +779,133 @@ def events_time_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_b), (day_b), (week_b))
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (per-user bigrams)
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events per user —
+    the bigram statistic sequence models train on. One shuffle on
+    user_id for the lag window, then a tiny |types|² aggregation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shipping lead time distribution per priority
+# --------------------------------------------------------------------------
+
+_LEADTIME_ORACLE = """
+SELECT o.o_orderpriority,
+       date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+           AS leadtime_days,
+       COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@query("shipping_leadtime_histogram", _LEADTIME_ORACLE)
+def shipping_leadtime_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time distribution: fact-to-fact join on
+    orderkey, integer date math, histogram grouped by (priority, days)
+    — output bounded by priorities × max-leadtime, not row count."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("leadtime_days"),
+        )
+        .groupBy("o_orderpriority", "leadtime_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total via window over groups: supplier share of nation revenue
+# --------------------------------------------------------------------------
+
+_SUPPLIER_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           SUM(CAST(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)
+                    AS DECIMAL(18,4))) AS supp_rev
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+)
+SELECT n.n_name, l_suppkey,
+       CAST(supp_rev AS DECIMAL(38,4)) AS supp_rev,
+       CAST(CAST(supp_rev AS DOUBLE)
+            / CAST(SUM(supp_rev) OVER (PARTITION BY s_nationkey) AS DOUBLE)
+            AS DECIMAL(18,8)) AS nation_share
+FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+"""
+
+
+@query("supplier_share_of_nation", _SUPPLIER_SHARE_ORACLE)
+def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total without a self-join: the denominator is a
+    window SUM over the already-aggregated (nation, supplier) rollup,
+    so the second pass touches |suppliers| rows, never lineitem. Both
+    numerator and denominator are exact decimal sums; only the final
+    ratio is a double (then pinned to DECIMAL for the compare)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rev").alias("supp_rev"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return (
+        rev.withColumn(
+            "nation_share",
+            (
+                F.col("supp_rev").cast("double")
+                / F.sum("supp_rev").over(w).cast("double")
+            ).cast("decimal(18,8)"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "l_suppkey",
+            F.col("supp_rev").cast("decimal(38,4)").alias("supp_rev"),
+            "nation_share",
+        )
+    )

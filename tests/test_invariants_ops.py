@@ -184,3 +184,27 @@ def test_tfidf_ranks_dense_per_source(spark):
     )
     assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
     assert t.filter(F.col("rn") > 10).count() == 0
+
+
+def test_transition_count_is_events_minus_users(spark):
+    """Each user with k events contributes exactly k-1 transitions."""
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    ev = catalog.load_table(spark, SF, "events")
+    total = ev.count()
+    users = ev.select("user_id").distinct().count()
+    n_trans = (
+        QUERIES["event_transition_matrix"](spark, SF).agg(F.sum("n")).collect()[0][0]
+    )
+    assert n_trans == total - users
+
+
+def test_supplier_shares_sum_to_one_per_nation(spark):
+    s = QUERIES["supplier_share_of_nation"](spark, SF)
+    sums = (
+        s.groupBy("n_name")
+        .agg(F.sum(F.col("nation_share").cast("double")).alias("tot"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r["tot"] - 1.0) < 1e-6
