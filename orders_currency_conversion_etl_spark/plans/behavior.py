@@ -909,3 +909,57 @@ def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_share",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (merge partial aggregates)
+# --------------------------------------------------------------------------
+
+_INCR_ROLLUP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_b,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("incremental_rollup_merge", _INCR_ROLLUP_ORACLE)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the monthly revenue rollup is NOT
+    recomputed from scratch — an existing rollup (orders before
+    1997-01-01) is merged with the new increment's partial aggregate
+    (orders from 1997 on) by summing the decomposable measures.
+
+    The oracle is the full recompute: merged increments must equal it
+    exactly (count and decimal-sum are commutative monoids). At 100 TB
+    this is the difference between scanning 1 day and scanning 7
+    years; correctness holds for any split point by construction.
+    """
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_b"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+
+    existing = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    increment = rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        existing.unionByName(increment)
+        .groupBy("o_orderpriority", "month_b")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue").cast("decimal(38,2)").alias("revenue"),
+        )
+    )

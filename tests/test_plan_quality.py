@@ -266,3 +266,18 @@ def test_dq_rowlocal_checks_share_one_scan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # one scan for rowlocal + one for the anti-join probe + customer dim
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_time_rollup_is_single_scan_expand(spark):
+    """GROUPING SETS must compile to one parquet scan + one Expand —
+    three grains for the price of one pass."""
+    plan = _plan(QUERIES["events_time_rollup_sets"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_supplier_share_reuses_rollup_partitioning(spark):
+    """The percent-of-total window must run over the aggregated rollup:
+    lineitem is scanned exactly once."""
+    plan = _plan(QUERIES["supplier_share_of_nation"](spark, SF))
+    assert plan.count("FileScan parquet") <= 3  # lineitem + supplier + nation
