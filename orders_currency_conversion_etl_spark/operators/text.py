@@ -655,3 +655,27 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Positional explode: leading tokens with ordinals
+# --------------------------------------------------------------------------
+
+_POSEXPLODE_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id, CAST(u.i AS INT) AS pos, toks[u.i] AS token
+FROM tok, unnest(generate_series(1, least(3, len(toks)))) AS u(i)
+"""
+
+
+@query("posexplode_leading_tokens", _POSEXPLODE_ORACLE)
+def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three tokens of every document with their 1-based ordinal
+    — ``posexplode`` over a bounded ``slice``, so the row expansion is
+    capped at 3× regardless of document length."""
+    d = with_tokens(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id", F.posexplode(F.slice("toks", 1, 3)).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
