@@ -963,3 +963,113 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").cast("decimal(38,2)").alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user
+# --------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+anchored AS (
+    SELECT user_id, d,
+           date_diff('day', DATE '2024-01-01', d)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM daily
+),
+streaks AS (
+    SELECT user_id, island, COUNT(*) AS streak_days
+    FROM anchored GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(streak_days) AS INT) AS max_streak_days,
+       CAST(SUM(streak_days) AS BIGINT) AS active_days
+FROM streaks GROUP BY 1
+"""
+
+
+@query("activity_streaks", _STREAKS_ORACLE)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: a streak is a maximal run of consecutive
+    active days; ``day_number - row_number`` is constant within a run.
+    Pure integer date math (no timestamps compared), one shuffle on
+    user_id shared by the window and both aggregations."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = daily.withColumn(
+        "island",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = anchored.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").cast("int").alias("max_streak_days"),
+        F.sum("streak_days").cast("bigint").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection: median absolute deviation per event type
+# --------------------------------------------------------------------------
+
+#: 3 x the Gaussian consistency constant, materialized ONCE in Python so
+#: both engines compare against the identical double (a bare `3 * 1.4826`
+#: is DECIMAL arithmetic in DuckDB but binary double in Spark - 1 ulp apart).
+_MAD_K = 3 * 1.4826
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       CAST(MIN(d.med) AS DECIMAL(18,4)) AS median_value,
+       CAST(MIN(m.mad) AS DECIMAL(18,4)) AS mad,
+       CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1
+"""
+
+
+@query("events_anomaly_mad", _MAD_ORACLE)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via Median-Absolute-Deviation (3σ-equivalent
+    scale factor 1.4826) — the estimator that survives the outliers a
+    mean/stddev z-score is distorted by.
+
+    Two exact-median passes; the per-group medians (|event_type| rows)
+    broadcast back onto the fact both times, so the fact table never
+    shuffles — only the grouped median aggregation does.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").cast("decimal(18,4)").alias("median_value"),
+        F.min("mad").cast("decimal(18,4)").alias("mad"),
+        F.sum(
+            F.when(F.col("adev") > F.lit(_MAD_K) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -208,3 +208,26 @@ def test_supplier_shares_sum_to_one_per_nation(spark):
     )
     for r in sums:
         assert abs(r["tot"] - 1.0) < 1e-6
+
+
+def test_streaks_account_for_all_active_days(spark):
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    s = QUERIES["activity_streaks"](spark, SF)
+    total_active = s.agg(F.sum("active_days")).collect()[0][0]
+    expected = (
+        catalog.load_table(spark, SF, "events")
+        .select("user_id", F.col("ts").cast("date"))
+        .distinct()
+        .count()
+    )
+    assert total_active == expected
+    assert s.filter(F.col("max_streak_days") > F.col("active_days")).count() == 0
+
+
+def test_mad_outliers_are_minority(spark):
+    """MAD-based outliers must be < half of each group by construction
+    (more than half the points are within one MAD of the median)."""
+    for r in QUERIES["events_anomaly_mad"](spark, SF).collect():
+        assert r["n_outliers"] < r["n"] / 2
+        assert r["mad"] >= 0
