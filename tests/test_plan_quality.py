@@ -281,3 +281,22 @@ def test_supplier_share_reuses_rollup_partitioning(spark):
     lineitem is scanned exactly once."""
     plan = _plan(QUERIES["supplier_share_of_nation"](spark, SF))
     assert plan.count("FileScan parquet") <= 3  # lineitem + supplier + nation
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's join-strategy knobs: an explicit
+    SHUFFLE_HASH hint must override the default sort-merge choice for
+    a large-large join (and MERGE must force it back)."""
+    o = catalog.load_table(spark, SF, "orders")
+    li = catalog.load_table(spark, SF, "lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shj = li.join(
+            o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+        )
+        assert "ShuffledHashJoin" in _plan(shj)
+        smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in _plan(smj)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
