@@ -1073,3 +1073,41 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-quota deterministic sample: exactly k rows per stratum
+# --------------------------------------------------------------------------
+
+_QUOTA_SAMPLE_ORACLE = """
+SELECT o_orderstatus, o_orderkey, CAST(rn AS INT) AS rn
+FROM (
+    SELECT o_orderstatus, o_orderkey,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+               AS rn
+    FROM orders
+) WHERE rn <= 100
+"""
+
+
+@query("sample_fixed_k_per_group", _QUOTA_SAMPLE_ORACLE)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank rows inside each stratum by
+    the md5 of their key and keep the first 100.
+
+    Unlike fraction sampling (sample_stratified_hash) this guarantees
+    the quota exactly, stays deterministic across engines, retries and
+    partitionings, and needs only the one window shuffle on the
+    stratum key. The md5 order is uniform in expectation, so the quota
+    is an unbiased uniform subsample of each group.
+    """
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("o_orderstatus", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+    )
