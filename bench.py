@@ -25,7 +25,8 @@ from orders_currency_conversion_etl_spark.session import get_spark
 
 #: The queries whose wall-clock defines the headline metric — one per
 #: operator family (scan+join, agg, window, as-of, dedup exact/LSH,
-#: knn, text, json, sessionize, multimodal UDF).
+#: knn, text, json, sessionize, multimodal UDF, behavioral windows,
+#: iterative graph).
 HEADLINE = (
     "flagship_conversion",
     "agg_pricing_summary",
@@ -46,6 +47,10 @@ HEADLINE = (
     "text_token_stats",
     "multimodal_features",
     "curation_pipeline_lsh",
+    "sessionize_gap_summary",
+    "cohort_retention_weekly",
+    "tfidf_top_terms_per_source",
+    "pagerank_parts",
 )
 
 

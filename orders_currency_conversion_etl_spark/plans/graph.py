@@ -100,10 +100,15 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()  # the only driver-side scalar; also materializes the persists
 
     ranks = deg.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
-    contrib_src = edges.join(deg, "src")
+    # Degrees (|nodes| rows) broadcast into the edge list ONCE; the
+    # result is persisted because all iterations reuse it verbatim.
+    contrib_src = edges.join(F.broadcast(deg), "src").persist()
     for _ in range(ITERATIONS):
+        # ranks is |nodes| rows — broadcasting it means the fat edge
+        # table never shuffles inside the loop; the only exchange per
+        # iteration is the contribution aggregation on dst.
         ranks = (
-            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            contrib_src.join(F.broadcast(ranks), F.col("src") == F.col("node"))
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy("dst")
             .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
