@@ -28,6 +28,10 @@ def _cases():
 
 @pytest.mark.parametrize("name", _cases())
 def test_plan_has_no_scale_smells(spark, name):
+    # Cold-cache plans only: cached intermediates left by earlier tests
+    # render as InMemoryRelation dumps that re-print their child plans,
+    # inflating (and double-counting) the exchange tally.
+    spark.catalog.clearCache()
     plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
     # a non-broadcast cartesian product is O(n*m) shuffle-side — never
     # acceptable; broadcast nested-loop (range joins vs tiny spines) is
