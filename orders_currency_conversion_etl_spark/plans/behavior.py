@@ -1111,3 +1111,55 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("o_orderstatus", "o_orderkey", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year monthly revenue (period-over-period on the rollup)
+# --------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_b,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT month_b, revenue,
+       CAST(revenue - lag(revenue, 12) OVER (ORDER BY month_b) AS DECIMAL(38,2))
+           AS yoy_delta,
+       CAST(CAST(revenue - lag(revenue, 12) OVER (ORDER BY month_b) AS DOUBLE)
+            / CAST(lag(revenue, 12) OVER (ORDER BY month_b) AS DOUBLE)
+            AS DECIMAL(18,8)) AS yoy_pct
+FROM monthly
+"""
+
+
+@query("monthly_revenue_yoy", _YOY_ORACLE)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth on the monthly revenue series: lag(12)
+    over the AGGREGATED rollup, so the unpartitioned window sees
+    |months| rows (decades fit in one task), never the fact table.
+    Exact decimal sums feed the comparison; only the growth ratio is a
+    double, pinned to DECIMAL for the compare."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_b")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month_b")
+    lag12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month_b",
+        "revenue",
+        (F.col("revenue") - lag12).cast("decimal(38,2)").alias("yoy_delta"),
+        (
+            (F.col("revenue") - lag12).cast("double") / lag12.cast("double")
+        )
+        .cast("decimal(18,8)")
+        .alias("yoy_pct"),
+    )
