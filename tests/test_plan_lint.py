@@ -36,6 +36,10 @@ def test_plan_has_no_scale_smells(spark, name):
     # a non-broadcast cartesian product is O(n*m) shuffle-side — never
     # acceptable; broadcast nested-loop (range joins vs tiny spines) is
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    # Python boundary policy (SCALE.md): Python only via Arrow batches
+    # (ArrowEvalPython / mapInPandas / applyInPandas) — a row-at-a-time
+    # BatchEvalPython node is 10-100x slower and never acceptable.
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     n_ex = plan.count("Exchange ")
     assert n_ex <= DEFAULT_EXCHANGE_CAP, (
         f"{name} plans {n_ex} exchanges (cap {DEFAULT_EXCHANGE_CAP})"
