@@ -1163,3 +1163,38 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,8)")
         .alias("yoy_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly error-rate time series
+# --------------------------------------------------------------------------
+
+_ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_b,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       CAST(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS DECIMAL(18,8)) AS error_rate
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_error_rate_hourly", _ERROR_RATE_ORACLE)
+def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring staple: conditional-count ratio per hour bucket in a
+    single conditional-aggregate pass (no per-class sub-queries);
+    integer counts stay exact, the ratio is the only double."""
+    ev = _t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.cast("bigint").alias("n_errors"),
+            (n_err.cast("double") / F.count(F.lit(1)))
+            .cast("decimal(18,8)")
+            .alias("error_rate"),
+        )
+    )
