@@ -1198,3 +1198,66 @@ def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("error_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC): inserts / deletes / updates between versions
+# --------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE (o_orderkey % 10) < 8
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 7) = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders WHERE (o_orderkey % 10) > 1
+)
+SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            WHEN old.o_orderstatus <> new.o_orderstatus THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+GROUP BY 1
+"""
+
+
+@query("snapshot_diff_cdc", _SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: a full outer
+    join on the key classifies every row as insert / delete / update /
+    unchanged. The two "versions" are deterministic slices of orders
+    (keys %10<8 vs %10>1, with every 7th key's status rewritten) so the
+    diff exercises all four classes.
+
+    One co-partitioned shuffle join on the key; at 100 TB both sides
+    would be bucketed/partition-pruned on the same key so the diff
+    reads only changed partitions (the sinks module provides both
+    layouts)."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        F.col("o_orderkey").alias("old_key"), F.col("o_orderstatus").alias("old_st")
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 > 1)
+        .select(
+            F.col("o_orderkey").alias("new_key"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("new_st"),
+        )
+    )
+    diff = old.join(new, F.col("old_key") == F.col("new_key"), "full_outer")
+    return (
+        diff.select(
+            F.when(F.col("old_key").isNull(), "insert")
+            .when(F.col("new_key").isNull(), "delete")
+            .when(F.col("old_st") != F.col("new_st"), "update")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
