@@ -1261,3 +1261,71 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time lookup against the SCD2 dimension (temporal table query)
+# --------------------------------------------------------------------------
+
+_PIT_DATE = "1996-06-15"
+
+_PIT_ORACLE = f"""
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+           CAST(o_orderdate AS DATE) AS odate,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_p
+    FROM orders
+),
+changes AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority, odate
+    FROM ordered WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+),
+hist AS (
+    SELECT o_custkey, o_orderpriority,
+           odate AS valid_from,
+           lead(odate) OVER (PARTITION BY o_custkey
+                             ORDER BY odate, o_orderkey) AS valid_to
+    FROM changes
+)
+SELECT o_custkey, o_orderpriority AS priority_at_date, valid_from
+FROM hist
+WHERE valid_from <= DATE '{_PIT_DATE}'
+  AND (valid_to IS NULL OR valid_to > DATE '{_PIT_DATE}')
+"""
+
+
+@query("scd2_pointintime_lookup", _PIT_ORACLE)
+def scd2_pointintime_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table query: which priority version was current for
+    each customer on a given date — the read side of the SCD2 build
+    (scd2_priority_history). The interval predicate selects at most
+    one version per customer, turning history into a point-in-time
+    dimension snapshot without any join back to the fact table."""
+    pit = F.lit(_PIT_DATE).cast("date")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")))
+        .drop("prev_p")
+    )
+    hist = changes.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w).alias("valid_to"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= pit)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > pit))
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority_at_date"),
+        "valid_from",
+    )

@@ -231,3 +231,9 @@ def test_mad_outliers_are_minority(spark):
     for r in QUERIES["events_anomaly_mad"](spark, SF).collect():
         assert r["n_outliers"] < r["n"] / 2
         assert r["mad"] >= 0
+
+
+def test_pointintime_lookup_at_most_one_version_per_customer(spark):
+    pit = QUERIES["scd2_pointintime_lookup"](spark, SF)
+    dup = pit.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0
