@@ -414,3 +414,70 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_emb"),
         F.size("emb").alias("dim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vector norm statistics per label
+# --------------------------------------------------------------------------
+
+_NORM_STATS_ORACLE = """
+WITH elems AS (
+    SELECT vec_id, label, unnest(embedding) AS x FROM embeddings
+),
+sq AS (
+    SELECT vec_id, label,
+           SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS ss
+    FROM elems GROUP BY 1, 2
+),
+norms AS (
+    SELECT label, sqrt(CAST(ss AS DOUBLE)) AS norm FROM sq
+)
+SELECT label,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(norm AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(18,12)) AS avg_norm,
+       CAST(MIN(norm) AS DECIMAL(18,12)) AS min_norm,
+       CAST(MAX(norm) AS DECIMAL(18,12)) AS max_norm
+FROM norms GROUP BY 1
+"""
+
+
+@query("embedding_norm_stats", _NORM_STATS_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — the sanity check before any
+    cosine math (unnormalized vectors silently break dot-product
+    similarity).
+
+    Parity recipe (SURVEY §4.3 family): each squared element is pinned
+    to DECIMAL(30,15) so the per-row sum is EXACT and independent of
+    accumulation order on both engines (decimal SUM is a fixed-type,
+    order-free monoid — unlike F.aggregate's fold, whose decimal
+    addition drifts scale (38,15)+(30,15)→(38,14) every step). sqrt of
+    the identical double is correctly rounded on both engines; the
+    per-label average again sums decimals, not doubles.
+    """
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    sq = emb.select(
+        "vec_id",
+        "label",
+        F.explode("embedding").alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("x").cast("double") * F.col("x").cast("double"))
+        .cast("decimal(30,15)")
+        .alias("x2"),
+    )
+    ss = sq.groupBy("vec_id", "label").agg(F.sum("x2").alias("ss"))
+    norms = ss.select("label", F.sqrt(F.col("ss").cast("double")).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("norm").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("decimal(18,12)")
+        .alias("avg_norm"),
+        F.min("norm").cast("decimal(18,12)").alias("min_norm"),
+        F.max("norm").cast("decimal(18,12)").alias("max_norm"),
+    )
