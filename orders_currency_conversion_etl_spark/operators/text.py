@@ -679,3 +679,87 @@ def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.slice("toks", 1, 3)).alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+# --------------------------------------------------------------------------
+# Pairwise source similarity: Jaccard over source vocabularies
+# --------------------------------------------------------------------------
+
+_SOURCE_JACCARD_ORACLE = r"""
+WITH vocab AS (
+    SELECT DISTINCT source,
+           lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents
+),
+sizes AS (
+    SELECT source, COUNT(*) AS n_terms FROM vocab GROUP BY 1
+),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+    FROM vocab a JOIN vocab b
+      ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.n_terms AS n_terms_a, sb.n_terms AS n_terms_b,
+       CAST(CAST(i.n_common AS DOUBLE)
+            / (sa.n_terms + sb.n_terms - i.n_common) AS DECIMAL(18,8)) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.source_a = sa.source
+JOIN sizes sb ON i.source_b = sb.source
+"""
+
+
+@query("source_vocab_jaccard", _SOURCE_JACCARD_ORACLE)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-slice similarity: Jaccard overlap between each pair of
+    source vocabularies — the diagnostic behind "are these two crawls
+    the same content".
+
+    The pair join runs on the deduplicated (source, term) vocabulary,
+    not raw tokens, so the shuffle carries |vocab| rows and the join
+    explodes only on terms shared across sources. Counts are exact
+    integers; only the final ratio is a double, pinned to DECIMAL.
+    """
+    vocab = (
+        with_tokens(_docs(spark, sf_dir))
+        .select("source", F.explode("toks").alias("raw"))
+        .select("source", F.lower(F.col("raw")).alias("term"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    b = vocab.select(
+        F.col("source").alias("source_b"), F.col("term").alias("term_b")
+    )
+    inter = (
+        vocab.join(
+            b,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("n_terms_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("n_terms_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_terms_a",
+            "n_terms_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_terms_a") + F.col("n_terms_b") - F.col("n_common"))
+            )
+            .cast("decimal(18,8)")
+            .alias("jaccard"),
+        )
+    )
