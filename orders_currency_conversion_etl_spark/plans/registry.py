@@ -17,9 +17,11 @@ Numeric-parity ground rules (verified empirically, see SURVEY §4.3):
 from __future__ import annotations
 
 import datetime as dt
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from ..operators.convert import convert_orders, orders_src_from_tpch
 from ..sources import catalog
@@ -34,19 +36,148 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# ------------------------------------------------------------------
+# Cross-engine boundary convention (round-2 fix, see VERDICT.md r1):
+# the driver collects the DuckDB oracle through pandas, which renders
+# DECIMAL as float64 and SUM(INT) as HUGEINT→float64, while Spark's
+# collect keeps scale-preserving decimal.Decimal — so any compared
+# DECIMAL column hash-mismatches on trailing zeros even when values
+# are identical. Convention: ALL internal arithmetic stays exact
+# DECIMAL; every *compared output* column is cast to DOUBLE at the
+# final projection on BOTH engines. The Spark side is enforced here
+# (every registered query is wrapped); the oracle side is enforced by
+# finalized_oracles(), which DESCRIBEs each oracle in DuckDB (bind
+# only — nothing executes) and wraps DECIMAL→DOUBLE / HUGEINT→BIGINT
+# columns in an outer SELECT. One mechanism, all queries, no drift.
+# ------------------------------------------------------------------
+
+#: Parquet dir used only to bind oracle SQL for DESCRIBE (schema is
+#: identical across scale factors; nothing is read).
+SCHEMA_PROBE_DIR = "/root/testdata/sf0.001"
+
+ORACLE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _boundary_cast_type(field_type: T.DataType) -> str | None:
+    """Cast-to type string for a compared output column, or None."""
+    if isinstance(field_type, T.DecimalType):
+        return "double"
+    if isinstance(field_type, T.ArrayType) and isinstance(
+        field_type.elementType, T.DecimalType
+    ):
+        return "array<double>"
+    return None
+
+
+def boundary_cast(df: DataFrame) -> DataFrame:
+    """Final projection: DECIMAL (and array<DECIMAL>) columns → DOUBLE.
+
+    Internal math stays exact decimal; only the compared boundary is
+    float64 (bit-identical with DuckDB's cast of the same exact value).
+    Returns df unchanged when no decimal columns exist, so plans of
+    decimal-free queries are untouched.
+    """
+    casts = {f.name: _boundary_cast_type(f.dataType) for f in df.schema.fields}
+    if not any(casts.values()):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(f"`{name}`").cast(to).alias(name) if to else F.col(f"`{name}`")
+            for name, to in casts.items()
+        ]
+    )
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _wrap_oracle(sql: str, columns: list[tuple[str, str]]) -> str:
+    """Outer SELECT casting DECIMAL→DOUBLE and HUGEINT→BIGINT columns."""
+    projections = []
+    needs_wrap = False
+    for name, duck_type in columns:
+        ident = _quote_ident(name)
+        base = duck_type.upper()
+        if base.startswith("DECIMAL") and base.endswith("[]"):
+            projections.append(f"CAST({ident} AS DOUBLE[]) AS {ident}")
+            needs_wrap = True
+        elif base.startswith("DECIMAL"):
+            projections.append(f"CAST({ident} AS DOUBLE) AS {ident}")
+            needs_wrap = True
+        elif base == "HUGEINT":
+            projections.append(f"CAST({ident} AS BIGINT) AS {ident}")
+            needs_wrap = True
+        else:
+            projections.append(ident)
+    if not needs_wrap:
+        return sql
+    return "SELECT " + ", ".join(projections) + " FROM (\n" + sql + "\n) __boundary"
+
+
+_FINAL_ORACLES: dict[str, str] | None = None
+
+
+def finalized_oracles() -> dict[str, str]:
+    """ORACLES with the boundary-cast convention applied (cached)."""
+    global _FINAL_ORACLES
+    if _FINAL_ORACLES is not None and len(_FINAL_ORACLES) == len(ORACLES):
+        return dict(_FINAL_ORACLES)
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for t in ORACLE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SCHEMA_PROBE_DIR}/{t}.parquet')"
+            )
+        out: dict[str, str] = {}
+        for name, sql in ORACLES.items():
+            cols = [
+                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
+            ]
+            out[name] = _wrap_oracle(sql, cols)
+    finally:
+        con.close()
+    _FINAL_ORACLES = out
+    return dict(out)
+
 #: One batch timestamp for every deterministic run (SURVEY §4.4: one
 #: conversion_time per batch; wall-clock is banned).
 CONVERSION_TIME = dt.datetime(2026, 1, 1, 0, 0, 0)
 
 
 def query(name: str, oracle: str | None):
-    """Register a named query together with its DuckDB oracle SQL."""
+    """Register a named query together with its DuckDB oracle SQL.
+
+    The registered callable is wrapped with :func:`boundary_cast` so no
+    query can leak DecimalType into its compared output schema (the
+    oracle side gets the mirror treatment in finalized_oracles()).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return boundary_cast(fn(spark, sf_dir))
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

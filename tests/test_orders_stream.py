@@ -9,6 +9,7 @@ import tempfile
 from orders_currency_conversion_etl_spark.plans.registry import (
     CONVERSION_TIME,
     QUERIES,
+    boundary_cast,
 )
 from orders_currency_conversion_etl_spark.streaming.orders_stream import (
     run_conversion_stream,
@@ -19,7 +20,9 @@ SF = "/root/testdata/sf0.001"
 
 def test_conversion_stream_matches_batch(spark):
     with tempfile.TemporaryDirectory() as work:
-        streamed = run_conversion_stream(spark, SF, work, CONVERSION_TIME)
+        # streamed output keeps exact DECIMAL; the registered batch twin
+        # is boundary-cast to DOUBLE — apply the same cast for compare
+        streamed = boundary_cast(run_conversion_stream(spark, SF, work, CONVERSION_TIME))
         batch = QUERIES["flagship_conversion"](spark, SF)
         s = sorted(tuple(r) for r in streamed.collect())
         b = sorted(tuple(r) for r in batch.collect())

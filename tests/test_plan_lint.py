@@ -44,3 +44,30 @@ def test_plan_has_no_scale_smells(spark, name):
     assert n_ex <= DEFAULT_EXCHANGE_CAP, (
         f"{name} plans {n_ex} exchanges (cap {DEFAULT_EXCHANGE_CAP})"
     )
+
+
+@pytest.mark.parametrize("name", _cases())
+def test_output_schema_has_no_decimal(spark, name):
+    """Cross-engine boundary convention (VERDICT r1): compared outputs
+    must never be DecimalType — the driver's DuckDB-via-pandas side
+    renders DECIMAL as float64 while Spark keeps scale-preserving
+    Decimal, so any trailing-zero cell breaks the value hash.  The
+    registry's boundary_cast enforces the cast; this lint guards the
+    mechanism (e.g. a query registered around the decorator, or a new
+    nested type boundary_cast doesn't yet handle)."""
+    from pyspark.sql import types as T
+
+    def has_decimal(dtype: T.DataType) -> bool:
+        if isinstance(dtype, T.DecimalType):
+            return True
+        if isinstance(dtype, T.ArrayType):
+            return has_decimal(dtype.elementType)
+        if isinstance(dtype, T.MapType):
+            return has_decimal(dtype.keyType) or has_decimal(dtype.valueType)
+        if isinstance(dtype, T.StructType):
+            return any(has_decimal(f.dataType) for f in dtype.fields)
+        return False
+
+    schema = QUERIES[name](spark, SF).schema
+    offenders = [f.name for f in schema.fields if has_decimal(f.dataType)]
+    assert not offenders, f"{name} leaks DecimalType in output columns {offenders}"
