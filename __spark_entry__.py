@@ -96,7 +96,6 @@ PRIORITY_WINDOW = [
     "join_anti_customers_without_orders",
     "join_full_outer_nation_counts",
     "join_asof_rates",
-    "join_asof_forward_rates",
     "join_salted_skew",
     # scalar/function battery (F5-F12)
     "case_bucket_totalprice",
@@ -108,12 +107,14 @@ PRIORITY_WINDOW = [
     "json_extract_props",
     "cast_matrix",
     "filter_empty_shortcircuit",
+    # seeded generator (F9-F11) — md5-derived, exact oracle since r2
+    "generate_orders_seeded",
     # time-series / streaming batch twins (T1)
     "events_hourly_stats",
     "timeseries_gapfill_ffill",
     # TPC-H battery representatives
     "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customers",
+    "tpch_q9_product_profit",
     # behavioral analytics
     "sessionize_gap_summary",
     "scd2_pointintime_lookup",

@@ -69,13 +69,14 @@ def main() -> None:
         registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # warmup must not donate cached data
 
-    # best-of-2: a GC pause or compaction blip in either run shouldn't
-    # define the recorded number; steady-state cost is the minimum.
+    # best-of-3: run-to-run variance at sf0.1 is ~2x on the lightest
+    # queries (GC pauses, page cache); the minimum is the steady-state
+    # cost, making round-over-round BENCH comparisons signal.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

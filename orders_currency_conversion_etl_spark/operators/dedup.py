@@ -488,8 +488,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine near-dup over embeddings. O(n²) by design
     (the baseline); the LSH-bucketed variant in similarity.py is the
     scale path. The n² here is a crossJoin Catalyst executes as
-    BroadcastNestedLoopJoin with the smaller side broadcast."""
+    BroadcastNestedLoopJoin with the smaller side broadcast. Guarded:
+    refuses inputs beyond guards.MAX_EXACT_BASELINE_ROWS."""
+    from .guards import assert_baseline_size
+
     e = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assert_baseline_size(e, "dedup_embedding_cosine", "dedup_minhash_lsh")
     d = e.select(
         "vec_id",
         "embedding",

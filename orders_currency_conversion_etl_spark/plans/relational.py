@@ -644,12 +644,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("generate_orders_seeded", None)
+def _generate_oracle() -> str:
+    from ..operators.generate import generate_orders_oracle_sql
+
+    return generate_orders_oracle_sql(n=5000, seed=42, base_time=dt.datetime(2026, 1, 1))
+
+
+@query("generate_orders_seeded", _generate_oracle())
 def generate_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8-F11: distributed seeded order synthesis (the generator DAG).
-    Spark-side randomness (seeded F.rand) has no DuckDB twin, so the
-    driver records rows-only; determinism within Spark is asserted in
-    tests/test_convert.py."""
+    """F8-F11: distributed seeded order synthesis (the generator DAG,
+    reference dags/order_generator_dag.py:62-71). Every column derives
+    from md5(seed:id) slices — partition-invariant, so the same rows
+    appear on any rig/parallelism AND the driver gets an exact DuckDB
+    oracle (round 1 this was rows-only because seeded F.rand is
+    per-partition-seeded)."""
     import datetime as _dt
 
     from ..operators.generate import generate_orders

@@ -5,6 +5,7 @@ semantics are the intended ones, not just mirrored ones)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from orders_currency_conversion_etl_spark.plans.registry import QUERIES
@@ -237,3 +238,15 @@ def test_pointintime_lookup_at_most_one_version_per_customer(spark):
     pit = QUERIES["scd2_pointintime_lookup"](spark, SF)
     dup = pit.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_exactness_baselines_are_size_guarded(spark, monkeypatch):
+    """The O(n²)/linear-scan baselines must refuse at-scale inputs
+    (their LSH/IVF twins are the scale path). Shrink the bound below
+    the sf0.001 corpus (500 vectors) and expect the guard to fire."""
+    from orders_currency_conversion_etl_spark.operators import guards
+
+    monkeypatch.setattr(guards, "MAX_EXACT_BASELINE_ROWS", 100)
+    for name in ("dedup_embedding_cosine", "knn_brute_force"):
+        with pytest.raises(guards.BaselineScaleError, match=name):
+            QUERIES[name](spark, SF)
