@@ -959,3 +959,90 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 needs l_commitdate / l_receiptdate, absent from the fixture.
+# Same bridge idea as partsupp: derive both deterministically from
+# shipdate + key arithmetic (identical on both engines), so the
+# *shape* — the classic double-correlated EXISTS / NOT EXISTS — is
+# exercised exactly. This completes all 22 TPC-H query shapes.
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate AS DATE) + CAST((l_orderkey * 7 + l_linenumber * 5) % 60 AS INT) AS l_commitdate,
+           CAST(l_shipdate AS DATE) + CAST((l_orderkey * 13 + l_linenumber * 11) % 60 AS INT) AS l_receiptdate
+    FROM lineitem
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN li l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+  AND n.n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("tpch_q21_suppliers_kept_waiting", _Q21_ORACLE)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept multi-supplier orders waiting (TPC-H Q21,
+    adapted: commit/receipt dates derived from shipdate + key
+    arithmetic — the fixture lacks both columns).
+
+    Spark-first rewrite of the textbook double correlated subquery
+    (EXISTS other-supplier / NOT EXISTS other-late-supplier): one
+    groupBy(l_orderkey) computes per-order distinct-supplier counts
+    overall and among late lines, then the candidate late lines join
+    that tiny per-order stat table on the SAME orderkey key — two
+    co-partitioned shuffles instead of three correlated rescans of
+    lineitem. A qualifying line's order must have >=2 suppliers and
+    exactly 1 late supplier (necessarily the candidate's own). The
+    oracle keeps the textbook EXISTS form, proving the rewrite
+    equivalent. At 100 TB both shuffles hash on l_orderkey so AQE
+    coalesces them into one exchange reuse; supplier/nation broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 5) % 60).cast("int"),
+        ).alias("l_commitdate"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 11) % 60).cast("int"),
+        ).alias("l_receiptdate"),
+    )
+    late = F.col("l_receiptdate") > F.col("l_commitdate")
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        li.filter(late)
+        .join(ordstats.withColumnRenamed("l_orderkey", "so_orderkey"),
+              F.col("so_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
