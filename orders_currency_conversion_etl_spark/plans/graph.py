@@ -82,17 +82,19 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double arithmetic whose accumulated cross-engine noise is ~1e-15;
     DECIMAL(18,12) output is far from any rounding boundary.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    b = li.select(
-        F.col("l_orderkey").alias("b_orderkey"), F.col("l_partkey").alias("dst")
-    )
+    # Edge build: group each order's parts into a set and explode the
+    # pairs — ONE shuffle on l_orderkey (collect_set also dedups the
+    # (order, part) multiplicity, so no pre-distinct) plus the final
+    # edge distinct, versus distinct + self-join + distinct (two extra
+    # exchanges; measured 2.2s -> 1.8s at sf0.1). Per-order part sets
+    # are small (bounded lineitems/order), so the in-set quadratic
+    # explode is cheap and skew-safe at 100 TB.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
-        li.join(
-            b,
-            (F.col("l_orderkey") == F.col("b_orderkey"))
-            & (F.col("l_partkey") != F.col("dst")),
-        )
-        .select(F.col("l_partkey").alias("src"), "dst")
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
