@@ -763,3 +763,78 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity proxy (CCNet/Gopher-style quality signal)
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), ex AS (
+    SELECT doc_id, unnest(toks) AS t FROM tok
+), tc AS (
+    SELECT t, COUNT(*) AS cnt FROM ex GROUP BY t
+), tot AS (
+    SELECT SUM(cnt) AS n FROM tc
+), lp AS (
+    SELECT t,
+           CAST(-ln(CAST(cnt AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+                AS DECIMAL(30,9)) AS nll
+    FROM tc
+), doc AS (
+    SELECT e.doc_id, SUM(lp.nll) AS sum_nll, COUNT(*) AS n_tokens
+    FROM ex e JOIN lp ON e.t = lp.t
+    GROUP BY e.doc_id
+)
+SELECT doc_id,
+       n_tokens,
+       sum_nll,
+       CAST(sum_nll AS DOUBLE) / n_tokens AS avg_token_nll
+FROM doc
+"""
+
+
+@query("text_unigram_logprob", _UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram LM — the perplexity-proxy quality signal (CCNet/Gopher
+    filter pipelines score documents with a KenLM model; the in-repo
+    stand-in is the corpus unigram distribution, which exercises the
+    identical two-pass plan shape).
+
+    Shape: pass 1 builds the global token distribution (explode →
+    count per token, one shuffle; the 1-row total crossJoins in as a
+    broadcast scalar). Pass 2 re-joins token probabilities to the
+    exploded corpus (vocabulary ≪ corpus, so the probability table
+    BROADCASTS — at 100 TB a few million distinct tokens is tens of
+    MB) and aggregates per doc_id. Tokenization runs twice by design:
+    persisting the exploded corpus would cost far more storage than
+    the recompute at scale.
+
+    Parity: JVM Math.log and libm ln differ by up to 1 ulp (~1e-15
+    abs here), so each token's -ln(p) is rounded at DECIMAL(30,9) on
+    BOTH engines — six orders of magnitude beyond the ulp noise, so
+    the rounding is tie-free — before the exact order-free per-doc
+    SUM; the avg divides the boundary-cast double by the bigint count.
+    """
+    d = with_tokens(_docs(spark, sf_dir))
+    ex = d.select("doc_id", F.explode("toks").alias("t"))
+    tc = ex.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tc.agg(F.sum("cnt").alias("n"))
+    lp = tc.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (-F.log(F.col("cnt").cast("double") / F.col("n").cast("double")))
+        .cast("decimal(30,9)")
+        .alias("nll"),
+    )
+    doc = ex.join(F.broadcast(lp), "t").groupBy("doc_id").agg(
+        F.sum("nll").alias("sum_nll"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_nll",
+        (F.col("sum_nll").cast("double") / F.col("n_tokens")).alias("avg_token_nll"),
+    )
