@@ -102,3 +102,101 @@ def mix_sources_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_BUCKET16) < F.col("keep_thresh"))
         .select("doc_id", "source", "n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixing (multilingual-pretraining upsampling)
+# --------------------------------------------------------------------------
+
+#: Temperature exponent: weights ∝ share^ALPHA. α<1 flattens the
+#: distribution — rare sources are upsampled relative to their natural
+#: share (the standard multilingual-pretraining rebalancing trick).
+ALPHA = 0.7
+
+_TEMP_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+), avail AS (
+    SELECT source, SUM(n_tokens) AS avail_tokens FROM toks GROUP BY source
+), grand AS (
+    SELECT SUM(avail_tokens) AS grand_total FROM avail
+), sh AS (
+    SELECT source, avail_tokens,
+           CAST(pow(CAST(avail_tokens AS DOUBLE) / CAST((SELECT grand_total FROM grand) AS DOUBLE),
+                    {ALPHA!r}) AS DECIMAL(30,12)) AS spow
+    FROM avail
+), den AS (
+    SELECT SUM(spow) AS den FROM sh
+), rates AS (
+    SELECT source,
+           CAST(floor(least(CAST(1.0 AS DOUBLE),
+                (CAST(spow AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE))
+                * ({BUDGET_FRAC!r} * CAST((SELECT grand_total FROM grand) AS DOUBLE))
+                / CAST(avail_tokens AS DOUBLE)) * 65536) AS BIGINT) AS keep_thresh
+    FROM sh
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE {_BUCKET16.replace("AS STRING", "AS VARCHAR")} < r.keep_thresh
+"""
+
+
+@query("mix_sources_temperature", _TEMP_ORACLE)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing with temperature-scaled weights
+    w_i ∝ (avail_i / total)^α instead of a fixed weight table — α<1
+    upsamples rare sources (the multilingual-pretraining rebalancing
+    standard). Same two-pass shape as mix_sources_token_budget: tiny
+    per-source stats, then a shuffle-free broadcast + md5-bucket
+    predicate over the corpus.
+
+    Parity: pow() differs by ≤1 ulp between JVM and libm, so each
+    share^α is pinned at DECIMAL(30,12) (tie-free: the rounding grid
+    is 1e5× coarser than the ulp noise) and the normalizing sum runs
+    over those decimals — exact and order-free; every later operand is
+    an identical double on both engines, so the floor'd 16-bit
+    threshold matches exactly.
+    """
+    toks = (
+        catalog.load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+    )
+    avail = toks.groupBy("source").agg(F.sum("n_tokens").alias("avail_tokens"))
+    grand = avail.agg(F.sum("avail_tokens").alias("grand_total"))
+    sh = avail.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "avail_tokens",
+        "grand_total",
+        F.pow(
+            F.col("avail_tokens").cast("double") / F.col("grand_total").cast("double"),
+            F.lit(ALPHA),
+        )
+        .cast("decimal(30,12)")
+        .alias("spow"),
+    )
+    den = sh.agg(F.sum("spow").alias("den"))
+    rates = sh.crossJoin(F.broadcast(den)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0).cast("double"),
+                (F.col("spow").cast("double") / F.col("den").cast("double"))
+                * (F.lit(BUDGET_FRAC) * F.col("grand_total").cast("double"))
+                / F.col("avail_tokens").cast("double"),
+            )
+            * 65536
+        )
+        .cast("bigint")
+        .alias("keep_thresh"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .filter(F.expr(_BUCKET16) < F.col("keep_thresh"))
+        .select("doc_id", "source", "n_tokens")
+    )
