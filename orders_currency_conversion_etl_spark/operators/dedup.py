@@ -546,3 +546,76 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring containment (L1, the "shared exact span" detector)
+# --------------------------------------------------------------------------
+
+#: Span width in tokens. 20 tokens ≈ the scale of spans the
+#: exact-substring dedup literature targets (long enough that a match
+#: is never coincidence, short enough to catch partial copies).
+SPAN_K = 20
+#: Spans appearing in more than this many documents are boilerplate
+#: (headers, licence blocks) — excluded from pair generation, which
+#: also bounds the self-join fan-out per span at scale.
+SPAN_MAX_DF = 50
+
+_SUBSTR_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sp AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')) AS h
+    FROM tok, unnest(range(1, greatest(len(toks) - {SPAN_K} + 2, 1))) AS u(i)
+), keep AS (
+    SELECT h FROM sp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {SPAN_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_spans
+FROM sp a JOIN keep USING (h) JOIN sp b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query("dedup_exact_substring", _SUBSTR_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of documents sharing at least one EXACT 20-token span —
+    containment detection (one doc quoting a chunk of another), which
+    threshold-similarity dedup (Jaccard/MinHash) structurally misses
+    when the containing doc is much longer than the contained span.
+
+    Shape: sliding K-token windows per doc → md5 per span (32-hex
+    string, so the join key is fixed-width regardless of K) → distinct
+    (doc, span) → document-frequency filter 2..SPAN_MAX_DF → self-join
+    on span hash → per-pair span count. The DF filter does double
+    duty: spans in >50 docs are boilerplate, not copying — and
+    dropping them caps the equi-join fan-out per key, so the pair
+    stream is ≤ C(50,2) per surviving span at any corpus size (the
+    hot-shingle mitigation the Jaccard variant documents). One shuffle
+    for the distinct, one for the DF filter, one for the pair agg.
+    """
+    docs = catalog.load_table_parallel(spark, sf_dir, "documents")
+    sp = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .select(
+            "doc_id",
+            F.explode(token_shingles("toks", k=SPAN_K)).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("h"))
+        .distinct()
+    )
+    sp = _shared(sp)  # read by the DF filter AND both sides of the pair join
+    keep = (
+        sp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_MAX_DF))
+        .select("h")
+    )
+    a = sp.alias("a").join(keep, "h")
+    b = sp.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
