@@ -486,3 +486,125 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm").cast("decimal(18,12)").alias("min_norm"),
         F.max("norm").cast("decimal(18,12)").alias("max_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (fixed Lloyd iterations — the iterative-ML capability class)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _km_iter_sql(cent: str, out: str) -> str:
+    """One Lloyd iteration as SQL CTEs: assign every vector to its
+    nearest centroid (exact-decimal distance, deterministic tiebreak),
+    then recompute centroids as dimension-wise means."""
+    return f"""
+asgn_{out} AS (
+    SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cid ASC) AS rn
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   SUM(CAST(floor((v.x - c.val) * (v.x - c.val) * 1e12) AS BIGINT)) AS dist
+            FROM vx v JOIN {cent} c ON v.dim = c.dim
+            GROUP BY v.vec_id, c.cid
+        ) d
+    ) r WHERE rn = 1
+), {out} AS (
+    SELECT a.cid, v.dim,
+           (CAST(SUM(CAST(floor(v.x * 1e6) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(*) AS val,
+           COUNT(*) AS n_members
+    FROM asgn_{out} a JOIN vx v ON a.vec_id = v.vec_id
+    GROUP BY a.cid, v.dim
+)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH vx AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), cent0 AS (
+    SELECT vec_id AS cid, dim, x AS val
+    FROM vx
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),{_km_iter_sql("cent0", "cent1")},{_km_iter_sql("cent1", "cent2")}
+SELECT cid AS cluster_id, dim, val AS centroid_val, n_members
+FROM cent{KMEANS_ITERS}
+"""
+
+
+@query("kmeans_embeddings", _KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding table: {KMEANS_ITERS} fixed Lloyd
+    iterations from a deterministic init (the K lowest vec_ids), output
+    the final centroids dimension-wise with cluster sizes.
+
+    The iterative-ML sibling of pagerank_parts: E-step = broadcast the
+    tiny centroid table (K x D rows) into the exploded vector table
+    (map-side, no shuffle), aggregate squared-distance per (vector,
+    centroid), pick argmin with a deterministic (dist, cid) tiebreak;
+    M-step = dimension-wise mean per cluster — the same exact-decimal
+    recipe as embedding_centroids. At 100 TB the only wide data is the
+    exploded vectors (rows x dims); every per-iteration join is
+    broadcast or key-partitioned on vec_id, and the centroid state is
+    K x D rows regardless of corpus size. Fixed iteration count keeps
+    the oracle expressible as unrolled CTEs (convergence-stopped
+    variants add a driver-side delta check per loop, same plan).
+
+    Parity: centroids flow as DOUBLE end-to-end (float32 -> double is
+    exact). All cross-engine folds are FLOOR-based fixed-point, never
+    double->DECIMAL rounding: distances sum floor(sq * 1e12) and the
+    M-step mean sums floor(x * 1e6), both as exact BIGINTs. floor of
+    an identical IEEE double is bit-identical on both engines, while
+    double->DECIMAL rounding is engine-specific near the last ulp
+    (Spark rounds the exact binary expansion, DuckDB's cast behaves
+    like rounding the shortest repr — measured divergence at scale 15
+    AND a residual 1-element hit at scale 9 on sf0.1; same reason
+    embedding_quantize_int8 floors). The 1e-6 quantization biases each
+    mean by <1e-6 — immaterial to clustering and applied identically
+    on both engines; argmin ties break on cid over exact integers.
+    """
+    vx = catalog.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+
+    init_ids = (
+        catalog.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id").orderBy("vec_id").limit(KMEANS_K)
+    )
+    cent = (
+        vx.join(F.broadcast(init_ids), "vec_id")
+        .select(F.col("vec_id").alias("cid"), "dim", F.col("x").alias("val"))
+    )
+    for _ in range(KMEANS_ITERS):
+        sq = (F.col("x") - F.col("val")) * (F.col("x") - F.col("val"))
+        dist = (
+            vx.join(F.broadcast(cent.select("cid", "dim", "val")), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.floor(sq * F.lit(1e12)).cast("bigint")).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        asgn = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            asgn.join(vx, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * F.lit(1e6)).cast("bigint")).cast("double")
+                    / F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                ).alias("val"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+    return cent.select(
+        F.col("cid").alias("cluster_id"), "dim", F.col("val").alias("centroid_val"), "n_members"
+    )

@@ -250,3 +250,63 @@ def test_exactness_baselines_are_size_guarded(spark, monkeypatch):
     for name in ("dedup_embedding_cosine", "knn_brute_force"):
         with pytest.raises(guards.BaselineScaleError, match=name):
             QUERIES[name](spark, SF)
+
+
+def test_kmeans_partition_is_exhaustive_and_bounded(spark):
+    from orders_currency_conversion_etl_spark.operators.similarity import (
+        KMEANS_K,
+    )
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    cent = QUERIES["kmeans_embeddings"](spark, SF)
+    n_vecs = catalog.load_table(spark, SF, "embeddings").count()
+    # cluster sizes are constant across a cluster's dims, every vector
+    # is assigned to exactly one live cluster, and there are <= K of them
+    sizes = cent.select("cluster_id", "n_members").distinct()
+    assert sizes.count() == sizes.select("cluster_id").distinct().count()
+    total = sizes.agg(F.sum("n_members")).collect()[0][0]
+    assert total == n_vecs
+    assert sizes.count() <= KMEANS_K
+    assert sizes.filter(F.col("n_members") <= 0).count() == 0
+
+
+def test_exact_substring_pairs_ordered_and_positive(spark):
+    pairs = QUERIES["dedup_exact_substring"](spark, SF)
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert pairs.filter(F.col("n_shared_spans") <= 0).count() == 0
+
+
+def test_unigram_logprob_positive_and_complete(spark):
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    d = QUERIES["text_unigram_logprob"](spark, SF)
+    n_docs = catalog.load_table(spark, SF, "documents").count()
+    assert d.count() == n_docs  # every doc scored
+    # -ln(p) > 0 for every token since every p < 1 on a >1-token corpus
+    assert d.filter(F.col("avg_token_nll") <= 0).count() == 0
+    assert d.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_temperature_mixing_flattens_toward_rare_sources(spark):
+    """alpha<1 must give every source a keep-rate >= the natural-share
+    mix would (for rare sources) while never exceeding availability."""
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    kept = (
+        QUERIES["mix_sources_temperature"](spark, SF)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("kept_tokens"))
+    )
+    avail = (
+        catalog.load_table(spark, SF, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+    )
+    j = kept.join(avail, "source").collect()
+    assert len(j) > 0
+    for r in j:
+        assert 0 < r["kept_tokens"] <= r["avail_tokens"]
