@@ -29,7 +29,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fn import hex_to_long_sql
@@ -577,4 +577,69 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(reached_view).alias("stage_view"),
         cnt(reached_click).alias("stage_click"),
         cnt(reached_purchase).alias("stage_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis top-k)
+# --------------------------------------------------------------------------
+
+ES_SAMPLE_K = 100
+
+#: 52-bit md5-uniform per doc — 13 hex chars parse exactly into a
+#: double-representable integer, so u = (v+1)/2^52 ∈ (0, 1] is the
+#: same double on both engines.
+_ES_V = hex_to_long_sql("substr(md5(CAST(doc_id AS STRING)), 1, 13)", 13)
+_ES_V_DUCK = _ES_V.replace("AS STRING", "AS VARCHAR")
+
+_ES_ORACLE = rf"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           ln(CAST(({_ES_V_DUCK}) + 1 AS DOUBLE) / 4503599627370496.0)
+             / len(string_split_regex(trim(text), '\s+')) AS k
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INT) AS sample_rank
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {ES_SAMPLE_K}
+"""
+
+
+@query("sample_weighted_es", _ES_ORACLE)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis):
+    every doc draws a deterministic md5-uniform u and the k docs with
+    the largest u^(1/weight) — equivalently largest ln(u)/weight —
+    are the sample, weight = token count (long docs oversampled in
+    proportion).
+
+    This is THE distributed shape for weighted sampling without
+    replacement: one scan computing a per-row key, then top-k — which
+    Spark compiles to TakeOrderedAndProject (per-partition heaps of k,
+    merged on the driver), so there is no shuffle and no global sort
+    at any corpus size. The rank column is a window over the k
+    SELECTED rows only (one tiny task), not the corpus.
+
+    Parity: u is exact (52-bit integer / 2^52 — both doubles
+    bit-identical); ln carries ≤1 ulp cross-engine noise, which only
+    matters if two keys coincide within ~1e-16 relative — md5-distinct
+    u values make that vanishingly improbable, and the (key, doc_id)
+    sort breaks exact ties deterministically. The key itself is never
+    output.
+    """
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    u = (F.expr(_ES_V) + 1).cast("double") / F.lit(4503599627370496.0)
+    keyed = d.withColumn("k", F.log(u) / F.col("n_tokens"))
+    topk = keyed.orderBy(F.col("k").desc(), "doc_id").limit(ES_SAMPLE_K)
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        topk.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "source", "n_tokens", "sample_rank")
     )
