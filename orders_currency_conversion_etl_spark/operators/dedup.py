@@ -619,3 +619,52 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source near-duplication matrix (corpus contamination diagnostic)
+# --------------------------------------------------------------------------
+
+_XSOURCE_ORACLE = f"""
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       COUNT(*) AS n_dup_pairs,
+       MAX(p.jaccard) AS max_jaccard
+FROM ({_minhash_lsh_oracle()}) p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+"""
+
+
+@query("dedup_cross_source_matrix", _XSOURCE_ORACLE)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources near-duplicate which: the MinHash+LSH duplicate
+    pairs rolled up to an unordered source×source matrix with pair
+    counts and the strongest overlap per cell — the standard corpus
+    diagnostic for cross-source contamination (e.g. the same page
+    crawled by two pipelines) before mixing weights are chosen.
+
+    Composition, not reimplementation: the pair stream IS
+    dedup_minhash_lsh (same shingle/signature/band constants), so the
+    scale argument carries over unchanged; the rollup adds two
+    broadcast joins against the tiny (doc_id, source) projection and a
+    ≤|sources|² aggregation. max_jaccard (order-free) rather than an
+    avg keeps the double column deterministic under any partitioning.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("a_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("b_id") == F.col("doc_b"))
+        .groupBy(
+            F.least("a_src", "b_src").alias("source_x"),
+            F.greatest("a_src", "b_src").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
