@@ -113,3 +113,34 @@ def convert_orders(
         .alias("exchange_rate"),
         F.lit(conversion_time).cast("timestamp").alias("exchange_rate_date"),
     )
+
+
+def convert_orders_observed(
+    orders_src: DataFrame,
+    rates: DataFrame,
+    conversion_time: dt.datetime,
+    batch_limit: int | None = None,
+):
+    """convert_orders + pipeline metrics via ``df.observe`` — the
+    Spark-native replacement for the reference's driver-side result
+    message and row-count logging (reference:
+    dags/order_currency_conversion_dag.py:159 returns "Processed N
+    orders", :97-99 logs the empty-batch case).
+
+    ``observe`` accumulates the metrics ON THE EXECUTORS during the
+    action that consumes the DataFrame — no second scan, no collect,
+    correct at any scale (a separate ``df.count()`` for logging would
+    re-run the whole plan). Returns ``(df, observation)``; read
+    ``observation.get`` after an action has run.
+    """
+    from pyspark.sql import Observation
+
+    df = convert_orders(orders_src, rates, conversion_time, batch_limit)
+    obs = Observation("conversion_metrics")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("processed_orders"),
+        F.count_if(F.col("original_currency") == "EUR").alias("eur_passthrough"),
+        F.sum(F.col("amount_eur")).alias("total_amount_eur"),
+    )
+    return df, obs

@@ -643,3 +643,38 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "source", "n_tokens", "sample_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split (stratified by construction)
+# --------------------------------------------------------------------------
+
+_SPLIT_BUCKET = hex_to_long_sql("substr(md5(CAST(doc_id AS STRING)), 1, 4)", 4)
+_SPLIT_BUCKET_DUCK = _SPLIT_BUCKET.replace("AS STRING", "AS VARCHAR")
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN ({_SPLIT_BUCKET_DUCK}) % 100 < 80 THEN 'train'
+            WHEN ({_SPLIT_BUCKET_DUCK}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@query("split_train_val_test", _SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5-bucket of doc_id —
+    deterministic (same doc always lands in the same split, across
+    engines, retries, repartitions, and corpus growth: adding docs
+    never moves an existing one between splits, which rand()-based
+    splitting cannot promise). Stratification across sources comes for
+    free since the hash is independent of source. Shuffle-free per-row
+    projection; at 100 TB this is a zero-cost column, typically used
+    as a partition key for the sink write.
+    """
+    bucket = F.expr(_SPLIT_BUCKET) % 100
+    return catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -92,3 +92,48 @@ def user_running_totals_batch(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(_one_shot, schema=OUTPUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin of the same operator
+# --------------------------------------------------------------------------
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's arbitrary-state
+    API (`transformWithStateInPandas`): state is a named, typed
+    ValueState in the state store instead of a single opaque tuple —
+    the successor API to applyInPandasWithState, with composable state
+    variables, TTL, and timers. Kept semantically identical to
+    `_update_user_totals` so both twins converge to the same batch
+    snapshot (asserted in tests/test_stateful_streaming.py). The
+    processor class is defined inside this function so importing the
+    module never hard-depends on the Spark 4 API surface."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events BIGINT, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            state = self._totals.get() if self._totals.exists() else None
+            n, total = (int(state[0]), float(state[1])) if state else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -310,3 +310,31 @@ def test_temperature_mixing_flattens_toward_rare_sources(spark):
     assert len(j) > 0
     for r in j:
         assert 0 < r["kept_tokens"] <= r["avail_tokens"]
+
+
+def test_weighted_sample_ranks_are_dense_and_bounded(spark):
+    from orders_currency_conversion_etl_spark.plans.analytics import ES_SAMPLE_K
+
+    s = QUERIES["sample_weighted_es"](spark, SF).collect()
+    ranks = sorted(r["sample_rank"] for r in s)
+    assert ranks == list(range(1, min(ES_SAMPLE_K, len(ranks)) + 1))
+    assert len({r["doc_id"] for r in s}) == len(s)
+
+
+def test_cross_source_matrix_cells_are_canonical(spark):
+    m = QUERIES["dedup_cross_source_matrix"](spark, SF)
+    assert m.filter(F.col("source_x") > F.col("source_y")).count() == 0
+    assert m.filter(F.col("n_dup_pairs") <= 0).count() == 0
+    assert m.filter((F.col("max_jaccard") < 0.7) | (F.col("max_jaccard") > 1.0)).count() == 0
+
+
+def test_split_is_exhaustive_and_stable(spark):
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    s = QUERIES["split_train_val_test"](spark, SF)
+    n_docs = catalog.load_table(spark, SF, "documents").count()
+    assert s.count() == n_docs
+    by = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by) <= {"train", "val", "test"}
+    # rough 80/10/10 shape (hash uniformity at 1000 docs: generous bounds)
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from orders_currency_conversion_etl_spark.sources import catalog
@@ -70,3 +72,55 @@ def test_stateful_stream_processes_multiple_batches(spark):
             .filter((F.col("n_snapshots") > 1))
         )
         assert growth.count() > 0
+
+
+def _protobuf_works() -> bool:
+    # transformWithStateInPandas talks to the state store over a
+    # protobuf protocol; this container ships a broken google.protobuf
+    # (namespace package without descriptor), which crashes the
+    # streaming driver worker. Real clusters have the real dependency.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_works(),
+    reason="google.protobuf broken in container; transformWithState needs it",
+)
+def test_transform_with_state_converges_to_batch(spark):
+    """The Spark 4 transformWithStateInPandas twin must produce the
+    same final per-user state as the applyInPandasWithState path and
+    the batch snapshot."""
+    import tempfile as _tf
+
+    from orders_currency_conversion_etl_spark.streaming.stateful import (
+        user_running_totals_tws,
+    )
+
+    with _tf.TemporaryDirectory() as work:
+        stage = stage_events_as_stream_source(spark, SF, os.path.join(work, "stage"))
+        out_dir = os.path.join(work, "out")
+        q = (
+            user_running_totals_tws(read_events_stream(spark, stage))
+            .writeStream.outputMode("update")
+            .foreachBatch(snapshot_sink(out_dir))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snapshots = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+        final = snapshots.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        batch = user_running_totals_batch(catalog.load_table(spark, SF, "events"))
+        f = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+        b = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+        assert set(f) == set(b)
+        assert all(f[u][0] == b[u][0] for u in f)
+        assert all(abs(f[u][1] - b[u][1]) < 1e-6 * max(1.0, abs(b[u][1])) for u in f)
