@@ -124,3 +124,103 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # variant is equivalent.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting with degree orientation (the bounded-wedge trick)
+# --------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddst
+    FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+)
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM oriented GROUP BY src)) AS max_outdeg
+FROM (
+    SELECT w1.dst AS v, w2.dst AS w
+    FROM oriented w1 JOIN oriented w2
+      ON w1.src = w2.src AND (w1.ddst, w1.dst) < (w2.ddst, w2.dst)
+) wedge
+JOIN oriented t ON t.src = wedge.v AND t.dst = wedge.w
+"""
+
+
+@query("triangles_parts", _TRIANGLES_ORACLE)
+def triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-occurrence graph via DEGREE
+    orientation: every undirected edge points from its lower-(degree,
+    id) endpoint to the higher one, wedges are ordered out-neighbor
+    pairs of one node, and a triangle is a wedge whose closing edge
+    exists in the same oriented set.
+
+    Orientation is the whole scale story: out-degree under degree
+    orientation is O(sqrt(edges)) regardless of hub size (a naive
+    wedge count explodes quadratically on the hottest node), so the
+    wedge join is bounded per key — max_outdeg in the output is the
+    witness (90 vs sqrt(115k)≈340 at sf0.01). Both joins hash on node
+    keys; deg (|nodes| rows) broadcasts. The ordering key must be the
+    SAME (degree, id) tuple in the wedge pairing as in the orientation
+    — ordering wedges by bare id silently halves the count (measured:
+    207,786 vs the true 413,718 at sf0.01).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    # localCheckpoint, not persist: edges feeds deg/oriented/n_edges and
+    # oriented is read FOUR times (both wedge sides, the closing probe,
+    # max_outdeg) — without lineage truncation the re-nested build plans
+    # 66 exchanges (cap 20). Same reasoning as the pagerank loop.
+    edges = (
+        sets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ku = F.struct(F.col("du"), F.col("u"))
+    kv = F.struct(F.col("dv"), F.col("v"))
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ku < kv, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv_"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw_"))
+    wedge = w1.join(w2, "src").filter(
+        F.struct(F.col("dv_"), F.col("v")) < F.struct(F.col("dw_"), F.col("w"))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.join(closing, ["v", "w"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    max_out = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_outdeg"))
+    )
+    return tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(max_out))
