@@ -490,10 +490,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path. The n² here is a crossJoin Catalyst executes as
     BroadcastNestedLoopJoin with the smaller side broadcast. Guarded:
     refuses inputs beyond guards.MAX_EXACT_BASELINE_ROWS."""
-    from .guards import assert_baseline_size
+    import os
 
+    from .guards import assert_parquet_baseline_size
+
+    assert_parquet_baseline_size(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+    )
     e = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assert_baseline_size(e, "dedup_embedding_cosine", "dedup_minhash_lsh")
     d = e.select(
         "vec_id",
         "embedding",
@@ -618,6 +624,108 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < F.col("doc_b"))
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest duplicated substring (suffix-array-grade containment, L1)
+# --------------------------------------------------------------------------
+
+_LONGEST_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sp AS (
+    SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')) AS h
+    FROM tok, unnest(range(1, greatest(len(toks) - {SPAN_K} + 2, 1))) AS u(i)
+), keep AS (
+    SELECT h FROM sp GROUP BY h
+    HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_MAX_DF}
+), m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pa, a.pos - b.pos AS diag
+    FROM sp a JOIN keep USING (h) JOIN sp b USING (h)
+    WHERE a.doc_id < b.doc_id
+), isl AS (
+    SELECT doc_a, doc_b, diag,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM m
+), runs AS (
+    SELECT doc_a, doc_b, COUNT(*) AS run_len
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       MAX(run_len) + {SPAN_K - 1} AS longest_dup_tokens,
+       COUNT(*) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_longest_substring", _LONGEST_ORACLE)
+def dedup_longest_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest EXACT duplicated substring per document pair — the
+    variable-length upgrade of dedup_exact_substring. The standard is
+    longest-duplicate-substring via suffix arrays (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method); a literal distributed suffix array is a poor fit for the
+    DataFrame model, so this is the equivalent distributed shape:
+
+      positional span table  doc → (pos, md5(K-token span))
+      → DF filter (2..SPAN_MAX_DF distinct docs, boilerplate cap)
+      → pair join on span hash, keeping BOTH positions
+      → run-length merge: matches on one alignment share a diagonal
+        (pa - pb); consecutive pa values on a diagonal are one run
+        (gaps-and-islands: grp = pa - row_number over the diagonal)
+      → a run of L consecutive matching K-spans is one shared
+        substring of exactly L + K - 1 tokens.
+
+    Reports, per pair: the longest shared substring (in tokens) and the
+    number of distinct maximal shared runs across all alignments —
+    lengths the fixed-window variant cannot see (it counts spans, so a
+    50-token quote and fifty scattered 20-token matches look alike).
+
+    Scale: inherits the span-table bounds (DF cap ≤ {SPAN_MAX_DF} docs
+    per span ⇒ bounded pair fan-out); the merge adds one window shuffle
+    partitioned by (pair, diagonal) — keys are fine-grained, skew-free
+    by construction (a diagonal holds at most min(len_a, len_b) spans).
+    Positions ride along the existing exchanges, so the plan is the
+    fixed-window plan plus exactly one extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = catalog.load_table_parallel(spark, sf_dir, "documents")
+    sp = (
+        docs.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .select(
+            "doc_id",
+            F.posexplode(token_shingles("toks", k=SPAN_K)).alias("pos", "span"),
+        )
+        .select("doc_id", "pos", F.md5("span").alias("h"))
+    )
+    sp = _shared(sp)  # read by the DF filter AND both sides of the pair join
+    keep = (
+        sp.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_MAX_DF))
+        .select("h")
+    )
+    a = sp.join(keep, "h").select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = sp.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("run_len") + F.lit(SPAN_K - 1)).alias("longest_dup_tokens"),
+        F.count(F.lit(1)).alias("n_runs"),
     )
 
 

@@ -6,11 +6,20 @@ pairwise-cosine dedup and the linear-scan brute-force kNN. Nothing in
 Catalyst stops a user from pointing them at a billion-row corpus —
 they plan as broadcast nested-loop joins, not CartesianProduct, so the
 plan lint can't catch it either. This guard does: any invocation above
-the row threshold fails fast with a pointer to the scale path, for the
-cost of one count() over the (columnar, count-optimized) parquet scan.
+the row threshold fails fast with a pointer to the scale path.
+
+The size check is metadata-only where possible: for a parquet table the
+row count comes from the file footer (pyarrow, cached per path), so
+plan-only consumers (plan lint, dump_plans, the no-decimal lint) never
+trigger a Spark count job just by *building* the guarded query — the
+round-2 guard ran an eager df.count() per invocation, which both taxed
+schema-only callers and double-scanned when the query then executed.
 """
 
 from __future__ import annotations
+
+import functools
+import os
 
 from pyspark.sql import DataFrame
 
@@ -24,12 +33,46 @@ class BaselineScaleError(RuntimeError):
     """Raised when an exactness baseline is invoked beyond its bound."""
 
 
+@functools.lru_cache(maxsize=64)
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet footer metadata — no Spark job, no scan.
+
+    Accepts a single file or a directory of part files (sums footers).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _fail(op: str, n: int, scale_path: str) -> None:
+    raise BaselineScaleError(
+        f"{op} is an exactness baseline bounded to "
+        f"{MAX_EXACT_BASELINE_ROWS} input rows (got {n}); at scale "
+        f"use {scale_path} instead"
+    )
+
+
+def assert_parquet_baseline_size(path: str, op: str, scale_path: str) -> None:
+    """Guard using cached parquet footer metadata (action-free)."""
+    n = parquet_row_count(path)
+    if n > MAX_EXACT_BASELINE_ROWS:
+        _fail(op, n, scale_path)
+
+
 def assert_baseline_size(df: DataFrame, op: str, scale_path: str) -> DataFrame:
+    """Guard an arbitrary DataFrame input (runs one count() job).
+
+    Prefer :func:`assert_parquet_baseline_size` when the input is a
+    parquet table — that variant is metadata-only and cached.
+    """
     n = df.count()
     if n > MAX_EXACT_BASELINE_ROWS:
-        raise BaselineScaleError(
-            f"{op} is an exactness baseline bounded to "
-            f"{MAX_EXACT_BASELINE_ROWS} input rows (got {n}); at scale "
-            f"use {scale_path} instead"
-        )
+        _fail(op, n, scale_path)
     return df

@@ -124,15 +124,15 @@ WITH toks AS (
     SELECT SUM(avail_tokens) AS grand_total FROM avail
 ), sh AS (
     SELECT source, avail_tokens,
-           CAST(pow(CAST(avail_tokens AS DOUBLE) / CAST((SELECT grand_total FROM grand) AS DOUBLE),
-                    {ALPHA!r}) AS DECIMAL(30,12)) AS spow
+           CAST(floor(pow(CAST(avail_tokens AS DOUBLE) / CAST((SELECT grand_total FROM grand) AS DOUBLE),
+                          {ALPHA!r}) * 1e12) AS BIGINT) AS spow_fp
     FROM avail
 ), den AS (
-    SELECT SUM(spow) AS den FROM sh
+    SELECT SUM(spow_fp) AS den FROM sh
 ), rates AS (
     SELECT source,
            CAST(floor(least(CAST(1.0 AS DOUBLE),
-                (CAST(spow AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE))
+                (CAST(spow_fp AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE))
                 * ({BUDGET_FRAC!r} * CAST((SELECT grand_total FROM grand) AS DOUBLE))
                 / CAST(avail_tokens AS DOUBLE)) * 65536) AS BIGINT) AS keep_thresh
     FROM sh
@@ -152,12 +152,16 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source stats, then a shuffle-free broadcast + md5-bucket
     predicate over the corpus.
 
-    Parity: pow() differs by ≤1 ulp between JVM and libm, so each
-    share^α is pinned at DECIMAL(30,12) (tie-free: the rounding grid
-    is 1e5× coarser than the ulp noise) and the normalizing sum runs
-    over those decimals — exact and order-free; every later operand is
-    an identical double on both engines, so the floor'd 16-bit
-    threshold matches exactly.
+    Parity: the repo's floor fixed-point convention (same as
+    kmeans_embeddings / embedding_quantize_int8): each share^α is
+    folded to floor(pow(...)*1e12) AS BIGINT on both engines —
+    bit-identical floor of an identical double, with no decimal
+    rounding step (Spark rounds a double→DECIMAL cast from the exact
+    binary expansion while DuckDB rounds the shortest repr, so a
+    DECIMAL pin is engine-divergent near 1e-12 boundaries). The
+    normalizing sum is an exact BIGINT sum (< 2e13 « 2^53, so its
+    double cast is also exact); every later operand is an identical
+    double on both engines and the floor'd 16-bit threshold matches.
     """
     toks = (
         catalog.load_table(spark, sf_dir, "documents")
@@ -173,20 +177,23 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "avail_tokens",
         "grand_total",
-        F.pow(
-            F.col("avail_tokens").cast("double") / F.col("grand_total").cast("double"),
-            F.lit(ALPHA),
+        F.floor(
+            F.pow(
+                F.col("avail_tokens").cast("double") / F.col("grand_total").cast("double"),
+                F.lit(ALPHA),
+            )
+            * F.lit(1e12)
         )
-        .cast("decimal(30,12)")
-        .alias("spow"),
+        .cast("bigint")
+        .alias("spow_fp"),
     )
-    den = sh.agg(F.sum("spow").alias("den"))
+    den = sh.agg(F.sum("spow_fp").alias("den"))
     rates = sh.crossJoin(F.broadcast(den)).select(
         "source",
         F.floor(
             F.least(
                 F.lit(1.0).cast("double"),
-                (F.col("spow").cast("double") / F.col("den").cast("double"))
+                (F.col("spow_fp").cast("double") / F.col("den").cast("double"))
                 * (F.lit(BUDGET_FRAC) * F.col("grand_total").cast("double"))
                 / F.col("avail_tokens").cast("double"),
             )

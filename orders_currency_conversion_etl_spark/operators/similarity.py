@@ -89,10 +89,16 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; rank per query with a deterministic vec_id tiebreak.
     Linear-scan exactness baseline — guarded: refuses corpora beyond
     guards.MAX_EXACT_BASELINE_ROWS (knn_lsh_bucketed/knn_ivf scale)."""
-    from .guards import assert_baseline_size
+    import os
 
+    from .guards import assert_parquet_baseline_size
+
+    assert_parquet_baseline_size(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "knn_brute_force",
+        "knn_lsh_bucketed/knn_ivf",
+    )
     d = _with_norm(_emb(spark, sf_dir))
-    assert_baseline_size(d, "knn_brute_force", "knn_lsh_bucketed/knn_ivf")
     q = d.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as dt
 import functools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,8 +53,15 @@ ORACLES: dict[str, str] = {}
 # ------------------------------------------------------------------
 
 #: Parquet dir used only to bind oracle SQL for DESCRIBE (schema is
-#: identical across scale factors; nothing is read).
-SCHEMA_PROBE_DIR = "/root/testdata/sf0.001"
+#: identical across scale factors; nothing is read). Overridable so
+#: the entry point keeps working on machines without /root/testdata —
+#: point SPARK_GRAFT_SCHEMA_DIR (or SPARK_GRAFT_SF_DIR, the bench's
+#: data dir variable) at any directory holding the ten table parquets.
+SCHEMA_PROBE_DIR = (
+    os.environ.get("SPARK_GRAFT_SCHEMA_DIR")
+    or os.environ.get("SPARK_GRAFT_SF_DIR")
+    or "/root/testdata/sf0.001"
+)
 
 ORACLE_TABLES = (
     "region",

@@ -99,6 +99,55 @@ def user_running_totals_batch(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: DDL string for the named ValueState — parsed by Spark into the state
+#: store schema; tests assert it parses to {n_events BIGINT,
+#: total_value DOUBLE} via StructType.fromDDL.
+TWS_STATE_DDL = "n_events BIGINT, total_value DOUBLE"
+
+
+def _stateful_processor_base() -> type:
+    """The Spark 4 StatefulProcessor ABC, or ``object`` when the API
+    surface is absent — importing this module must never hard-depend
+    on it (the class's own methods are the whole contract we use)."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        return StatefulProcessor
+    except ImportError:  # pragma: no cover - Spark 4 always has it
+        return object
+
+
+class RunningTotalsProcessor(_stateful_processor_base()):
+    """transformWithStateInPandas processor: per-user (count, total)
+    as a named, typed ValueState.
+
+    Module-level (not closure-local) so its logic is unit-testable
+    against a fake handle without the streaming transport: the
+    end-to-end stream needs google.protobuf in the Python worker,
+    which this container lacks, so
+    tests/test_stateful_streaming.py::test_tws_processor_logic_matches_batch
+    drives init/handleInputRows directly (DDL schema string,
+    exists/get/update protocol, snapshot output) and the protobuf-gated
+    e2e test covers the transport on real clusters."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", TWS_STATE_DDL)
+
+    def handleInputRows(self, key, rows, timerValues):
+        state = self._totals.get() if self._totals.exists() else None
+        n, total = (int(state[0]), float(state[1])) if state else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def user_running_totals_tws(events: DataFrame) -> DataFrame:
     """The same per-user running totals on Spark 4's arbitrary-state
     API (`transformWithStateInPandas`): state is a named, typed
@@ -106,31 +155,7 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     the successor API to applyInPandasWithState, with composable state
     variables, TTL, and timers. Kept semantically identical to
     `_update_user_totals` so both twins converge to the same batch
-    snapshot (asserted in tests/test_stateful_streaming.py). The
-    processor class is defined inside this function so importing the
-    module never hard-depends on the Spark 4 API surface."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    class RunningTotalsProcessor(StatefulProcessor):
-        def init(self, handle) -> None:
-            self._totals = handle.getValueState(
-                "totals", "n_events BIGINT, total_value DOUBLE"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            state = self._totals.get() if self._totals.exists() else None
-            n, total = (int(state[0]), float(state[1])) if state else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-            )
-
-        def close(self) -> None:
-            pass
-
+    snapshot (asserted in tests/test_stateful_streaming.py)."""
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

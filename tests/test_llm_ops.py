@@ -81,3 +81,61 @@ def test_multimodal_payload_schema(spark):
     p = multimodal.with_binary_payload(docs)
     assert dict(p.dtypes)["payload"] == "binary"
     assert p.schema["media_meta"].dataType.typeName() == "struct"
+
+
+def test_longest_substring_constructed_fixture(spark, tmp_path):
+    """Exact-oracle check of dedup_longest_substring on a constructed
+    corpus with KNOWN ground truth: doc 2 embeds a 50-token passage of
+    doc 1 (→ longest_dup_tokens == 50, one run), doc 3 shares exactly
+    one 20-token span with doc 1 (→ 20, one run), doc 4 is disjoint
+    (→ no pair). Also cross-checks the registered DuckDB oracle on the
+    same fixture, value for value."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orders_currency_conversion_etl_spark.operators.dedup import (
+        SPAN_K,
+        dedup_longest_substring,
+    )
+    from orders_currency_conversion_etl_spark.plans.registry import ORACLES
+
+    t = [f"t{i}" for i in range(120)]       # doc 1: 120 distinct tokens
+    passage = t[30:80]                      # 50-token exact passage
+    doc2 = [f"u{i}" for i in range(40)] + passage + [f"v{i}" for i in range(30)]
+    doc3 = [f"w{i}" for i in range(10)] + t[100:120]  # one exact 20-token span
+    doc4 = [f"x{i}" for i in range(60)]
+    texts = {1: " ".join(t), 2: " ".join(doc2), 3: " ".join(doc3), 4: " ".join(doc4)}
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": [texts[k] for k in sorted(texts)],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": pa.array([len(texts[k]) for k in sorted(texts)], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_dup_tokens, r.n_runs)
+        for r in dedup_longest_substring(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): (50, 1), (1, 3): (SPAN_K, 1)}
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        oracle = {
+            (a, b): (lng, nr)
+            for a, b, lng, nr in con.execute(
+                ORACLES["dedup_longest_substring"]
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == got

@@ -80,9 +80,12 @@ def test_sample_seeded_fraction_and_determinism(spark):
     from orders_currency_conversion_etl_spark.plans.relational_ext import sample_seeded
 
     total = spark.read.parquet(SF_SMOKE + "/orders.parquet").count()
-    a = sample_seeded(spark, SF_SMOKE)
-    n1, n2 = a.count(), sample_seeded(spark, SF_SMOKE).count()
-    assert n1 == n2  # same seed + same input partitioning => deterministic
+    # same seed + same input partitioning => identical ROWS, not just
+    # identical counts (two runs of the full query, value-compared)
+    rows1 = {tuple(r) for r in sample_seeded(spark, SF_SMOKE).collect()}
+    rows2 = {tuple(r) for r in sample_seeded(spark, SF_SMOKE).collect()}
+    assert rows1 == rows2
+    n1 = len(rows1)
     assert 0.05 * total <= n1 <= 0.2 * total  # Bernoulli(0.1) within tolerance
 
 

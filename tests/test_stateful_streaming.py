@@ -74,6 +74,100 @@ def test_stateful_stream_processes_multiple_batches(spark):
         assert growth.count() > 0
 
 
+class _FakeValueState:
+    """Minimal ValueState double: exists/get/update, like
+    pyspark.sql.streaming.stateful_processor.ValueState."""
+
+    def __init__(self):
+        self._v = None
+        self._set = False
+
+    def exists(self) -> bool:
+        return self._set
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = tuple(v)
+        self._set = True
+
+
+class _FakeHandle:
+    """StatefulProcessorHandle double that validates the DDL schema
+    string the same way Spark does (StructType.fromDDL)."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        from pyspark.sql.types import StructType
+
+        parsed = StructType.fromDDL(schema)  # raises on a bad DDL string
+        st = _FakeValueState()
+        self.states[name] = (parsed, st)
+        return st
+
+
+def test_tws_processor_logic_matches_batch(spark):
+    """Drive RunningTotalsProcessor's init/handleInputRows directly
+    (fake handle, multi-micro-batch feed) and assert it converges to
+    the batch snapshot. This covers everything of OURS in the
+    transformWithState twin — the DDL state schema string, the
+    exists/get/update protocol, the handleInputRows signature and
+    snapshot output — without the streaming transport, which needs
+    google.protobuf in the Python worker (absent in this container;
+    the gated e2e test below covers it on real clusters)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    from orders_currency_conversion_etl_spark.streaming.stateful import (
+        TWS_STATE_DDL,
+        RunningTotalsProcessor,
+    )
+
+    proc = RunningTotalsProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert "totals" in handle.states
+    parsed, _ = handle.states["totals"]
+    assert parsed == StructType.fromDDL("n_events BIGINT, total_value DOUBLE")
+    assert TWS_STATE_DDL == "n_events BIGINT, total_value DOUBLE"
+
+    events = catalog.load_table(spark, SF, "events").select("user_id", "value").toPandas()
+    # Simulate 3 micro-batches per user, rows arriving in event order.
+    finals = {}
+    for user_id, pdf in events.groupby("user_id"):
+        user_proc = RunningTotalsProcessor()
+        user_proc.init(_FakeHandle())
+        chunks = [pdf.iloc[i::3] for i in range(3)]  # 3 "micro-batches"
+        for chunk in chunks:
+            if chunk.empty:
+                continue
+            # Spark may hand each batch as an iterator of several Arrow
+            # slices — feed two per batch to exercise the inner loop.
+            half = len(chunk) // 2
+            out = list(
+                user_proc.handleInputRows(
+                    (user_id,), iter([chunk.iloc[:half], chunk.iloc[half:]]), None
+                )
+            )
+            assert len(out) == 1 and isinstance(out[0], pd.DataFrame)
+        finals[user_id] = (
+            int(out[0]["n_events"].iloc[0]),
+            float(out[0]["total_value"].iloc[0]),
+        )
+
+    batch = user_running_totals_batch(catalog.load_table(spark, SF, "events"))
+    b = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert set(finals) == set(b)
+    assert all(finals[u][0] == b[u][0] for u in finals)
+    assert all(
+        abs(finals[u][1] - b[u][1]) < 1e-6 * max(1.0, abs(b[u][1])) for u in finals
+    )
+
+
 def _protobuf_works() -> bool:
     # transformWithStateInPandas talks to the state store over a
     # protobuf protocol; this container ships a broken google.protobuf
