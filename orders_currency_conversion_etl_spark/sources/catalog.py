@@ -28,15 +28,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-        # to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-        # int64 and truncate to microseconds — exactly what DuckDB's
-        # µs-precision TIMESTAMP does to the same file, so oracle
-        # comparisons agree.
+        # events.ts has shipped as two parquet encodings across driver
+        # testdata generations; normalize BOTH to the same TimestampType
+        # every downstream query sees:
+        #  - TIMESTAMP(NANOS): Spark 4 refuses it outright
+        #    ([PARQUET_TYPE_ILLEGAL]) — read nanos as int64 and truncate
+        #    to microseconds, exactly what DuckDB's µs TIMESTAMP does.
+        #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
+        #    as TIMESTAMP_NTZ (inferTimestampNTZ), which breaks
+        #    TZ-typed functions like unix_micros — pin the session to
+        #    UTC and cast, preserving the wall clock bit-for-bit (the
+        #    same naive value DuckDB reads).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     df = spark.read.parquet(path)
     # Parquet is self-describing; assert the columns we promise downstream.
