@@ -15,7 +15,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..plans.registry import query
 from ..sources import catalog
 from .events_stream import WATERMARK, read_events_stream
 
@@ -50,6 +52,61 @@ def stage_duplicated_events(spark: SparkSession, sf_dir: str, stage_dir: str) ->
         p = os.path.join(stage_dir, name)
         os.utime(p, (base + 10 * (i + 1), base + 10 * (i + 1)))
     return stage_dir
+
+
+#: Every 7th event is redelivered — the deterministic stand-in for the
+#: at-least-once failure mode stage_duplicated_events models in full.
+_REDELIVERY_MOD = 7
+
+_DEDUP_TWIN_ORACLE = f"""
+WITH deliveries AS (
+    SELECT event_id, user_id, event_type, value, ts, 1 AS attempt FROM events
+    UNION ALL
+    SELECT event_id, user_id, event_type, value, ts, 2 AS attempt
+    FROM events WHERE event_id % {_REDELIVERY_MOD} = 0
+), ranked AS (
+    SELECT event_id, user_id, event_type, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY attempt) AS rn,
+           COUNT(*) OVER (PARTITION BY event_id) AS n_deliveries
+    FROM deliveries
+)
+SELECT event_id, user_id, event_type, value, ts, n_deliveries
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_stream_first_delivery", _DEDUP_TWIN_ORACLE)
+def dedup_stream_first_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark``: an at-least-once
+    feed (every {_REDELIVERY_MOD}th event redelivered) reduced to
+    exactly-once by keeping the FIRST delivery per event_id — the same
+    keep-first semantics the streaming operator applies to keys within
+    the watermark horizon, plus an n_deliveries column surfacing the
+    redelivery rate. The live stateful path (watermark-bounded state,
+    both copies crossing micro-batches) is exercised by
+    tests/test_dedup_stream.py over stage_duplicated_events.
+
+    Scale: one shuffle on event_id serving both window functions; keys
+    are unique-ish so no skew, and state in the streaming form is
+    bounded by the watermark, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    deliveries = ev.withColumn("attempt", F.lit(1)).unionByName(
+        ev.filter(F.col("event_id") % _REDELIVERY_MOD == 0).withColumn(
+            "attempt", F.lit(2)
+        )
+    )
+    w = Window.partitionBy("event_id")
+    ranked = deliveries.withColumn(
+        "rn", F.row_number().over(w.orderBy("attempt"))
+    ).withColumn("n_deliveries", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_id", "user_id", "event_type", "value", "ts", "n_deliveries"
+    )
 
 
 def run_dedup_stream_once(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
