@@ -82,6 +82,20 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double arithmetic whose accumulated cross-engine noise is ~1e-15;
     DECIMAL(18,12) output is far from any rounding boundary.
     """
+    contrib_src, ranks, n = _pagerank_state(spark, sf_dir)
+    for _ in range(ITERATIONS):
+        # Truncate lineage every iteration: without this the final plan
+        # nests every prior iteration's joins (measured: 116 exchanges
+        # after 3 iterations vs 2 with the checkpoint) and the optimizer
+        # re-plans the whole history each round. On a cluster this is
+        # checkpoint() to reliable storage; locally the block-manager
+        # variant is equivalent.
+        ranks = _pagerank_step(contrib_src, ranks, n).localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
+
+
+def _pagerank_state(spark, sf_dir: str):
+    """Loop-invariant PageRank state: (contrib_src, initial ranks, n)."""
     # Edge build: group each order's parts into a set and explode the
     # pairs — ONE shuffle on l_orderkey (collect_set also dedups the
     # (order, part) multiplicity, so no pre-distinct) plus the final
@@ -105,25 +119,31 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Degrees (|nodes| rows) broadcast into the edge list ONCE; the
     # result is persisted because all iterations reuse it verbatim.
     contrib_src = edges.join(F.broadcast(deg), "src").persist()
-    for _ in range(ITERATIONS):
-        # ranks is |nodes| rows — broadcasting it means the fat edge
-        # table never shuffles inside the loop; the only exchange per
-        # iteration is the contribution aggregation on dst.
-        ranks = (
-            contrib_src.join(F.broadcast(ranks), F.col("src") == F.col("node"))
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
-            .groupBy("dst")
-            .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
-        )
-        # Truncate lineage every iteration: without this the final plan
-        # nests every prior iteration's joins (measured: 116 exchanges
-        # after 3 iterations vs 2 with the checkpoint) and the optimizer
-        # re-plans the whole history each round. On a cluster this is
-        # checkpoint() to reliable storage; locally the block-manager
-        # variant is equivalent.
-        ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
+    return contrib_src, ranks, n
+
+
+def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
+    """One PageRank iteration (the loop body pagerank_parts runs 3×).
+
+    ranks is |nodes| rows — broadcasting it means the fat edge table
+    never shuffles inside the loop; the only exchange per iteration is
+    the contribution aggregation on dst."""
+    return (
+        contrib_src.join(F.broadcast(ranks), F.col("src") == F.col("node"))
+        .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+        .groupBy("dst")
+        .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
+        .select(F.col("dst").alias("node"), "rank")
+    )
+
+
+def pagerank_loop_body(spark, sf_dir: str) -> DataFrame:
+    """One UN-truncated iteration, for plan audits (PLANS.md): the
+    per-iteration exchange claim — one hash exchange (the dst agg),
+    ranks broadcast, edges never reshuffled — is inspectable here,
+    where pagerank_parts itself only shows the post-checkpoint scan."""
+    contrib_src, ranks, n = _pagerank_state(spark, sf_dir)
+    return _pagerank_step(contrib_src, ranks, n)
 
 
 # --------------------------------------------------------------------------
