@@ -54,47 +54,68 @@ HEADLINE = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+#: Locally generated 10x fixtures (scripts/make_sf1.py); when present,
+#: bench also records an sf1 pass so BENCH_r{N} carries measured
+#: sf0.1 -> sf1 scaling evidence instead of extrapolation.
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1")
 
+
+def _run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
     # Untimed warmup pass: run every headline query once so JVM JIT +
     # whole-stage-codegen compilation + python-worker spin-up (one-time
     # session costs, ~3 s for the most complex plans) don't land in the
     # timed pass; the baseline envelope is steady-state throughput.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in HEADLINE:
         registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # warmup must not donate cached data
 
-    # best-of-3: run-to-run variance at sf0.1 is ~2x on the lightest
+    # best-of-N: run-to-run variance at sf0.1 is ~2x on the lightest
     # queries (GC pauses, page cache); the minimum is the steady-state
     # cost, making round-over-round BENCH comparisons signal.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings = _run_headline(spark, sf_dir, runs=3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Secondary sf1 pass (best-of-2: the scaling RATIO needs less
+    # precision than the headline, and the pass is 10x the data).
+    if os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1_timings = _run_headline(spark, SF1_DIR, runs=2)
+        result["sf1_queries"] = sf1_timings
+        result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        # per-query sf1/sf0.1 ratio; 10 = perfectly linear in data size
+        result["sf1_scaling"] = {
+            n: round(sf1_timings[n] / timings[n], 2) if timings[n] > 0 else None
+            for n in sf1_timings
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

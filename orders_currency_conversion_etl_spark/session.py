@@ -36,6 +36,15 @@ def get_spark(app_name: str = "orders-currency-conversion-etl-spark") -> SparkSe
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local-rig scan sizing: test parquet is one file per table, so
+        # the default 128 MB split gives a 100 MB sf1 lineitem scan ONE
+        # task on a 32-core box. 16 MB splits parallelize single-file
+        # scans here; a real cluster (thousands of 128 MB-ish files at
+        # 100 TB) should override back via this env var.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
