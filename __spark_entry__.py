@@ -79,40 +79,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r1: registration order [:50] (22/48 green — DECIMAL boundary bug).
 #   r2: family-spread window (the 50 names in git history at tag of
 #       commit 8d706b4) — 50/50 green; cumulative distinct green 50.
-#   r3 (this one): anchors below + 24 first-time entries — every name
-#       in ROTATION_R3 had zero driver rows before this round.
-#       Target cumulative distinct green: 74.
+#   r3: 26 anchors + ROTATION_R3 (24 first-timers) — 50/50 green;
+#       cumulative distinct driver-green 93/161.
+#   r4 (this one): anchors TRIMMED 26 -> 16 (every dropped anchor has
+#       2+ green driver rows across r2/r3; one representative per
+#       family stays) so the rotation widens to 34 first-timers. The
+#       68 never-driver-checked queries split exactly in half:
+#       ROTATION_R4 takes 34, the remaining 34 (listed in
+#       ROTATION_R5_PLANNED below) drain the backlog to zero in r5 —
+#       after which every registered query has at least one hard
+#       driver row. Target cumulative distinct green: 127.
 ANCHORS = [
-    # flagship ETL + incremental (S6/P*/J1/F1-F4)
+    # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",
     "incremental_unprocessed",
     # aggregation family (A1-A3)
     "agg_pricing_summary",
-    "agg_rollup_region_nation",
-    "agg_percentiles",
-    # window family (W1-W2)
-    "window_latest_order_per_customer",
+    # window family (W1-W2) — also the r3 bench-regression watch
     "window_running_total",
-    # sort/top-k + set ops (O1/U1)
+    # sort/top-k (O1)
     "topk_expensive_orders",
-    "set_union_segments",
-    # join family (J2-J4)
-    "join_semi_customers_with_orders",
+    # as-of join (J4)
     "join_asof_rates",
-    # scalar/function battery (F1, F6-F8, F12)
-    "case_bucket_totalprice",
+    # scalar/function battery (F6-F8)
     "date_functions",
-    "json_extract_props",
     # seeded generator (F9-F11)
     "generate_orders_seeded",
     # streaming batch twin (T1)
     "events_hourly_stats",
-    # TPC-H representative (also the r2 q6 regression watch)
+    # TPC-H representative (the r2/r3 q6 drift watch)
     "tpch_q6_forecast_revenue",
     # graph
     "pagerank_parts",
-    # L1 dedup (exact + near)
-    "dedup_exact",
+    # L1 dedup
     "dedup_minhash_lsh",
     # L2 similarity
     "knn_lsh_bucketed",
@@ -120,48 +119,69 @@ ANCHORS = [
     "text_token_stats",
     # L4 multimodal
     "multimodal_features",
-    # curation / merge / pandas-UDF (F5)
+    # end-to-end curation pipeline
     "curation_pipeline_lsh",
-    "merge_upsert_orders",
-    "pandas_udf_geomean",
 ]
 
-ROTATION_R3 = [
-    # TPC-H shapes never driver-checked (q9 green in r2)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_suppliers_kept_waiting",
-    # iterative / graph / ML
-    "kmeans_embeddings",
-    "triangles_parts",
-    # dedup depth (incl. the new suffix-array-grade op, new in r3)
-    "dedup_exact_substring",
-    "dedup_longest_substring",
-    "dedup_cross_source_matrix",
-    # mixing (decimal hazard fixed in r3 — wants a driver row)
-    "mix_sources_temperature",
-    # sampling / splits
-    "sample_weighted_es",
-    "split_train_val_test",
+ROTATION_R4 = [
+    # TPC-H residue — every TPC-H shape gets its first driver row
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_orders",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_split",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    # dedup depth
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    # similarity depth
+    "knn_brute_force",
+    "knn_recall_at_k",
+    "embedding_centroids",
+    "embedding_quantize_int8",
     # text depth
-    "text_unigram_logprob",
-    "wordcount_topk",
-    "tfidf_top_terms_per_source",
-    # behavioral analytics
-    "scd2_priority_history",
-    "dq_expectations_orders",
-    "grouped_zscore_pandas",
-    "incremental_rollup_merge",
-    "cohort_retention_weekly",
-    "funnel_user_conversion",
-    "snapshot_diff_cdc",
-    # streaming evidence hardening (both new in r3)
-    "attribution_windowed_stats",
-    "dedup_stream_first_delivery",
+    "text_decontaminate",
+    "text_chunk_documents",
+    "text_quality_score",
+    "text_lang_id",
+    # multimodal depth
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # windows / events / sampling / stats
+    "window_top3_per_customer",
+    "outlier_events_iqr",
+    "events_session_window",
+    "agg_mode_median",
+    "sample_stratified_hash",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R3
+#: r5 commitment (the rest of the never-driver-checked set; keep in
+#: sync if the registry grows): agg_approx_percentile, sample_seeded,
+#: events_sliding_stats, topk_nulls_last, agg_boolean_battery,
+#: fuzzy_match_adjacent_docs, profile_columns, join_null_safe,
+#: regression_price_drift, reorder_interval_by_priority,
+#: agg_bitwise_battery, rfm_segmentation, part_cooccurrence_topk,
+#: histogram_value_bins, dau_wau_rolling, events_time_rollup_sets,
+#: event_transition_matrix, shipping_leadtime_histogram,
+#: supplier_share_of_nation, activity_streaks, events_anomaly_mad,
+#: sample_fixed_k_per_group, monthly_revenue_yoy,
+#: events_error_rate_hourly, dedup_cluster_histogram,
+#: text_fingerprint, text_corpus_stats, text_repetition_filter,
+#: text_redact_pii, pack_sequences_greedy, posexplode_leading_tokens,
+#: source_vocab_jaccard, curation_pipeline, embedding_norm_stats.
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R4
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -33,12 +33,24 @@ class BaselineScaleError(RuntimeError):
     """Raised when an exactness baseline is invoked beyond its bound."""
 
 
-@functools.lru_cache(maxsize=64)
-def parquet_row_count(path: str) -> int:
-    """Row count from parquet footer metadata — no Spark job, no scan.
+def _stat_fingerprint(path: str) -> int:
+    """Freshness key for the row-count cache: a rewritten or grown file
+    changes (size, mtime_ns), so a stale count can never re-admit an
+    over-limit corpus within a long-lived driver."""
+    if os.path.isdir(path):
+        sig = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    sig.append((f, st.st_size, st.st_mtime_ns))
+        return hash(tuple(sig))
+    st = os.stat(path)
+    return hash((st.st_size, st.st_mtime_ns))
 
-    Accepts a single file or a directory of part files (sums footers).
-    """
+
+@functools.lru_cache(maxsize=64)
+def _row_count_cached(path: str, fingerprint: int) -> int:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -51,6 +63,31 @@ def parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet footer metadata — no Spark job, no scan.
+
+    Accepts a single file or a directory of part files (sums footers).
+    Local paths are cached keyed on (path, size, mtime) so rewritten
+    fixtures invalidate; remote URIs (s3://, hdfs://) resolve through
+    pyarrow.fs uncached (no cheap freshness key exists there).
+    """
+    if os.path.exists(path):
+        return _row_count_cached(path, _stat_fingerprint(path))
+
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    fs, rel = pafs.FileSystem.from_uri(path)
+    info = fs.get_file_info(rel)
+    if info.type == pafs.FileType.Directory:
+        total = 0
+        for fi in fs.get_file_info(pafs.FileSelector(rel, recursive=True)):
+            if fi.is_file and fi.path.endswith(".parquet"):
+                total += pq.ParquetFile(fs.open_input_file(fi.path)).metadata.num_rows
+        return total
+    return pq.ParquetFile(fs.open_input_file(rel)).metadata.num_rows
+
+
 def _fail(op: str, n: int, scale_path: str) -> None:
     raise BaselineScaleError(
         f"{op} is an exactness baseline bounded to "
@@ -60,7 +97,8 @@ def _fail(op: str, n: int, scale_path: str) -> None:
 
 
 def assert_parquet_baseline_size(path: str, op: str, scale_path: str) -> None:
-    """Guard using cached parquet footer metadata (action-free)."""
+    """Guard using parquet footer metadata (action-free, any filesystem
+    pyarrow.fs can resolve)."""
     n = parquet_row_count(path)
     if n > MAX_EXACT_BASELINE_ROWS:
         _fail(op, n, scale_path)

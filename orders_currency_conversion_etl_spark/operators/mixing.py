@@ -154,11 +154,15 @@ def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: the repo's floor fixed-point convention (same as
     kmeans_embeddings / embedding_quantize_int8): each share^α is
-    folded to floor(pow(...)*1e12) AS BIGINT on both engines —
-    bit-identical floor of an identical double, with no decimal
-    rounding step (Spark rounds a double→DECIMAL cast from the exact
-    binary expansion while DuckDB rounds the shortest repr, so a
-    DECIMAL pin is engine-divergent near 1e-12 boundaries). The
+    folded to floor(pow(...)*1e12) AS BIGINT on both engines. JVM and
+    libm pow can differ by up to 1 ulp (~2e-4 at the 1e12 grid), so
+    the floors match unless the true value lands within ~1e-4 of an
+    integer boundary (~1e-7 chance per source) — overwhelmingly likely
+    rather than guaranteed, the same accepted bound as the
+    kmeans_embeddings convention. No decimal rounding step is used
+    (Spark rounds a double→DECIMAL cast from the exact binary
+    expansion while DuckDB rounds the shortest repr, so a DECIMAL pin
+    is engine-divergent near 1e-12 boundaries). The
     normalizing sum is an exact BIGINT sum (< 2e13 « 2^53, so its
     double cast is also exact); every later operand is an identical
     double on both engines and the floor'd 16-bit threshold matches.

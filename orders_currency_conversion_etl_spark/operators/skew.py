@@ -71,6 +71,109 @@ GROUP BY o.o_orderstatus, dim.status_desc
 """
 
 
+def detect_hot_keys(
+    df: DataFrame, key: str, frac_threshold: float = 0.05, max_keys: int = 32
+) -> list:
+    """Keys carrying more than ``frac_threshold`` of the rows — the
+    candidates worth salting. One partial-agg job over (key) whose
+    result is top-``max_keys`` rows; the collect is bounded and tiny.
+    At 100 TB this is the standard pre-pass (or comes free from table
+    statistics); its cost is one map-side-combined agg, far below the
+    straggler it prevents."""
+    total = df.count()
+    top = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in top if r["_n"] > frac_threshold * total]
+
+
+def salted_fact_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: list,
+    salt_source: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Fact-to-fact equi-join where ``left`` is skewed on ``key``:
+    hot-key rows on the left get a deterministic salt in [0, n_salts)
+    while the right side replicates ONLY its hot-key rows n_salts ways
+    (everything else keeps salt 0) — the hot reducer splits S ways and
+    the non-hot volume is untouched, unlike dim-replication which
+    multiplies the whole build side. Semantics-preserving:
+    salted_fact_join(a, b) == a.join(b, key) exactly.
+
+    This is the engine-level form of what AQE's skewJoin does at
+    runtime for sort-merge joins; it also covers the shapes AQE
+    doesn't (pre-partitioned inputs, aggregation-after-join keyed on
+    the salted columns)."""
+    if not hot_keys:
+        return left.join(right, on=key)
+    hot = F.col(key).isin(*hot_keys)
+    salted_left = left.withColumn(
+        "_salt",
+        F.when(hot, (F.col(salt_source) % n_salts).cast("int")).otherwise(F.lit(0)),
+    )
+    salted_right = right.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                hot, F.array(*[F.lit(i) for i in range(n_salts)])
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return salted_left.join(salted_right, on=[key, "_salt"]).drop("_salt")
+
+
+_FACT_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+           AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_skewed_fact_salted", _FACT_SALTED_ORACLE)
+def join_skewed_fact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by priority through the two-sided salted fact-to-fact
+    join, hot keys auto-detected (>5% of lineitem rows on one
+    orderkey). On uniform testdata the hot set is empty and the plan
+    degenerates to the plain join — the oracle (the unsalted join)
+    proves the rewrite is semantics-preserving either way; the skewed
+    bench (scripts/bench_skew.py, SCALE.md §Skew) supplies the timing
+    evidence under an actually-hot key."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"
+    )
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hot = detect_hot_keys(li, "l_orderkey")
+    joined = salted_fact_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        key="l_orderkey",
+        hot_keys=hot,
+        salt_source="l_linenumber",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("decimal(38,4)")
+        .alias("revenue"),
+    )
+
+
 @query("join_salted_skew", _SALTED_ORACLE)
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by status through a 16-way salted join (3 hot keys split

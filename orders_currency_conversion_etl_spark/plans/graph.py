@@ -94,8 +94,36 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
 
 
+#: (applicationId, sf_dir) -> the previous build's persisted
+#: DataFrames. _pagerank_state persists three DataFrames per build;
+#: without cleanup every extra caller (dump_plans, pagerank_loop_body
+#: after pagerank_parts already ran) leaks a fresh generation of
+#: cached RDDs for the session lifetime. Memoizing the state instead
+#: is NOT safe: DataFrame.is_cached is a local flag that stays True
+#: after catalog.clearCache() (bench clears between timed runs), so a
+#: memo would silently reuse evicted state and recompute the edge
+#: build once per iteration (measured: 3.7 s -> 5.2 s at sf0.1).
+_PAGERANK_PERSISTED: dict[tuple[str, str], tuple] = {}
+
+
 def _pagerank_state(spark, sf_dir: str):
-    """Loop-invariant PageRank state: (contrib_src, initial ranks, n)."""
+    """Loop-invariant PageRank state: (contrib_src, initial ranks, n).
+
+    Always builds fresh persisted state, releasing the previous
+    generation for this (session, sf_dir) first — repeated invocations
+    hold at most one generation of cached RDDs instead of stacking."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for df in _PAGERANK_PERSISTED.pop(key, ()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session stopped or already evicted; nothing to free
+    edges, deg, contrib_src, ranks, n = _pagerank_state_build(spark, sf_dir)
+    _PAGERANK_PERSISTED[key] = (edges, deg, contrib_src)
+    return contrib_src, ranks, n
+
+
+def _pagerank_state_build(spark, sf_dir: str):
     # Edge build: group each order's parts into a set and explode the
     # pairs — ONE shuffle on l_orderkey (collect_set also dedups the
     # (order, part) multiplicity, so no pre-distinct) plus the final
@@ -119,7 +147,7 @@ def _pagerank_state(spark, sf_dir: str):
     # Degrees (|nodes| rows) broadcast into the edge list ONCE; the
     # result is persisted because all iterations reuse it verbatim.
     contrib_src = edges.join(F.broadcast(deg), "src").persist()
-    return contrib_src, ranks, n
+    return edges, deg, contrib_src, ranks, n
 
 
 def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFrame:

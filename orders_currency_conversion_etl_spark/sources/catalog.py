@@ -36,16 +36,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #    to microseconds, exactly what DuckDB's µs TIMESTAMP does.
         #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it
         #    as TIMESTAMP_NTZ (inferTimestampNTZ), which breaks
-        #    TZ-typed functions like unix_micros — pin the session to
-        #    UTC and cast, preserving the wall clock bit-for-bit (the
-        #    same naive value DuckDB reads).
+        #    TZ-typed functions like unix_micros — cast to TIMESTAMP,
+        #    preserving the wall clock bit-for-bit (the same naive value
+        #    DuckDB reads). The NTZ→TZ cast is only wall-clock-exact
+        #    because the session zone is UTC, which session.get_spark /
+        #    tune_existing pin unconditionally — NOT here, so loading
+        #    events never mutates session-wide semantics mid-stream.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     df = spark.read.parquet(path)

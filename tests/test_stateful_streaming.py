@@ -170,11 +170,31 @@ def test_tws_processor_logic_matches_batch(spark):
 
 def _protobuf_works() -> bool:
     # transformWithStateInPandas talks to the state store over a
-    # protobuf protocol; this container ships a broken google.protobuf
-    # (namespace package without descriptor), which crashes the
-    # streaming driver worker. Real clusters have the real dependency.
+    # protobuf protocol; this container has no importable
+    # google.protobuf at all, which crashes the streaming worker.
+    # Real clusters have the real dependency.
+    #
+    # Lift attempt (round 4), documented dead end:
+    #   - pip download protobuf: the index host does not resolve
+    #     (network-isolated container) -> "No matching distribution".
+    #   - no protobuf wheel/sdist anywhere on disk (find / confirmed),
+    #     pip cache empty.
+    #   - the only protobuf source on disk is the google-cloud-sdk
+    #     vendored pure-python copy at
+    #     /usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/
+    #     protobuf (__version__ 4.23.2, imports rewritten to
+    #     cloudsdk.google.*). pyspark 4.1.2's generated
+    #     sql/streaming/proto/StateMessage_pb2.py requires runtime
+    #     >= 6.33.0 (ValidateProtobufRuntimeVersion PUBLIC 6,33,0) and
+    #     imports google.protobuf.runtime_version, which does not
+    #     exist before protobuf 5.27 — shimming the 4.23 copy under
+    #     the google.protobuf name fails at import, two majors short.
+    # The container genuinely cannot run this path; the processor
+    # protocol itself is covered transport-free by
+    # test_tws_processor_logic_matches_batch above.
     try:
         from google.protobuf import descriptor  # noqa: F401
+        from google.protobuf import runtime_version  # noqa: F401
 
         return True
     except ImportError:

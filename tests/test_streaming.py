@@ -43,6 +43,81 @@ def test_stream_checkpoint_idempotency(spark):
         assert first == second
 
 
+def test_stream_restart_recovery_exactly_once(spark):
+    """Kill the stream mid-run — after a batch's target write but
+    before its processed-marker (the worst torn dual-sink state) — and
+    restart from the same checkpoint. The contract under test is the
+    reference's FOR UPDATE replacement end-to-end (SURVEY §7.4): the
+    failed batch replays with the SAME batch id, the idempotent
+    per-batch overwrite heals the torn write, committed batches are
+    not re-emitted, and the final sink equals the one-shot run exactly
+    — no duplicates, no losses."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from orders_currency_conversion_etl_spark.streaming.events_stream import (
+        foreach_batch_dual_sink,
+        read_events_stream,
+        stage_events_as_stream_source,
+    )
+
+    with tempfile.TemporaryDirectory() as work:
+        stage = stage_events_as_stream_source(spark, SF, os.path.join(work, "stage"))
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        inner = foreach_batch_dual_sink(out)
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == 1:
+                # torn write: target lands, marker doesn't, checkpoint
+                # never records the commit
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(out, "orders_eur", f"batch={batch_id}")
+                )
+                raise RuntimeError("injected crash mid-batch")
+            inner(batch_df, batch_id)
+
+        def start(sink):
+            return (
+                tumbling_hourly(read_events_stream(spark, stage))
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start(crashing_sink)
+        try:
+            q.awaitTermination()
+            raise AssertionError("injected crash did not surface")
+        except StreamingQueryException:
+            pass
+
+        # torn state on disk: batch 1 target exists, marker missing
+        assert os.path.isdir(os.path.join(out, "orders_eur", "batch=1"))
+        assert not os.path.isdir(os.path.join(out, "processed", "batch=1"))
+
+        q2 = start(inner)
+        q2.awaitTermination()
+
+        # dual sink consistent again: every target batch has its marker
+        targets = {d for d in os.listdir(os.path.join(out, "orders_eur"))}
+        markers = {d for d in os.listdir(os.path.join(out, "processed"))}
+        assert targets == markers and len(targets) >= 3
+
+        recovered = spark.read.parquet(os.path.join(out, "orders_eur", "batch=*"))
+        # no duplicates: append mode emits each finalized window once
+        assert recovered.count() == recovered.dropDuplicates(["bucket_start"]).count()
+        # no losses: identical to an uninterrupted one-shot run
+        with tempfile.TemporaryDirectory() as clean:
+            oneshot = run_stream_once(spark, SF, clean)
+            assert {tuple(r) for r in recovered.collect()} == {
+                tuple(r) for r in oneshot.collect()
+            }
+
+
 def test_watermark_present_in_plan(spark):
     ev = catalog.load_table(spark, SF, "events")
     agg = tumbling_hourly(ev)
