@@ -75,20 +75,19 @@ def detect_hot_keys(
     df: DataFrame, key: str, frac_threshold: float = 0.05, max_keys: int = 32
 ) -> list:
     """Keys carrying more than ``frac_threshold`` of the rows — the
-    candidates worth salting. One partial-agg job over (key) whose
-    result is top-``max_keys`` rows; the collect is bounded and tiny.
-    At 100 TB this is the standard pre-pass (or comes free from table
-    statistics); its cost is one map-side-combined agg, far below the
-    straggler it prevents."""
-    total = df.count()
-    top = (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .orderBy(F.col("_n").desc())
-        .limit(max_keys)
-        .collect()
-    )
-    return [r[key] for r in top if r["_n"] > frac_threshold * total]
+    candidates worth salting. ONE scan of the fact table (the grouped
+    counts are persisted, so the total and the top-k both read the
+    |keys|-sized aggregate, not the base table); both collects are
+    bounded and tiny. At 100 TB this is the standard pre-pass (or
+    comes free from table statistics), amortized across every query
+    over the table — far below the straggler it prevents."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        total = counts.agg(F.sum("_n").alias("t")).collect()[0]["t"] or 0
+        top = counts.orderBy(F.col("_n").desc()).limit(max_keys).collect()
+        return [r[key] for r in top if r["_n"] > frac_threshold * total]
+    finally:
+        counts.unpersist()
 
 
 def salted_fact_join(
@@ -96,7 +95,7 @@ def salted_fact_join(
     right: DataFrame,
     key: str,
     hot_keys: list,
-    salt_source: str,
+    salt_source: str | list[str],
     n_salts: int = N_SALTS,
 ) -> DataFrame:
     """Fact-to-fact equi-join where ``left`` is skewed on ``key``:
@@ -114,9 +113,18 @@ def salted_fact_join(
     if not hot_keys:
         return left.join(right, on=key)
     hot = F.col(key).isin(*hot_keys)
+    # Hash the salt source(s) instead of a raw modulo, and accept a
+    # column LIST: one low-cardinality source (TPC-H l_linenumber is
+    # 1-7) would populate only a few of the n_salts buckets and the
+    # hot reducer would survive ~unsplit — combined columns restore
+    # uniform bucket fill.
+    sources = [salt_source] if isinstance(salt_source, str) else list(salt_source)
+    salt_expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in sources]), F.lit(n_salts)
+    ).cast("int")
     salted_left = left.withColumn(
         "_salt",
-        F.when(hot, (F.col(salt_source) % n_salts).cast("int")).otherwise(F.lit(0)),
+        F.when(hot, salt_expr).otherwise(F.lit(0)),
     )
     salted_right = right.withColumn(
         "_salt",
@@ -161,7 +169,7 @@ def join_skewed_fact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumnRenamed("o_orderkey", "l_orderkey"),
         key="l_orderkey",
         hot_keys=hot,
-        salt_source="l_linenumber",
+        salt_source=["l_linenumber", "l_extendedprice", "l_discount"],
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),

@@ -38,9 +38,16 @@ def get_spark(app_name: str = "orders-currency-conversion-etl-spark") -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Local-rig scan sizing: test parquet is one file per table, so
         # the default 128 MB split gives a 100 MB sf1 lineitem scan ONE
-        # task on a 32-core box. 16 MB splits parallelize single-file
-        # scans here; a real cluster (thousands of 128 MB-ish files at
-        # 100 TB) should override back via this env var.
+        # task on a 32-core box. 16 MB matters twice: it SPLITS large
+        # single files and it stops small files from being PACKED into
+        # too few tasks (maxPartitionBytes also caps multi-file
+        # coalescing). Round-4 A/B on the sf0.1 headline set, identical
+        # machine state, pagerank excluded (it was independently
+        # perturbed during the runs): 16m 15.4 s, 32m 15.6 s, 128m
+        # 21.5 s — 128 MB under-parallelizes at every local SF, so the
+        # r3 bench regression was ambient load, not this knob. A real
+        # cluster (thousands of 128 MB-ish files at 100 TB) should
+        # override back via this env var.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
