@@ -424,7 +424,10 @@ SELECT src.order_id,
        src.order_date,
        rh.rate_date,
        CAST(rh.rate AS DECIMAL(16,6)) AS exchange_rate,
-       CAST(CAST(src.amount AS DOUBLE) / COALESCE(rh.rate, CAST(1.0 AS DOUBLE)) AS DECIMAL(12,2)) AS amount_eur
+       CAST(CAST((2 * CAST(src.amount * 100 AS BIGINT) * 1000000
+                  + CAST(floor(COALESCE(rh.rate, CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT))
+                 // (2 * CAST(floor(COALESCE(rh.rate, CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT))
+            AS DECIMAL(16,0)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS amount_eur
 FROM src ASOF LEFT JOIN {_rates_history_sql()}
     ON src.currency = rh.currency AND rh.rate_date <= src.order_date
 """
@@ -434,7 +437,19 @@ FROM src ASOF LEFT JOIN {_rates_history_sql()}
 def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time rate lookup via the union+forward-fill strategy
     (one shuffle on currency; see operators/asof.py). Oracle: DuckDB's
-    native ASOF LEFT JOIN."""
+    native ASOF LEFT JOIN.
+
+    amount_eur uses the repo's scaled-integer convention (same family
+    as mixing.py's spow_fp): cents BIGINT / rate floored to a 1e-6
+    grid, half-up rounded in exact 64-bit integer math. The naive
+    ``CAST(amount/rate AS DECIMAL(12,2))`` diverged cross-engine at
+    sf0.1 — the yearly drift rates (1.04, 1.12 on the EUR base) put
+    a handful of 161k quotients within an ulp of an exact half-cent,
+    where Spark (shortest-repr BigDecimal) and DuckDB (double*100
+    rounding) resolve the boundary through different paths. Found by
+    the round-4 sf0.1 sweep; regression-tested at sf0.1 via
+    ORACLE_SWEEP. Integer div (Spark ``div`` truncation, DuckDB ``//``
+    floor) agrees because every operand is positive."""
     orders = _t(spark, sf_dir, "orders")
     src = orders.select(
         F.col("o_orderkey").cast("string").alias("order_id"),
@@ -449,13 +464,26 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, rh, by="currency", left_on="order_date", right_on="rate_date",
         value_cols=["rate", "rate_date"],
     )
-    return joined.select(
+    import decimal as _decimal
+
+    prepared = joined.withColumn(
+        "_ac", (F.col("amount") * 100).cast("bigint")
+    ).withColumn(
+        "_rate_fp",
+        F.floor(F.coalesce(F.col("rate"), F.lit(1.0)) * F.lit(1000000.0)).cast("bigint"),
+    )
+    return prepared.select(
         "order_id",
         "currency",
         "order_date",
         "rate_date",
         F.col("rate").cast("decimal(16,6)").alias("exchange_rate"),
-        (F.col("amount").cast("double") / F.coalesce(F.col("rate"), F.lit(1.0)))
+        (
+            F.expr("(2 * _ac * 1000000 + _rate_fp) div (2 * _rate_fp)").cast(
+                "decimal(16,0)"
+            )
+            * F.lit(_decimal.Decimal("0.01"))
+        )
         .cast("decimal(12,2)")
         .alias("amount_eur"),
     )
