@@ -73,6 +73,17 @@ def _amount_eur(amount: Column, currency: Column, rate: Column) -> Column:
     The EUR branch returns the amount unrounded (identical to dividing
     by the normalized EUR rate of exactly 1.0) — reference:
     dags/order_currency_conversion_dag.py:106-109.
+
+    Cross-engine boundary note (cf. join_asof_rates, which needed the
+    scaled-integer convention): a double-quotient -> DECIMAL(12,2)
+    cast diverges between engines only when the quotient's shortest
+    repr lands exactly on a half-cent. That needs cents/rate to sit
+    within ~1 ulp of the 0.005 grid, which "clean" rates like 26/25
+    reach systematically but the 6-decimal fixture rates here
+    (1.094571, ...) cannot — their reduced fractions have no matching
+    2/5 factors, so hits are ~1e-9/row random, and the missing-rate
+    (exactly 1.0) and EUR paths divide exactly. Verified by the full
+    sf0.1/sf1 sweeps (ORACLE_SWEEP_*.json).
     """
     eff_rate = F.coalesce(rate, F.lit(1.0))
     converted = (amount.cast("double") / eff_rate).cast("decimal(12,2)")

@@ -564,8 +564,12 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARGMINMAX_ORACLE = """
 SELECT o_orderstatus,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey)
+           AS cheapest_order,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 8589934592 + o_orderkey)
+           AS priciest_order,
        bool_and(o_totalprice > 0) AS all_positive,
        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
        CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big
@@ -576,13 +580,25 @@ GROUP BY o_orderstatus
 
 @query("agg_min_by_max_by", _ARGMINMAX_ORACLE)
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by/max_by + boolean/conditional aggregates. o_totalprice
-    values are unique-ish doubles so arg_min/arg_max are deterministic
-    on this data (ties would need an explicit tiebreak struct)."""
+    """min_by/max_by + boolean/conditional aggregates.
+
+    The ordering key is (price, orderkey) packed into one exact
+    BIGINT — cents * 2^33 + orderkey (cents ≤ 6e7, orderkey ≤ 2^33,
+    product « 2^63) — because ties on raw o_totalprice make arg_min
+    nondeterministic: the 10x-replicated local sf1 fixture repeats
+    every price, and the r4 sf1 sweep caught the two engines picking
+    different replicas. A deterministic tiebreak is also the
+    retry-stability property the engine promises at 100 TB (a task
+    retry must not change the answer). DuckDB's arg_min takes only
+    scalar keys, hence the packed BIGINT instead of a struct."""
     o = _t(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(8589934592)
+        + F.col("o_orderkey")
+    )
     return o.groupBy("o_orderstatus").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.max_by("o_orderkey", key).alias("priciest_order"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
