@@ -325,7 +325,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quite (6 errors can touch 4 bytes) — byte blocking here is the
     standard recall/cost trade, exactly mirrored by the oracle, so the
     comparison is still exact. Two shuffles total: token→doc
-    aggregation and the byte-bucket self-join."""
+    aggregation and the byte-bucket self-join.
+
+    Scale note: SimHash over unigrams is PERMUTATION-INVARIANT, so a
+    corpus with k bag-of-words-identical copies of a document emits
+    all k·(k-1)/2 pairs — the pair LIST is quadratic in duplicate-
+    cluster size even though the banded join itself never goes O(n²).
+    The 10x-replicated local sf1 fixture (token-permuted replicas)
+    makes every cluster size 10 and produces 91.5M pairs: fine
+    distributed (dedup_connected_components and the cluster histogram
+    consume this stream and pass the sf1 oracle sweep), but not
+    collectable — which is why the sf1 sweep record excludes this
+    query's driver-side full-pair comparison. At 100 TB, consume the
+    pair stream with the cluster/survivor operators, never a driver
+    collect; order-sensitive near-dup (shingled MinHash, n-gram
+    Jaccard) does not have this cluster-blowup shape."""
     docs = catalog.load_table_parallel(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
