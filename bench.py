@@ -101,6 +101,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Ambient-load context: r4 measured the same code at 21.5 s
+        # under concurrent load vs 14.78 s quiet — without this field
+        # a round-over-round delta can't be attributed (SCALE.md
+        # §Session defaults). 1-min load average at bench end.
+        "load_avg_1m": round(os.getloadavg()[0], 1),
     }
 
     # Secondary sf1 pass (best-of-2: the scaling RATIO needs less
