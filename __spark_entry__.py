@@ -179,7 +179,8 @@ ROTATION_R4 = [
 #: events_error_rate_hourly, dedup_cluster_histogram,
 #: text_fingerprint, text_corpus_stats, text_repetition_filter,
 #: text_redact_pii, pack_sequences_greedy, posexplode_leading_tokens,
-#: source_vocab_jaccard, curation_pipeline, embedding_norm_stats.
+#: source_vocab_jaccard, curation_pipeline, embedding_norm_stats,
+#: plus r4 additions join_skewed_fact_salted and corpus_shuffle_shards.
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R4
 

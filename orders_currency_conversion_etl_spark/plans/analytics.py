@@ -678,3 +678,50 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + balanced shard assignment
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+_SHARD_KEY = hex_to_long_sql("substr(md5(CAST(concat('shard|', doc_id) AS STRING)), 1, 8)")
+_ORDER_KEY = hex_to_long_sql("substr(md5(CAST(concat('order|', doc_id) AS STRING)), 1, 8)")
+_SHARD_KEY_DUCK = _SHARD_KEY.replace("AS STRING", "AS VARCHAR")
+_ORDER_KEY_DUCK = _ORDER_KEY.replace("AS STRING", "AS VARCHAR")
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(({_SHARD_KEY_DUCK}) % {N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY ({_SHARD_KEY_DUCK}) % {N_SHARDS}
+            ORDER BY ({_ORDER_KEY_DUCK}), doc_id) AS INT) AS pos
+FROM documents
+"""
+
+
+@query("corpus_shuffle_shards", _SHUFFLE_ORACLE)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic corpus shuffle into balanced training
+    shards — the step between curation and the shard writer: training
+    wants documents in pseudo-random order, decorrelated from crawl /
+    source order, and reproducibly so (same corpus + salts => the same
+    shard files byte-for-byte, across engines, retries, and
+    partitionings — rand() gives none of that).
+
+    shard = md5('shard|'||doc_id) % {N_SHARDS}; within-shard position
+    ranks a second, independent md5 key, so shard membership and
+    training order are uncorrelated. One shuffle (the per-shard
+    window). At 100 TB the same two columns drive the sink directly:
+    repartition(shard) + sortWithinPartitions(pos) + partitioned
+    write — no global sort ever exists, and shard sizes concentrate
+    at n/{N_SHARDS} (multinomial, ~±0.1% at 1e9 docs)."""
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shard = (F.expr(_SHARD_KEY) % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.expr(_ORDER_KEY), F.col("doc_id"))
+    return (
+        d.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "source", "shard", "pos")
+    )
