@@ -370,3 +370,41 @@ def test_salted_fact_join_splits_hot_key_and_preserves_rows(spark):
         left.filter(F.col("k") == 7).select(salt_expr.alias("s")).distinct().count()
     )
     assert n_buckets > N_SALTS // 2  # hot rows genuinely spread out
+
+
+def test_corpus_shuffle_shards_balanced_dense_and_decorrelated(spark):
+    """Shuffle-shard invariants: (a) every doc appears exactly once;
+    (b) positions are dense 1..|shard| within each shard; (c) shard
+    sizes stay near n/N_SHARDS (multinomial concentration); (d) the
+    within-shard order is decorrelated from doc_id order — the whole
+    point of shuffling (a sorted-by-doc_id shard would correlate
+    training order with crawl order)."""
+    from orders_currency_conversion_etl_spark.plans.analytics import N_SHARDS
+
+    df = QUERIES["corpus_shuffle_shards"](spark, SF).cache()
+    n = df.count()
+    assert df.select("doc_id").distinct().count() == n
+
+    per_shard = {r.shard: r.cnt for r in df.groupBy("shard").count().withColumnRenamed("count", "cnt").collect()}
+    assert set(per_shard) <= set(range(N_SHARDS))
+    expected = n / N_SHARDS
+    assert all(abs(c - expected) < 0.5 * expected for c in per_shard.values())
+
+    dense = df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert dense.filter((F.col("mx") != F.col("cnt")) | (F.col("mn") != 1)).count() == 0
+
+    # decorrelation: the fraction of adjacent (pos, pos+1) pairs where
+    # doc_id also increases would be ~1.0 for crawl-ordered shards;
+    # for a real shuffle it concentrates near 0.5.
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("doc_id").over(W.partitionBy("shard").orderBy("pos"))
+    frac = (
+        df.withColumn("up", (nxt > F.col("doc_id")).cast("int"))
+        .agg(F.avg("up").alias("f"))
+        .collect()[0]["f"]
+    )
+    assert 0.35 < frac < 0.65
+    df.unpersist()
