@@ -408,3 +408,33 @@ def test_corpus_shuffle_shards_balanced_dense_and_decorrelated(spark):
     )
     assert 0.35 < frac < 0.65
     df.unpersist()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_min_by_max_by",
+        "corpus_shuffle_shards",
+        "sample_weighted_es",
+        "window_latest_order_per_customer",
+        "dedup_exact",
+        "kmeans_embeddings",
+    ],
+)
+def test_result_invariant_under_shuffle_partitioning(spark, name):
+    """The determinism-under-retry property the engine promises at
+    100 TB, tested directly: changing the shuffle partition count
+    (hence row-to-task assignment and accumulation order) must not
+    change a single output row. Queries here are the tie- and
+    float-sensitive ones: arg_min/max, hash sampling, window ranking,
+    survivor rules, and fixed-point k-means folds."""
+    fn = QUERIES[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = sorted(map(tuple, fn(spark, SF).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
