@@ -92,3 +92,111 @@ def test_generator_is_deterministic(spark):
     ids = {r.order_id for r in a}
     assert len(ids) == 200  # unique uuid-format ids
     assert all("@example.com" in r.customer_email for r in a)
+
+
+# --------------------------------------------------------------------------
+# Real-transport HTTP e2e over a loopback server (upgrades S2/S3/S7
+# from injected-transport unit tests to the actual urllib path)
+# --------------------------------------------------------------------------
+
+
+class _FixtureHandler:
+    """Request handler factory serving the OpenExchangeRates-shaped
+    fixtures the reference consumes (rates: {'rates': {...}};
+    currencies: {code: name})."""
+
+    def __new__(cls):
+        import http.server
+        import json as _json
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/latest.json":
+                    body = _json.dumps(
+                        {"rates": {"EUR": 0.9, "USD": 1.0, "GBP": 0.77, "JPY": 142.4}}
+                    ).encode()
+                    self.send_response(200)
+                elif self.path == "/currencies.json":
+                    body = _json.dumps(
+                        {"USD": "US Dollar", "EUR": "Euro", "GBP": "Pound"}
+                    ).encode()
+                    self.send_response(200)
+                else:
+                    body = b"{}"
+                    self.send_response(404)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+        return H
+
+
+@pytest.fixture()
+def loopback_server():
+    import http.server
+    import threading
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _FixtureHandler())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
+def test_rates_over_real_http_normalize_and_memo(tmp_path, loopback_server):
+    """The default urllib transport end-to-end: fetch -> EUR
+    normalization -> daily memo; second call must hit the memo (the
+    server is shut down first to prove it)."""
+    memo = DailyMemo(str(tmp_path / "memo.json"))
+    rates = get_exchange_rates(loopback_server + "/latest.json", TODAY, memo=memo)
+    assert rates["EUR"] == 1.0  # normalized base
+    assert abs(rates["USD"] - 1.0 / 0.9) < 1e-12
+    assert abs(rates["JPY"] - 142.4 / 0.9) < 1e-12
+
+    cached = get_exchange_rates("http://127.0.0.1:1/unreachable", TODAY, memo=memo)
+    assert cached == {k: float(v) for k, v in rates.items()}
+
+
+def test_currencies_over_real_http(loopback_server):
+    codes = get_currencies(loopback_server + "/currencies.json", TODAY)
+    assert codes == ["EUR", "GBP", "USD"]
+
+
+def test_http_404_raises(loopback_server):
+    with pytest.raises(Exception):
+        get_exchange_rates(loopback_server + "/missing.json", TODAY)
+
+
+def test_flagship_conversion_from_real_http_rates(spark, tmp_path, loopback_server):
+    """Full S2->F4->J1 chain with a REAL network hop: HTTP fetch,
+    EUR-base normalization, rates_df broadcast join, decimal
+    conversion — the reference's daily dataflow end-to-end."""
+    import datetime as _dt
+
+    from orders_currency_conversion_etl_spark.operators.convert import (
+        convert_orders,
+        orders_src_from_tpch,
+    )
+    from orders_currency_conversion_etl_spark.sources import catalog
+    from orders_currency_conversion_etl_spark.sources.rates import rates_df
+
+    rates = get_exchange_rates(loopback_server + "/latest.json", TODAY)
+    rdf = rates_df(spark, rates)
+    src = orders_src_from_tpch(catalog.load_table(spark, "/root/testdata/sf0.001", "orders"))
+    out = convert_orders(src, rdf, conversion_time=_dt.datetime(2026, 1, 1))
+    rows = {r.original_currency: r for r in out.collect() if r.original_currency in ("EUR", "USD")}
+    assert rows["EUR"].amount_eur == rows["EUR"].original_amount  # EUR passthrough
+    usd = rows["USD"]
+    import decimal as _decimal
+
+    expect = (_decimal.Decimal(usd.original_amount) / _decimal.Decimal(str(rates["USD"]))).quantize(
+        _decimal.Decimal("0.01"), rounding=_decimal.ROUND_HALF_UP
+    )
+    assert abs(usd.amount_eur - expect) <= _decimal.Decimal("0.01")
