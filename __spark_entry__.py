@@ -166,8 +166,10 @@ ROTATION_R4 = [
     "sample_stratified_hash",
 ]
 
-#: r5 commitment (the rest of the never-driver-checked set; keep in
-#: sync if the registry grows): agg_approx_percentile, sample_seeded,
+#: r5 commitment (the rest of the never-driver-checked set — 37 names;
+#: trim ANCHORS to 13 next round so all 37 fit the 50-row window; keep
+#: in sync if the registry grows): agg_approx_distinct,
+#: agg_approx_percentile, sample_seeded,
 #: events_sliding_stats, topk_nulls_last, agg_boolean_battery,
 #: fuzzy_match_adjacent_docs, profile_columns, join_null_safe,
 #: regression_price_drift, reorder_interval_by_priority,
