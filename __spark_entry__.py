@@ -81,28 +81,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #       commit 8d706b4) — 50/50 green; cumulative distinct green 50.
 #   r3: 26 anchors + ROTATION_R3 (24 first-timers) — 50/50 green;
 #       cumulative distinct driver-green 93/161.
-#   r4 (this one): anchors TRIMMED 26 -> 16 (every dropped anchor has
+#   r4: anchors TRIMMED 26 -> 16 (every dropped anchor has
 #       2+ green driver rows across r2/r3; one representative per
-#       family stays) so the rotation widens to 34 first-timers. The
-#       68 never-driver-checked queries split exactly in half:
-#       ROTATION_R4 takes 34, the remaining 34 (listed in
-#       ROTATION_R5_PLANNED below) drain the backlog to zero in r5 —
-#       after which every registered query has at least one hard
-#       driver row. Target cumulative distinct green: 127.
+#       family stays) so the rotation widens to 34 first-timers —
+#       49/50 green (embedding_quantize_int8 red: array<int> output
+#       column is unhashable in the driver's pandas sort_values
+#       canonicalization); cumulative distinct driver-green 126/163.
+#   r5 (this one): anchors TRIMMED 16 -> 12 (dropped
+#       topk_expensive_orders, date_functions, text_token_stats,
+#       curation_pipeline_lsh — each has 2+ green rows incl. r4, and
+#       each family keeps a window presence via an anchor or a
+#       ROTATION_R5 member: topk_nulls_last, text_*, curation_pipeline).
+#       ROTATION_R5 = the full 37-name never-driver-checked backlog
+#       committed in r4's plan + 1 retest slot for
+#       embedding_quantize_int8, whose ArrayType boundary is now
+#       flattened to canonical JSON text on both engines
+#       (plans/registry.py boundary_cast + _wrap_oracle; the whole
+#       registry is audited array-free by scripts/audit_schemas.py and
+#       tests/test_plan_lint.py::test_output_schema_is_driver_safe).
+#       12 + 38 = 50; after r5 every registered query has >=1 green
+#       driver row. Target cumulative distinct green: 163/163 + the
+#       quantize redo = full board.
 ANCHORS = [
     # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",
     "incremental_unprocessed",
     # aggregation family (A1-A3)
     "agg_pricing_summary",
-    # window family (W1-W2) — also the r3 bench-regression watch
+    # window family (W1-W2)
     "window_running_total",
-    # sort/top-k (O1)
-    "topk_expensive_orders",
     # as-of join (J4)
     "join_asof_rates",
-    # scalar/function battery (F6-F8)
-    "date_functions",
     # seeded generator (F9-F11)
     "generate_orders_seeded",
     # streaming batch twin (T1)
@@ -115,76 +124,63 @@ ANCHORS = [
     "dedup_minhash_lsh",
     # L2 similarity
     "knn_lsh_bucketed",
-    # L3 text
-    "text_token_stats",
     # L4 multimodal
     "multimodal_features",
-    # end-to-end curation pipeline
-    "curation_pipeline_lsh",
 ]
 
-ROTATION_R4 = [
-    # TPC-H residue — every TPC-H shape gets its first driver row
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_orders",
-    "tpch_q5_local_supplier_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_split",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    # dedup depth
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    # similarity depth
-    "knn_brute_force",
-    "knn_recall_at_k",
-    "embedding_centroids",
+ROTATION_R5 = [
+    # the embedding_quantize_int8 redo (r4's one red row — boundary
+    # flattening fix verified by tests/test_registry_boundary.py)
     "embedding_quantize_int8",
+    # aggregation / stats depth
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_boolean_battery",
+    "agg_bitwise_battery",
+    "histogram_value_bins",
+    "profile_columns",
+    "regression_price_drift",
+    "monthly_revenue_yoy",
+    "supplier_share_of_nation",
+    "shipping_leadtime_histogram",
+    # sampling
+    "sample_seeded",
+    "sample_fixed_k_per_group",
+    # joins
+    "join_null_safe",
+    "join_skewed_fact_salted",
+    "fuzzy_match_adjacent_docs",
+    "reorder_interval_by_priority",
+    "part_cooccurrence_topk",
+    # sort/top-k
+    "topk_nulls_last",
+    # events / behavior
+    "events_sliding_stats",
+    "events_time_rollup_sets",
+    "events_error_rate_hourly",
+    "events_anomaly_mad",
+    "event_transition_matrix",
+    "dau_wau_rolling",
+    "activity_streaks",
+    "rfm_segmentation",
+    # dedup depth
+    "dedup_cluster_histogram",
     # text depth
-    "text_decontaminate",
-    "text_chunk_documents",
-    "text_quality_score",
-    "text_lang_id",
-    # multimodal depth
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # windows / events / sampling / stats
-    "window_top3_per_customer",
-    "outlier_events_iqr",
-    "events_session_window",
-    "agg_mode_median",
-    "sample_stratified_hash",
+    "text_fingerprint",
+    "text_corpus_stats",
+    "text_repetition_filter",
+    "text_redact_pii",
+    "pack_sequences_greedy",
+    "posexplode_leading_tokens",
+    "source_vocab_jaccard",
+    # similarity depth
+    "embedding_norm_stats",
+    # end-to-end pipelines
+    "curation_pipeline",
+    "corpus_shuffle_shards",
 ]
 
-#: r5 commitment (the rest of the never-driver-checked set — 37 names;
-#: trim ANCHORS to 13 next round so all 37 fit the 50-row window; keep
-#: in sync if the registry grows): agg_approx_distinct,
-#: agg_approx_percentile, sample_seeded,
-#: events_sliding_stats, topk_nulls_last, agg_boolean_battery,
-#: fuzzy_match_adjacent_docs, profile_columns, join_null_safe,
-#: regression_price_drift, reorder_interval_by_priority,
-#: agg_bitwise_battery, rfm_segmentation, part_cooccurrence_topk,
-#: histogram_value_bins, dau_wau_rolling, events_time_rollup_sets,
-#: event_transition_matrix, shipping_leadtime_histogram,
-#: supplier_share_of_nation, activity_streaks, events_anomaly_mad,
-#: sample_fixed_k_per_group, monthly_revenue_yoy,
-#: events_error_rate_hourly, dedup_cluster_histogram,
-#: text_fingerprint, text_corpus_stats, text_repetition_filter,
-#: text_redact_pii, pack_sequences_greedy, posexplode_leading_tokens,
-#: source_vocab_jaccard, curation_pipeline, embedding_norm_stats,
-#: plus r4 additions join_skewed_fact_salted and corpus_shuffle_shards.
-
-PRIORITY_WINDOW = ANCHORS + ROTATION_R4
+PRIORITY_WINDOW = ANCHORS + ROTATION_R5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -81,32 +81,52 @@ def _boundary_cast_type(field_type: T.DataType) -> str | None:
     """Cast-to type string for a compared output column, or None."""
     if isinstance(field_type, T.DecimalType):
         return "double"
-    if isinstance(field_type, T.ArrayType) and isinstance(
-        field_type.elementType, T.DecimalType
-    ):
-        return "array<double>"
     return None
 
 
 def boundary_cast(df: DataFrame) -> DataFrame:
-    """Final projection: DECIMAL (and array<DECIMAL>) columns → DOUBLE.
+    """Final projection normalizing the compared boundary.
 
-    Internal math stays exact decimal; only the compared boundary is
-    float64 (bit-identical with DuckDB's cast of the same exact value).
-    Returns df unchanged when no decimal columns exist, so plans of
-    decimal-free queries are untouched.
+    Two normalizations, mirrored on the oracle side by
+    :func:`_wrap_oracle`:
+
+    - DECIMAL columns → DOUBLE. Internal math stays exact decimal; only
+      the compared boundary is float64 (bit-identical with DuckDB's
+      cast of the same exact value).
+    - ArrayType columns → canonical JSON string (``to_json``). The
+      driver canonicalizes compared results through
+      ``pandas.sort_values`` over all columns, and a list-valued cell
+      is unhashable there (``TypeError: unhashable type: 'list'`` —
+      the CORRECTNESS_r04 ``embedding_quantize_int8`` failure). JSON
+      text of integral/string arrays is byte-identical across engines;
+      fractional element types are cast to DOUBLE first and covered by
+      tests/test_registry_boundary.py's cross-engine equality check.
+
+    Returns df unchanged when no decimal/array columns exist, so plans
+    of already-flat queries are untouched.
     """
-    casts = {f.name: _boundary_cast_type(f.dataType) for f in df.schema.fields}
-    if not any(casts.values()):
-        return df
     from pyspark.sql import functions as F
 
-    return df.select(
-        *[
-            F.col(f"`{name}`").cast(to).alias(name) if to else F.col(f"`{name}`")
-            for name, to in casts.items()
-        ]
-    )
+    exprs = []
+    changed = False
+    for f in df.schema.fields:
+        col = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.ArrayType):
+            elem = f.dataType.elementType
+            if isinstance(elem, (T.DecimalType, T.FloatType)):
+                col = col.cast("array<double>")
+            exprs.append(F.to_json(col).alias(f.name))
+            changed = True
+        else:
+            to = _boundary_cast_type(f.dataType)
+            if to:
+                exprs.append(col.cast(to).alias(f.name))
+                changed = True
+            else:
+                exprs.append(col)
+    if not changed:
+        return df
+    return df.select(*exprs)
 
 
 def _quote_ident(name: str) -> str:
@@ -114,14 +134,19 @@ def _quote_ident(name: str) -> str:
 
 
 def _wrap_oracle(sql: str, columns: list[tuple[str, str]]) -> str:
-    """Outer SELECT casting DECIMAL→DOUBLE and HUGEINT→BIGINT columns."""
+    """Outer SELECT mirroring :func:`boundary_cast` on the DuckDB side:
+    DECIMAL→DOUBLE, HUGEINT→BIGINT, and any LIST column → canonical
+    JSON text (fractional element types via DOUBLE[] first)."""
     projections = []
     needs_wrap = False
     for name, duck_type in columns:
         ident = _quote_ident(name)
         base = duck_type.upper()
-        if base.startswith("DECIMAL") and base.endswith("[]"):
-            projections.append(f"CAST({ident} AS DOUBLE[]) AS {ident}")
+        if base.endswith("[]"):
+            inner = ident
+            if base.startswith(("DECIMAL", "FLOAT", "REAL")):
+                inner = f"CAST({ident} AS DOUBLE[])"
+            projections.append(f"CAST(to_json({inner}) AS VARCHAR) AS {ident}")
             needs_wrap = True
         elif base.startswith("DECIMAL"):
             projections.append(f"CAST({ident} AS DOUBLE) AS {ident}")

@@ -47,14 +47,18 @@ def test_plan_has_no_scale_smells(spark, name):
 
 
 @pytest.mark.parametrize("name", _cases())
-def test_output_schema_has_no_decimal(spark, name):
-    """Cross-engine boundary convention (VERDICT r1): compared outputs
-    must never be DecimalType — the driver's DuckDB-via-pandas side
-    renders DECIMAL as float64 while Spark keeps scale-preserving
-    Decimal, so any trailing-zero cell breaks the value hash.  The
-    registry's boundary_cast enforces the cast; this lint guards the
-    mechanism (e.g. a query registered around the decorator, or a new
-    nested type boundary_cast doesn't yet handle)."""
+def test_output_schema_is_driver_safe(spark, name):
+    """Cross-engine boundary convention (VERDICT r1 + r4): compared
+    outputs must never be DecimalType — the driver's DuckDB-via-pandas
+    side renders DECIMAL as float64 while Spark keeps scale-preserving
+    Decimal, so any trailing-zero cell breaks the value hash.  AND they
+    must never be a top-level Array/Map/Struct column — the driver
+    canonicalizes through ``pandas.sort_values`` over all columns,
+    where a list/dict cell is unhashable (the CORRECTNESS_r04
+    ``embedding_quantize_int8`` TypeError).  The registry's
+    boundary_cast enforces both (decimal→double, array→to_json); this
+    lint guards the mechanism for every registered query so a rotation
+    window can never fire the trap."""
     from pyspark.sql import types as T
 
     def has_decimal(dtype: T.DataType) -> bool:
@@ -71,3 +75,12 @@ def test_output_schema_has_no_decimal(spark, name):
     schema = QUERIES[name](spark, SF).schema
     offenders = [f.name for f in schema.fields if has_decimal(f.dataType)]
     assert not offenders, f"{name} leaks DecimalType in output columns {offenders}"
+    unhashable = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not unhashable, (
+        f"{name} leaks pandas-unhashable output columns {unhashable} — the "
+        "driver's sort_values canonicalization dies on list/dict cells"
+    )
