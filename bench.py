@@ -110,33 +110,68 @@ def main() -> None:
 
     # Secondary sf1 pass (best-of-2: the scaling RATIO needs less
     # precision than the headline, and the pass is 10x the data).
-    # The fixtures are gitignored and die with the machine (a mid-round
-    # reboot deleted them once); regenerate on demand (~90 s) so the
-    # sf1 scaling evidence never silently drops out of BENCH_r{N}.
+    # Only when the primary pass ran at the default sf0.1: the scaling
+    # ratio is sf1/sf0.1 (10 = perfectly linear in data size), and a
+    # quick sf0.01 iteration shouldn't pay ~90 s of fixture generation
+    # plus a 10x bench pass.  The fixtures are gitignored and die with
+    # the machine (a mid-round reboot deleted them once); regenerate on
+    # demand so the sf1 scaling evidence never silently drops out of
+    # BENCH_r{N}.  make_sf1 writes temp-dir-then-rename, so SF1_DIR
+    # either holds a complete fixture set or doesn't exist.
     # Generation chatter goes to stderr — stdout is one JSON line.
-    if not os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
-        import contextlib
-
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    # The whole sf1 block is best-effort: a failure there must never
+    # lose the sf0.1 headline JSON (degraded bench beats no bench).
+    if abs(sf - 0.1) < 1e-9 and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         try:
-            import make_sf1
+            if not os.path.isdir(SF1_DIR):
+                import contextlib
 
-            with contextlib.redirect_stdout(sys.stderr):
-                make_sf1.main()
-        except Exception as exc:  # degraded bench beats no bench
-            print(f"sf1 fixture generation failed: {exc}", file=sys.stderr)
-    if os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
-        sf1_timings = _run_headline(spark, SF1_DIR, runs=2)
-        result["sf1_queries"] = sf1_timings
-        result["sf1_total"] = round(sum(sf1_timings.values()), 3)
-        # per-query sf1/sf0.1 ratio; 10 = perfectly linear in data size
-        result["sf1_scaling"] = {
-            n: round(sf1_timings[n] / timings[n], 2) if timings[n] > 0 else None
-            for n in sf1_timings
-        }
+                sys.path.insert(
+                    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+                )
+                import make_sf1
 
-    print(json.dumps(result))
+                with contextlib.redirect_stdout(sys.stderr):
+                    make_sf1.main()
+            sf1_timings = _run_headline(spark, SF1_DIR, runs=2)
+            result["sf1_queries"] = sf1_timings
+            result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+            # per-query sf1/sf0.1 ratio; 10 = perfectly linear
+            result["sf1_scaling"] = {
+                n: round(sf1_timings[n] / timings[n], 2) if timings[n] > 0 else None
+                for n in sf1_timings
+            }
+        except Exception as exc:
+            print(f"sf1 pass failed (headline unaffected): {exc}", file=sys.stderr)
+
+    line = json.dumps(result)
+    print(line)
+    # The driver truncates captured stdout to its last ~2000 chars,
+    # which amputates the headline "value" once sf1_* fields are
+    # present; persist the full JSON in-repo so each round's evidence
+    # survives intact (BENCH_LOCAL_r{N}.json, N = next after the
+    # highest committed BENCH_r*.json, overridable for reruns).
+    try:
+        _write_local_copy(line)
+    except Exception as exc:
+        print(f"local bench copy failed: {exc}", file=sys.stderr)
     spark.stop()
+
+
+def _write_local_copy(line: str) -> None:
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        committed = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = f"{max(committed, default=0) + 1:02d}"
+    with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":

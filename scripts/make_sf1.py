@@ -120,22 +120,36 @@ def _jitter_embeddings(t: pa.Table, r: int) -> pa.Table:
 
 
 def main() -> None:
-    os.makedirs(DST, exist_ok=True)
-    strides = {
-        name: _stride(pq.read_table(os.path.join(SRC, f"{name}.parquet"), columns=[key]), key)
-        for name, key in PRIMARY.items()
-    }
-    for name in ("region", "nation"):
-        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        pq.write_table(src, os.path.join(DST, f"{name}.parquet"))
-        print(name, src.num_rows, "(copied)")
-    for name in ("customer", "supplier", "part", "orders", "lineitem",
-                 "events", "documents", "embeddings"):
-        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        big = _replicate(name, src, strides)
-        rows_per_group = max(1, big.num_rows // 32)
-        pq.write_table(big, os.path.join(DST, f"{name}.parquet"), row_group_size=rows_per_group)
-        print(name, src.num_rows, "->", big.num_rows)
+    # Write into a sibling temp dir and rename at the end: a partial
+    # failure (OOM, disk full) must not leave DST present-but-broken,
+    # or every later `os.path.isdir(DST)` check would skip regeneration
+    # and bench against corrupt fixtures.
+    import shutil
+
+    tmp = DST + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        strides = {
+            name: _stride(pq.read_table(os.path.join(SRC, f"{name}.parquet"), columns=[key]), key)
+            for name, key in PRIMARY.items()
+        }
+        for name in ("region", "nation"):
+            src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+            pq.write_table(src, os.path.join(tmp, f"{name}.parquet"))
+            print(name, src.num_rows, "(copied)")
+        for name in ("customer", "supplier", "part", "orders", "lineitem",
+                     "events", "documents", "embeddings"):
+            src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+            big = _replicate(name, src, strides)
+            rows_per_group = max(1, big.num_rows // 32)
+            pq.write_table(big, os.path.join(tmp, f"{name}.parquet"), row_group_size=rows_per_group)
+            print(name, src.num_rows, "->", big.num_rows)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(DST, ignore_errors=True)
+    os.rename(tmp, DST)
 
 
 if __name__ == "__main__":

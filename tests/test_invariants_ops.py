@@ -27,7 +27,12 @@ def test_funnel_stages_are_monotone_nonincreasing(spark):
 
 
 def test_quantization_bounds_and_error(spark):
-    q = QUERIES["embedding_quantize_int8"](spark, SF)
+    # The registered query serializes q_emb to canonical JSON text at
+    # the compared boundary (plans/registry.py boundary_cast); parse it
+    # back so the invariants run on the actual integer values.
+    q = QUERIES["embedding_quantize_int8"](spark, SF).withColumn(
+        "q_emb", F.from_json("q_emb", "array<int>")
+    )
     bad_range = q.filter(
         F.exists("q_emb", lambda x: (x > 127) | (x < -128))
     ).count()
