@@ -99,9 +99,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #       (plans/registry.py boundary_cast + _wrap_oracle; the whole
 #       registry is audited array-free by scripts/audit_schemas.py and
 #       tests/test_plan_lint.py::test_output_schema_is_driver_safe).
-#       12 + 38 = 50; after r5 every registered query has >=1 green
-#       driver row. Target cumulative distinct green: 163/163 + the
-#       quantize redo = full board.
+#       12 + 38 = 50; after r5 every query registered at r4-end has
+#       >=1 green driver row. Target cumulative distinct green: 163/163
+#       + the quantize redo = full board.
+#   r6 (committed backlog — registry grew 163 -> 165 in r5, new queries
+#       registered AFTER the r5 window froze, each value-swept locally
+#       at registration time): ROTATION_R6 = [knn_pq_adc,
+#       text_vocab_encode]. These are the only never-driver-checked
+#       names; the r6 window = 12 anchors + these 2 + 36
+#       strongest-signal re-validations.
 ANCHORS = [
     # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",

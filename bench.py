@@ -88,6 +88,10 @@ def _run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Ambient load BEFORE any Spark work: sampled at the end it mostly
+    # measures the bench's own 32 threads, not the machine state the
+    # numbers should be attributed to.
+    ambient_load = round(os.getloadavg()[0], 1)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -104,8 +108,10 @@ def main() -> None:
         # Ambient-load context: r4 measured the same code at 21.5 s
         # under concurrent load vs 14.78 s quiet — without this field
         # a round-over-round delta can't be attributed (SCALE.md
-        # §Session defaults). 1-min load average at bench end.
-        "load_avg_1m": round(os.getloadavg()[0], 1),
+        # §Session defaults). 1-min load average at bench START
+        # (pre-warmup; sampled at the end it would measure the bench's
+        # own threads).
+        "load_avg_1m": ambient_load,
     }
 
     # Secondary sf1 pass (best-of-2: the scaling RATIO needs less

@@ -614,3 +614,146 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         F.col("cid").alias("cluster_id"), "dim", F.col("val").alias("centroid_val"), "n_members"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric distance (PQ-ADC, the FAISS IVF-PQ
+# residual-free variant)
+# --------------------------------------------------------------------------
+
+PQ_M = 4                      # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (16)
+PQ_CODEWORDS = 16             # codewords per subspace => codes fit in 4 bits
+
+
+def l2sq_cols(x: F.Column, y: F.Column) -> F.Column:
+    """Sequential left-fold squared-L2 distance in DOUBLE — same fold
+    shape as :func:`~..operators.dedup.dot_cols` (0.0 + x1 is exactly
+    x1, so the init-carrying Spark fold matches DuckDB's init-free
+    list_reduce bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(
+            x, y, lambda p, q: (p.cast("double") - q.cast("double"))
+            * (p.cast("double") - q.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_oracle() -> str:
+    sub = PQ_SUB
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])), (acc,x) -> acc+x)"
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), subs AS (
+    SELECT e.vec_id, t.m, list_slice(e.emb, t.m*{sub}+1, t.m*{sub}+{sub}) AS sub
+    FROM e, range({PQ_M}) t(m)
+), cw AS (
+    SELECT m, vec_id AS code, sub AS cwsub FROM subs WHERE vec_id < {PQ_CODEWORDS}
+), enc0 AS (
+    SELECT s.vec_id, s.m, c.code,
+           CAST(floor({l2.format(a='s.sub', b='c.cwsub')} * 1e12) AS BIGINT) AS dfx
+    FROM subs s JOIN cw c ON c.m = s.m
+), codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dfx, code) AS rn
+        FROM enc0
+    ) WHERE rn = 1
+), dtab AS (
+    SELECT vec_id AS query_id, m, code, dfx AS dqfx FROM enc0
+    WHERE vec_id IN {QUERY_IDS!r}
+), adc AS (
+    SELECT d.query_id, codes.vec_id AS neighbor_id, SUM(d.dqfx) AS adcfx
+    FROM codes JOIN dtab d ON d.m = codes.m AND d.code = codes.code
+    WHERE codes.vec_id <> d.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, CAST(adcfx AS DOUBLE) / 1e12 AS adc_dist FROM (
+    SELECT query_id, neighbor_id, adcfx,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adcfx, neighbor_id) AS rank
+    FROM adc
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_pq_adc", _pq_oracle())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric distance (ADC).
+
+    Every vector is split into PQ_M=4 subvectors of 16 dims; each
+    subvector is encoded as the id of its nearest codeword (squared
+    L2), giving a 4-byte code per vector (4-bit codes packed would be
+    2). A query is NOT encoded: it precomputes a distance table
+    (query-subvector -> every codeword, Q x M x K = tiny) and
+    approximate distance is the sum of M table lookups over the codes.
+    Codebooks here are a deterministic corpus sample (vec_id <
+    PQ_CODEWORDS) so the oracle is exact — real
+    training would bake k-means codebooks as literals the same way
+    (kmeans_embeddings is that trainer).
+
+    100 TB story (the reason PQ exists): the scanned state is the CODE
+    table — 4 small ints/vector vs 64 floats raw (4 B vs 256 B packed,
+    64x) —
+    and scoring is a broadcast hash join of the tiny LUT onto the codes
+    followed by a map-side partial SUM: one narrow scan, no raw-vector
+    I/O at query time. Encoding is a one-off map-side pass (codebooks
+    broadcast). Combine with the IVF cells of knn_ivf (route queries to
+    cells, PQ-score within the cell) for FAISS-IVFPQ semantics; both
+    halves are independently oracled here.
+
+    Cross-engine parity: all distances flow as floor(l2sq * 1e12)
+    BIGINTs (the kmeans_embeddings fixed-point recipe — double->DECIMAL
+    rounding diverges near the last ulp, floor of an identical double
+    never does); ADC sums BIGINTs exactly; ties break on (code) for
+    encoding and (neighbor_id) for ranking.
+    """
+    e = _emb(spark, sf_dir)
+    m_subs = F.array(
+        *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    subs = e.select("vec_id", F.posexplode(m_subs).alias("m", "sub"))
+    cw = (
+        subs.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select("m", F.col("vec_id").alias("code"), F.col("sub").alias("cwsub"))
+    )
+    dfx = F.floor(l2sq_cols(F.col("sub"), F.col("cwsub")) * F.lit(1e12)).cast("bigint")
+    enc0 = subs.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "code", dfx.alias("dfx")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dfx").asc(), F.col("code").asc()
+    )
+    codes = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    dtab = enc0.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "m", "code", F.col("dfx").alias("dqfx")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adcfx").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dqfx").alias("adcfx"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.col("adcfx").cast("double") / F.lit(1e12)).alias("adc_dist"),
+        )
+    )

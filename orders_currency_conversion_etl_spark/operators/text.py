@@ -838,3 +838,90 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_nll",
         (F.col("sum_nll").cast("double") / F.col("n_tokens")).alias("avg_token_nll"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary build + token-id encoding (the tokenize->ids training step)
+# --------------------------------------------------------------------------
+
+VOCAB_K = 256   # vocabulary size (top-K tokens by corpus frequency)
+LEAD_N = 8      # leading tokens encoded per document
+
+_VOCAB_ENCODE_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), tok AS (
+    SELECT unnest(toks) AS token FROM toks
+), vocab AS (
+    SELECT token, token_id FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS token_id
+        FROM tok GROUP BY token
+    ) WHERE token_id <= {VOCAB_K}
+), lead AS (
+    SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+        SELECT doc_id,
+               unnest(list_transform(toks[1:{LEAD_N}],
+                                     (x, i) -> {{'token': x, 'pos': i}})) AS u
+        FROM toks
+    )
+)
+SELECT l.doc_id,
+       list(COALESCE(v.token_id, 0) ORDER BY l.pos) AS token_ids,
+       COUNT(*) AS n_lead_tokens,
+       SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+FROM lead l LEFT JOIN vocab v ON v.token = l.token
+GROUP BY l.doc_id
+"""
+
+
+@query("text_vocab_encode", _VOCAB_ENCODE_ORACLE)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a frequency-ranked vocabulary over the corpus and encode
+    each document's leading tokens as integer ids (0 = OOV) — the
+    tokenize-into-ids step every LM data pipeline runs before packing.
+
+    Vocabulary ids are 1..VOCAB_K by (count DESC, token ASC): fully
+    deterministic, no dictionary-order dependence on partitioning. The
+    top-K selection is orderBy+limit — Catalyst compiles it to
+    TakeOrderedAndProject (per-partition heaps of K, no global sort of
+    the distinct-token table), and the subsequent rank assignment
+    windows over only K rows. Encoding is a broadcast join of that
+    K-row vocabulary onto the exploded leading tokens, then an
+    order-restoring array_sort(collect_list(struct(pos,...))) — the
+    standard Spark idiom for order-preserving re-assembly, since
+    collect_list alone has no ordering contract.
+
+    At 100 TB: the counting pass is explode -> map-side partial count
+    (same shape as wordcount_topk); the vocabulary is O(K) and
+    broadcast; encoding is embarrassingly parallel with no shuffle
+    wider than the per-doc regroup. A real BPE/byte-level tokenizer
+    slots in by replacing the whitespace split — the id-assignment and
+    encode plumbing is tokenizer-agnostic.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = with_tokens(docs).select("doc_id", "toks")
+    counts = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(VOCAB_K)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = topk.withColumn("token_id", F.row_number().over(w_rank)).select(
+        "token", "token_id"
+    )
+    lead = toks.select(
+        "doc_id", F.posexplode(F.slice("toks", 1, LEAD_N)).alias("pos", "token")
+    )
+    return (
+        lead.join(F.broadcast(vocab), "token", "left")
+        .withColumn("tid", F.coalesce(F.col("token_id"), F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x.tid
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_lead_tokens"),
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )

@@ -725,3 +725,4 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select("doc_id", "source", "shard", "pos")
     )
+

@@ -85,9 +85,20 @@ GROUP BY n_name
 def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 multi-join + A1/A2. nation (25 rows) broadcasts; customer is
     small relative to fact tables, so AQE picks broadcast for it too —
-    only the lineitem⋈orders equi-join shuffles, on the natural key."""
+    only the lineitem⋈orders equi-join shuffles, on the natural key.
+
+    orders carries an explicit shuffle_hash hint: it is a FACT table,
+    but after column pruning (2 of 9 cols) Spark's file-size-scaled
+    estimate can drop under the 10 MB autoBroadcast threshold and
+    Catalyst then broadcasts millions of rows — fine once, but
+    repeated ~100 MB HashedRelation builds outrun the ContextCleaner
+    and degrade the shared JVM progressively (measured at sf1:
+    2.2 s -> 7.2 s -> 20 s across three back-to-back runs; flat
+    1.4-1.9 s with the hint). At 100 TB a fact-side broadcast is
+    simply the wrong plan, so the hint states the intent rather than
+    trusting a pruned-size estimate at any scale."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(

@@ -443,3 +443,75 @@ def test_result_invariant_under_shuffle_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_pq_adc_structure_and_recall(spark):
+    """PQ-ADC returns a full top-k per query with monotone distances,
+    and its neighbor sets overlap the exact brute-force top-k (ADC is
+    an approximation of L2, which on these near-unit-norm embeddings
+    tracks the cosine ranking brute force uses)."""
+    pq = QUERIES["knn_pq_adc"](spark, SF)
+    rows = pq.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, 11))
+        dists = [r["adc_dist"] for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+        assert all(r["neighbor_id"] != q for r in rs)
+    brute = QUERIES["knn_brute_force"](spark, SF).collect()
+    exact = {}
+    for r in brute:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(exact[q] & {r["neighbor_id"] for r in rs}) for q, rs in by_q.items()
+    )
+    assert hits / (3 * 10) >= 0.2  # approximate, but far above chance
+
+
+def test_rollup_merge_is_split_invariant(spark):
+    """The registered incremental_rollup_merge (plans/behavior.py)
+    merges partials split at 1997-01-01; the merge must equal a
+    from-scratch single-pass recompute — i.e. the answer is invariant
+    to the batch boundary, the whole point of incremental aggregate
+    maintenance."""
+    from orders_currency_conversion_etl_spark.sources import catalog
+
+    merged = {
+        (r["o_orderpriority"], r["month_b"]): (r["n_orders"], r["revenue"])
+        for r in QUERIES["incremental_rollup_merge"](spark, SF).collect()
+    }
+    o = catalog.load_table(spark, SF, "orders")
+    full = {
+        (r["o_orderpriority"], r["month_b"]): (r["n_orders"], r["revenue"])
+        for r in o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_vocab_encode_ids_are_bounded_and_aligned(spark):
+    import json
+
+    from orders_currency_conversion_etl_spark.operators.text import LEAD_N, VOCAB_K
+
+    rows = QUERIES["text_vocab_encode"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = json.loads(r["token_ids"])  # boundary serializes arrays to JSON
+        assert len(ids) == r["n_lead_tokens"] <= LEAD_N
+        assert all(0 <= i <= VOCAB_K for i in ids)
+        assert sum(1 for i in ids if i == 0) == r["n_oov"]
