@@ -685,6 +685,44 @@ WHERE rank <= {TOP_K}
 """
 
 
+
+
+def _pq_parts(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: (codes, dtab).
+
+    codes  — every vector's per-subspace nearest-codeword id
+             (vec_id, m, code): the M-int compressed corpus.
+    dtab   — the query-side asymmetric distance table
+             (query_id, m, code, dqfx): fixed-point squared-L2 from
+             each query subvector to every codeword, Q x M x K rows,
+             broadcastable.
+    """
+    m_subs = F.array(
+        *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    subs = e.select("vec_id", F.posexplode(m_subs).alias("m", "sub"))
+    cw = (
+        subs.filter(F.col("vec_id") < PQ_CODEWORDS)
+        .select("m", F.col("vec_id").alias("code"), F.col("sub").alias("cwsub"))
+    )
+    dfx = F.floor(l2sq_cols(F.col("sub"), F.col("cwsub")) * F.lit(1e12)).cast("bigint")
+    enc0 = subs.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "code", dfx.alias("dfx")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dfx").asc(), F.col("code").asc()
+    )
+    codes = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    dtab = enc0.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "m", "code", F.col("dfx").alias("dqfx")
+    )
+    return codes, dtab
+
+
 @query("knn_pq_adc", _pq_oracle())
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization with asymmetric distance (ADC).
@@ -716,36 +754,129 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     never does); ADC sums BIGINTs exactly; ties break on (code) for
     encoding and (neighbor_id) for ranking.
     """
-    e = _emb(spark, sf_dir)
-    m_subs = F.array(
-        *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-    )
-    subs = e.select("vec_id", F.posexplode(m_subs).alias("m", "sub"))
-    cw = (
-        subs.filter(F.col("vec_id") < PQ_CODEWORDS)
-        .select("m", F.col("vec_id").alias("code"), F.col("sub").alias("cwsub"))
-    )
-    dfx = F.floor(l2sq_cols(F.col("sub"), F.col("cwsub")) * F.lit(1e12)).cast("bigint")
-    enc0 = subs.join(F.broadcast(cw), "m").select(
-        "vec_id", "m", "code", dfx.alias("dfx")
-    )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("dfx").asc(), F.col("code").asc()
-    )
-    codes = (
-        enc0.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    dtab = enc0.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), "m", "code", F.col("dfx").alias("dqfx")
-    )
+    codes, dtab = _pq_parts(_emb(spark, sf_dir))
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("adcfx").asc(), F.col("neighbor_id").asc()
     )
     return (
         codes.join(F.broadcast(dtab), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dqfx").alias("adcfx"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.col("adcfx").cast("double") / F.lit(1e12)).alias("adc_dist"),
+        )
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    sub = PQ_SUB
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])), (acc,x) -> acc+x)"
+    )
+    return f"""
+{_DUCK_EMB_CTE}, cent AS (
+    SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d
+    WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+), assign AS (
+    SELECT d.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY list_reduce(list_transform(list_zip(d.emb, c.cemb), p -> p[1]*p[2]), (acc,x) -> acc+x)
+                        / (d.nrm * c.cnrm) DESC, c.cid) AS rn
+    FROM d, cent c
+), cell AS (
+    SELECT vec_id, cid FROM assign WHERE rn = 1
+), subs AS (
+    SELECT e.vec_id, t.m, list_slice(e.emb, t.m*{sub}+1, t.m*{sub}+{sub}) AS sub
+    FROM e, range({PQ_M}) t(m)
+), cw AS (
+    SELECT m, vec_id AS code, sub AS cwsub FROM subs WHERE vec_id < {PQ_CODEWORDS}
+), enc0 AS (
+    SELECT s.vec_id, s.m, c.code,
+           CAST(floor({l2.format(a='s.sub', b='c.cwsub')} * 1e12) AS BIGINT) AS dfx
+    FROM subs s JOIN cw c ON c.m = s.m
+), codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dfx, code) AS rn
+        FROM enc0
+    ) WHERE rn = 1
+), dtab AS (
+    SELECT vec_id AS query_id, m, code, dfx AS dqfx FROM enc0
+    WHERE vec_id IN {QUERY_IDS!r}
+), qcell AS (
+    SELECT vec_id AS query_id, cid FROM cell WHERE vec_id IN {QUERY_IDS!r}
+), adc AS (
+    SELECT q.query_id, codes.vec_id AS neighbor_id, SUM(t.dqfx) AS adcfx
+    FROM codes
+    JOIN cell ON cell.vec_id = codes.vec_id
+    JOIN qcell q ON q.cid = cell.cid AND codes.vec_id <> q.query_id
+    JOIN dtab t ON t.query_id = q.query_id AND t.m = codes.m AND t.code = codes.code
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, CAST(adcfx AS DOUBLE) / 1e12 AS adc_dist FROM (
+    SELECT query_id, neighbor_id, adcfx,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adcfx, neighbor_id) AS rank
+    FROM adc
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_ivf_pq", _ivf_pq_oracle())
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-IVFPQ semantics as one Catalyst plan: IVF cells route each
+    query to its own centroid's cell (knn_ivf's coarse quantizer), PQ
+    asymmetric distance scores ONLY that cell's code rows (knn_pq_adc's
+    fine quantizer). Both halves keep their independently-oracled exact
+    parity recipes (cosine routing with (cos DESC, cid) ties;
+    floor(l2^2*1e12) BIGINT ADC), so the composition is exact too.
+
+    100 TB story — this is the shape that makes billion-vector ANN a
+    Spark job: the corpus at query time is the CODE table partitioned
+    by cell (write partitioned-by-cid → partition pruning reads 1/n_cells
+    of 4-int rows, no raw vectors); the query side is two broadcast
+    lookups (cell routing table Q rows, distance LUT Q x M x K rows)
+    feeding a map-side partial SUM. Encoding and cell assignment are
+    one-off broadcast-join passes, exactly the knn_ivf / knn_pq_adc
+    plans they reuse."""
+    d = _with_norm(_emb(spark, sf_dir))
+    cent = d.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
+    cell = (
+        d.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cos_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    codes, dtab = _pq_parts(_emb(spark, sf_dir))
+    qcell = cell.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("q_cid")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adcfx").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(cell, "vec_id")
+        .join(
+            F.broadcast(qcell),
+            (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dqfx").alias("adcfx"))
         .withColumn("rank", F.row_number().over(w_rank))

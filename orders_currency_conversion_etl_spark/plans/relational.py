@@ -346,8 +346,11 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 @query("join_semi_customers_with_orders", _SEMI_ORACLE)
 def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle_hash on orders (r5 broadcast audit): the 1-column pruned
+    # estimate otherwise broadcasts the whole fact key set — measured
+    # slower even locally (sf1 0.54 s vs 0.26 s) and wrong at scale.
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
 
 
@@ -359,8 +362,10 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 @query("join_anti_customers_without_orders", _ANTI_ORACLE)
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle_hash for the same reason as the semi join above
+    # (sf1 0.45 s broadcast vs 0.23 s hinted).
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

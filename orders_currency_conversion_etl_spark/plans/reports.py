@@ -294,9 +294,15 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     already hash-partitioned on it), COUNT per custkey reuses that
     partitioning (no second exchange), then the tiny distribution agg
     shuffles a few hundred distinct counts.
+
+    orders carries an explicit shuffle_hash hint (r5 broadcast audit):
+    the pruned 2-of-9-column estimate otherwise drops the fact table
+    under the broadcast threshold and Catalyst builds the 10x-bigger
+    side of the outer join — measured slower even locally (sf1 1.07 s
+    broadcast vs 0.58 s hinted) and categorically wrong at 100 TB.
     """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     return (
         c.join(
             o,

@@ -515,3 +515,32 @@ def test_vocab_encode_ids_are_bounded_and_aligned(spark):
         assert len(ids) == r["n_lead_tokens"] <= LEAD_N
         assert all(0 <= i <= VOCAB_K for i in ids)
         assert sum(1 for i in ids if i == 0) == r["n_oov"]
+
+
+def test_ivf_pq_is_cell_restricted_pq(spark):
+    """IVF-PQ = PQ-ADC restricted to the query's cell: ranks are dense
+    from 1, distances monotone, and any (query, neighbor) pair that
+    also appears in the full-corpus PQ top-k must carry the SAME adc
+    distance (the fine quantizer is shared; only the candidate set
+    differs)."""
+    ivfpq = QUERIES["knn_ivf_pq"](spark, SF).collect()
+    by_q = {}
+    for r in ivfpq:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists) and all(d >= 0 for d in dists)
+        assert all(r["neighbor_id"] != q for r in rs)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in QUERIES["knn_pq_adc"](spark, SF).collect()
+    }
+    shared = 0
+    for r in ivfpq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in full:
+            shared += 1
+            assert full[key] == r["adc_dist"]
+    assert shared > 0  # cells contain near neighbors, so overlap exists
