@@ -84,3 +84,44 @@ def test_output_schema_is_driver_safe(spark, name):
         f"{name} leaks pandas-unhashable output columns {unhashable} — the "
         "driver's sort_values canonicalization dies on list/dict cells"
     )
+
+
+def test_broadcast_audit_parser_flags_unshrunk_fact_scan():
+    """Pure-parser check for scripts/audit_broadcasts.py: a broadcast
+    subtree scanning a fact table flags, while aggregated/limited
+    subtrees and dim-table scans do not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_broadcasts",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "audit_broadcasts.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    flagged = """
++- BroadcastHashJoin [k], [k2], Inner, BuildRight
+   :- Scan stuff
+   +- BroadcastExchange HashedRelationBroadcastMode(...)
+      +- Filter isnotnull(o_custkey#1L)
+         +- FileScan parquet [o_custkey#1L] Location: InMemoryFileIndex[file:/x/orders.parquet]
+"""
+    assert mod.audit_plan(flagged), "raw fact scan under broadcast must flag"
+
+    shrunk = flagged.replace(
+        "Filter isnotnull(o_custkey#1L)", "HashAggregate(keys=[o_custkey#1L])"
+    )
+    assert not mod.audit_plan(shrunk), "aggregated subtree must not flag"
+
+    dim = flagged.replace("orders.parquet", "nation.parquet")
+    assert not mod.audit_plan(dim), "dim-table broadcast must not flag"
+
+    # sibling subtree outside the exchange must not leak into the scan
+    sibling = """
++- BroadcastHashJoin [k], [k2], Inner, BuildRight
+   :- BroadcastExchange Mode(...)
+   :  +- FileScan parquet [n_name#2] Location: InMemoryFileIndex[file:/x/nation.parquet]
+   +- FileScan parquet [o_custkey#1L] Location: InMemoryFileIndex[file:/x/orders.parquet]
+"""
+    assert not mod.audit_plan(sibling), "fact scan OUTSIDE the exchange must not flag"

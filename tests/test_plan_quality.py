@@ -300,3 +300,51 @@ def test_join_strategy_hints_are_honored(spark):
         assert "SortMergeJoin" in _plan(smj)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning — the 100 TB semi-join
+    pushdown: a selective dim-side filter builds a bloom filter that is
+    applied to the fact side BEFORE the shuffle, cutting shuffle input
+    to ~the matching fraction. Catalyst only injects it when the
+    application side is genuinely large (empirically: fires at the
+    local sf1, not at sf0.1 — the right behavior, small scans gain
+    nothing from a bloom pass), so this runs against the bench's sf1
+    fixtures and skips when they haven't been generated
+    (scripts/make_sf1.py)."""
+    import pytest
+
+    sf1 = os.path.join(os.path.dirname(__file__), "..", ".localdata", "sf1")
+    if not os.path.isdir(sf1):
+        pytest.skip("local sf1 fixtures not generated (scripts/make_sf1.py)")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = catalog.load_table(spark, sf1, "lineitem").hint("shuffle_hash")
+        o = (
+            catalog.load_table(spark, sf1, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .hint("shuffle_hash")
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, "bloom filter must be built on the filtered side"
+        assert "might_contain" in plan, "bloom filter must be applied to the fact side"
+        # built from the SELECTIVE side's key
+        assert "o_orderkey" in plan.split("bloom_filter_agg")[1][:120]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
