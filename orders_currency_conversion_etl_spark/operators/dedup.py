@@ -790,3 +790,131 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup via cluster-then-pair (the SemDeDup recipe)
+# --------------------------------------------------------------------------
+
+SEM_K = 8  # clusters; at 100 TB k scales with the corpus so cluster sizes stay bounded
+
+
+def _sem_asgn_oracle() -> str:
+    """Nearest-centroid assignment CTEs (shared recipe with the k-means
+    oracle in operators/similarity.py: exact fixed-point distances,
+    deterministic (dist, cid) argmin tiebreak)."""
+    return f"""
+vx AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), cent0 AS (
+    SELECT vec_id AS cid, dim, x AS val
+    FROM vx
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+), asgn AS (
+    SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cid ASC) AS rn
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   SUM(CAST(floor((v.x - c.val) * (v.x - c.val) * 1e12) AS BIGINT)) AS dist
+            FROM vx v JOIN cent0 c ON v.dim = c.dim
+            GROUP BY v.vec_id, c.cid
+        ) d
+    ) r WHERE rn = 1
+)"""
+
+
+_SEM_DOT = "list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]), (acc,x) -> acc+x)"
+
+_SEMANTIC_ORACLE = f"""
+WITH {_sem_asgn_oracle()}, e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+), dn AS (
+    SELECT e.vec_id, e.emb, g.cid,
+           sqrt(list_reduce(list_transform(e.emb, x -> x*x), (acc,x) -> acc+x)) AS nrm
+    FROM e JOIN asgn g ON g.vec_id = e.vec_id
+)
+SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SEM_DOT} / (a.nrm * b.nrm) AS cosine
+FROM dn a JOIN dn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {_SEM_DOT} / (a.nrm * b.nrm) >= {COSINE_DUP_T!r}
+"""
+
+
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid): nearest of SEM_K deterministic centroids (the K
+    lowest vec_ids' embeddings), exact fixed-point distances — one
+    broadcast join into the exploded vectors, one shuffle on vec_id."""
+    from pyspark.sql.window import Window
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    vx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    init_ids = emb.select("vec_id").orderBy("vec_id").limit(SEM_K)
+    cent = vx.join(F.broadcast(init_ids), "vec_id").select(
+        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("val")
+    )
+    sq = (F.col("x") - F.col("val")) * (F.col("x") - F.col("val"))
+    dist = (
+        vx.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.floor(sq * F.lit(1e12)).cast("bigint")).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+@query("dedup_semantic_clustered", _SEMANTIC_ORACLE)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-pair semantic dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest of SEM_K
+    fixed centroids, then emit cosine-duplicate pairs WITHIN each
+    cluster only. This is the scale path that replaces the guarded
+    O(n²) `dedup_embedding_cosine` baseline: candidate pairs are
+    bounded per cluster, and the pairing join is an equi-join that
+    shuffles on cluster_id — never all-pairs.
+
+    100 TB shape: the centroid table is K×D rows (broadcast); the
+    assignment is one map-side broadcast join over the exploded
+    vectors plus one shuffle on vec_id (the argmin); the pairing
+    shuffles on cluster_id. With k ∝ corpus size, per-cluster pair
+    counts stay bounded, so cost is Σ|cluster|² « n². Recall
+    trade-off (inherent to SemDeDup): near-dup pairs split across a
+    cluster boundary are missed — tests pin pairs ⊆ the exact
+    baseline's.
+
+    Cross-engine parity: assignment distances use the same FLOOR-based
+    fixed-point folds as kmeans_embeddings (bit-identical on both
+    engines); cosine is the sequential left fold (dot_cols) verified
+    bit-identical vs DuckDB's list_reduce.
+    """
+    asgn = semantic_cluster_assign(spark, sf_dir)
+    emb = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_cols(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).join(asgn, "vec_id")
+    a, b = d.alias("a"), d.alias("b")
+    cos = dot_cols(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= COSINE_DUP_T)
+        .select(
+            F.col("a.cid").alias("cluster_id"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+    )

@@ -188,3 +188,36 @@ def test_longest_substring_constructed_fixture(spark, tmp_path):
     finally:
         con.close()
     assert oracle == got
+
+
+def test_semantic_clustered_subset_of_exact_cosine(spark):
+    """SemDeDup pairs must be exactly the exact-cosine pairs whose
+    endpoints landed in the same cluster: no false positives ever, and
+    the only misses are cross-cluster splits (the documented recall
+    trade-off)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.dedup_embedding_cosine(spark, SF).collect()
+    }
+    asgn = {r.vec_id: r.cid for r in dedup.semantic_cluster_assign(spark, SF).collect()}
+    sem = {(r.vec_a, r.vec_b): r.cosine for r in dedup.dedup_semantic_clustered(spark, SF).collect()}
+    assert set(sem) <= set(exact)
+    expected = {p for p in exact if asgn[p[0]] == asgn[p[1]]}
+    assert set(sem) == expected
+    for p, c in sem.items():
+        assert c == exact[p]
+
+
+def test_semantic_cluster_assign_is_partition(spark):
+    """Every vector lands in exactly one cluster and every cluster id
+    is one of the SEM_K deterministic init ids."""
+    n_vec = catalog.load_table(spark, SF, "embeddings").count()
+    rows = dedup.semantic_cluster_assign(spark, SF).collect()
+    assert len(rows) == n_vec
+    assert len({r.vec_id for r in rows}) == n_vec
+    init = {
+        r.vec_id
+        for r in catalog.load_table(spark, SF, "embeddings")
+        .select("vec_id").orderBy("vec_id").limit(dedup.SEM_K).collect()
+    }
+    assert {r.cid for r in rows} <= init
