@@ -918,3 +918,65 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-aware assignment)
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_PM = 800  # per-mille boundaries: 80% train, 10% val, 10% test
+SPLIT_VAL_PM = 900
+
+#: md5 of the CLUSTER representative -> first 4 hex chars -> bucket in
+#: [0, 1000). Portable across engines (substr/instr arithmetic), same
+#: recipe as sample_stratified_hash in plans/analytics.py.
+_SPLIT_BUCKET = (
+    "(" + hex_to_long_sql("substr(md5(CAST(cluster_id AS STRING)), 1, 4)", 4) + " % 1000)"
+)
+_SPLIT_BUCKET_DUCK = _SPLIT_BUCKET.replace("AS STRING", "AS VARCHAR")
+
+_SPLIT_ORACLE = f"""
+WITH cc AS ({_cc_oracle()}),
+rep AS (
+    SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_PM} THEN 'train'
+            WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_PM} THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
+@query("split_leakage_safe", _SPLIT_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document is assigned by
+    the md5-bucket of its NEAR-DUP CLUSTER representative (the min
+    doc_id reachable in the duplicate graph), not of its own id — so a
+    near-duplicate pair can never straddle the train/eval boundary,
+    the standard contamination guard when splitting a training corpus
+    (singleton docs are their own representative).
+
+    Deterministic and shuffle-minimal: cluster formation is the
+    already-iterative connected_components over the exact near-dup
+    pairs; the assignment itself adds ONE equi-join of documents
+    against the (doc_id, cluster_id) labels — NOT broadcast, because
+    at web scale duplicate-cluster membership can be a large fraction
+    of the corpus — plus a pure per-row hash predicate (no shuffle, no
+    rand(): reproducible across engines, retries, and partitionings).
+    """
+    cc = dedup_connected_components(spark, sf_dir)
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    bucket = F.expr(_SPLIT_BUCKET)
+    return rep.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < SPLIT_TRAIN_PM, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PM, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

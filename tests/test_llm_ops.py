@@ -221,3 +221,19 @@ def test_semantic_cluster_assign_is_partition(spark):
         .select("vec_id").orderBy("vec_id").limit(dedup.SEM_K).collect()
     }
     assert {r.cid for r in rows} <= init
+
+
+def test_split_leakage_safe_no_pair_straddles(spark):
+    """The contamination guarantee: every near-dup pair (and by
+    transitivity every same-cluster pair) lands in one split, and the
+    per-mille boundaries produce roughly 80/10/10."""
+    split = {r.doc_id: r.split for r in dedup.split_leakage_safe(spark, SF).collect()}
+    pairs = dedup.dedup_ngram_jaccard(spark, SF).collect()
+    for r in pairs:
+        assert split[r.doc_a] == split[r.doc_b]
+    n = len(split)
+    from collections import Counter
+
+    frac = {s: c / n for s, c in Counter(split.values()).items()}
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert all(v in split.values() for v in ("val", "test"))
