@@ -899,11 +899,20 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     asgn = semantic_cluster_assign(spark, sf_dir)
     emb = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    d = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_cols(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    ).join(asgn, "vec_id")
+    # localCheckpoint: the pairing is a self-join and Catalyst does not
+    # reuse the assignment exchange across its two sides (measured: 0
+    # ReusedExchange, the argmin window planned twice) — materialize
+    # the assigned table ONCE so both sides scan it (same reasoning as
+    # triangles_parts' oriented edges).
+    d = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot_cols(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .join(asgn, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a, b = d.alias("a"), d.alias("b")
     cos = dot_cols(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
