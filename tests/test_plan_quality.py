@@ -348,3 +348,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_pairing_is_equi_join_on_cluster(spark):
+    """dedup_semantic_clustered's pairing must be an equi-join keyed on
+    the cluster id (the bounded-candidate guarantee) — never a nested
+    loop — and the checkpointed assignment leaves only the two
+    pairing-side exchanges in the final plan."""
+    from orders_currency_conversion_etl_spark.operators.dedup import (
+        dedup_semantic_clustered,
+    )
+
+    plan = _plan(dedup_semantic_clustered(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the pairing join keys on cid on both sides (SMJ or shuffled hash)
+    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan
+    # assignment materialized once: no Window (argmin) survives into
+    # the pairing plan, and the only exchanges feed the self-join
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 4
