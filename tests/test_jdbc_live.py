@@ -1,0 +1,165 @@
+"""LIVE JDBC round-trip over embedded Derby.
+
+Spark's distribution ships the Derby embedded engine (pyspark/jars/
+derby-10.16*.jar, present for Hive-metastore support), which means the
+JDBC source/sink paths (SURVEY S1, S4/S5) and the anti-join
+idempotency redesign (S6/J3) can be exercised against a REAL JDBC
+driver + SQL engine — real pushdown subquery, real batched inserts,
+real type round-trip — not just option-map assertions. This is the
+closest in-sandbox approximation of the reference's two-Postgres
+dataflow (reference: dags/order_currency_conversion_dag.py:87-95,
+126-135; docker-compose.yaml's postgres pair).
+
+Embedded Derby folds unquoted identifiers to UPPER CASE while Spark's
+JDBC writer creates quoted lower-case columns, so the pushdown
+subquery must quote identifiers — a genuine cross-dialect lesson the
+option-map unit tests could never surface.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.operators import incremental
+from orders_currency_conversion_etl_spark.operators.convert import (
+    convert_orders,
+    orders_src_from_tpch,
+)
+from orders_currency_conversion_etl_spark.sources import catalog, jdbc
+from orders_currency_conversion_etl_spark.sources.rates import (
+    normalize_usd_rates_to_eur,
+    rates_df,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: Spark's Derby dialect maps StringType to CLOB, which Derby refuses in
+#: equality predicates; the reference DDL uses bounded VARCHARs anyway
+#: (init/postgres-1/init.sql:2-6).
+_ORDERS_COL_TYPES = (
+    "order_id VARCHAR(64), customer_email VARCHAR(255), currency VARCHAR(3)"
+)
+_EUR_COL_TYPES = (
+    "order_id VARCHAR(64), customer_email VARCHAR(255), original_currency VARCHAR(3)"
+)
+
+#: Quoted-identifier projection for the incremental scan (S1): Spark's
+#: writer quotes lower-case names, so the remote subquery must too.
+_SRC_COLS = (
+    '"order_id"',
+    '"customer_email"',
+    '"order_date"',
+    '"amount"',
+    '"currency"',
+    '"created_at"',
+    '"processed_at"',
+)
+
+_RATES = {"USD": 1.08, "GBP": 0.86, "JPY": 160.2, "EUR": 1.0}
+_CONVERSION_TIME = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def derby_urls(tmp_path_factory):
+    base = tmp_path_factory.mktemp("derby")
+    return (
+        f"jdbc:derby:{base}/db1;create=true",
+        f"jdbc:derby:{base}/db2;create=true",
+    )
+
+
+def _create_table(df, url: str, table: str, col_types: str) -> None:
+    """CREATE TABLE with reference-shaped bounded VARCHARs, then load
+    rows through the batched append sink (S4/S5)."""
+    (
+        df.limit(0)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("createTableColumnTypes", col_types)
+        .mode("overwrite")
+        .save()
+    )
+    jdbc.jdbc_append(df, url, table)
+
+
+def _read_unprocessed(spark, url: str):
+    """S1: incremental scan whose WHERE/SELECT run inside Derby."""
+    return jdbc.jdbc_incremental_reader(
+        spark,
+        url=url,
+        table="orders",
+        columns=_SRC_COLS,
+        unprocessed_predicate='"processed_at" IS NULL',
+    ).load()
+
+
+@pytest.fixture(scope="module")
+def loaded_db1(spark, derby_urls):
+    url1, _ = derby_urls
+    src = orders_src_from_tpch(catalog.load_table(spark, SF, "orders"))
+    _create_table(src, url1, "orders", _ORDERS_COL_TYPES)
+    return url1, src
+
+
+def test_live_incremental_scan_matches_parquet_predicate(spark, loaded_db1):
+    url1, src = loaded_db1
+    live = _read_unprocessed(spark, url1)
+    expected = src.filter("processed_at IS NULL").count()
+    assert live.count() == expected
+    assert expected > 0
+    # the pushdown really happened remotely: every fetched row is unprocessed
+    assert live.filter("processed_at IS NOT NULL").count() == 0
+
+
+def test_live_flagship_conversion_matches_parquet_path(spark, loaded_db1):
+    """The full reference dataflow over live JDBC: scan db1, convert,
+    append into db2.orders_eur, and the result rows are IDENTICAL to
+    the parquet-source flagship path."""
+    url1, src = loaded_db1
+    url2 = url1.replace("db1", "db2")
+    rates = rates_df(spark, normalize_usd_rates_to_eur(_RATES), _CONVERSION_TIME)
+
+    converted = convert_orders(_read_unprocessed(spark, url1), rates, _CONVERSION_TIME)
+    _create_table(converted, url2, "orders_eur", _EUR_COL_TYPES)
+
+    sink = (
+        spark.read.format("jdbc")
+        .option("url", url2)
+        .option("dbtable", '(SELECT * FROM orders_eur) AS s')
+        .load()
+    )
+    expected = convert_orders(src, rates, _CONVERSION_TIME)
+    got = {tuple(r) for r in sink.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    # money survived the DECIMAL(12,2) round-trip exactly
+    assert all(isinstance(r[5], decimal.Decimal) for r in got)
+
+
+def test_live_rerun_is_idempotent_via_anti_join(spark, loaded_db1):
+    """S6/J3 against live tables: a re-run sees every id already in the
+    sink and produces zero rows — the redesign that replaces the
+    reference's FOR UPDATE + write-back UPDATE."""
+    url1, _ = loaded_db1
+    url2 = url1.replace("db1", "db2")
+    source = _read_unprocessed(spark, url1)
+    sink = (
+        spark.read.format("jdbc")
+        .option("url", url2)
+        .option("dbtable", '(SELECT "order_id" FROM orders_eur) AS s')
+        .load()
+    )
+    assert incremental.unprocessed(source, sink, key="order_id").count() == 0
+
+    # and after new rows land in db1, ONLY those come back
+    extra = source.limit(7).withColumn(
+        "order_id", F.concat(F.lit("new-"), F.col("order_id"))
+    )
+    jdbc.jdbc_append(extra, url1, "orders")
+    fresh = incremental.unprocessed(_read_unprocessed(spark, url1), sink, key="order_id")
+    assert fresh.count() == 7
