@@ -12,9 +12,10 @@ push the same knobs through the JDBC data source:
   executors — the piece psycopg2 fundamentally can't do;
 - ``batchsize=1000``: the reference's commit_every/chunksize.
 
-No database exists in this container, so these helpers are exercised
-only for plan construction in tests; the option plumbing is the
-contract.
+These paths run LIVE against embedded Derby (shipped in Spark's jars)
+in tests/test_jdbc_live.py — real driver, real pushdown subquery, real
+batched inserts; only Postgres-dialect specifics stay unexercised in
+this container.
 """
 
 from __future__ import annotations
@@ -80,3 +81,59 @@ def jdbc_append(
         .mode("append")
         .save()
     )
+
+
+def jdbc_idempotent_sink(
+    url: str,
+    table: str,
+    key: str = "order_id",
+    create_col_types: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+):
+    """``foreachBatch`` sink with exactly-once EFFECT on an append-only
+    JDBC target (the streaming version of the S6 anti-join redesign).
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a crash the failed batch replays with the
+    same id, and a plain append would duplicate whatever rows the torn
+    attempt already committed. Instead each batch anti-joins against
+    the sink's LIVE key set before appending, so replays insert only
+    the missing rows — the same declarative idempotency that replaces
+    the reference's FOR UPDATE + write-back UPDATE
+    (dags/order_currency_conversion_dag.py:87-95,143-150).
+
+    At scale the key-probe read should not scan the whole sink: the
+    projection (key only) pushes into the database here; beyond that,
+    prune with a predicate on a sink partition/time column (cf.
+    incremental.unprocessed's watermark) or keep a tiny committed
+    batch-id side table and skip whole batches. The table is created
+    on first touch with reference-shaped column types.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        probe = f'(SELECT "{key}" FROM {table}) AS s'
+        try:
+            existing = (
+                spark.read.format("jdbc").option("url", url).option("dbtable", probe).load()
+            )
+        except Exception:
+            # first batch: target table does not exist yet
+            writer = (
+                batch_df.limit(0)
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", table)
+            )
+            if create_col_types:
+                writer = writer.option("createTableColumnTypes", create_col_types)
+            writer.mode("overwrite").save()
+            existing = None
+        fresh = (
+            batch_df
+            if existing is None
+            else batch_df.join(existing, on=key, how="left_anti")
+        )
+        jdbc_append(fresh, url, table, batch_size=batch_size)
+
+    return _write

@@ -163,3 +163,70 @@ def test_live_rerun_is_idempotent_via_anti_join(spark, loaded_db1):
     jdbc.jdbc_append(extra, url1, "orders")
     fresh = incremental.unprocessed(_read_unprocessed(spark, url1), sink, key="order_id")
     assert fresh.count() == 7
+
+
+def test_streaming_conversion_into_live_jdbc_exactly_once(spark, derby_urls, tmp_path):
+    """The reference's whole dataflow as a stream into a REAL database:
+    orders arrive as a file stream, convert, land in Derby via the
+    idempotent foreachBatch sink. A crash is injected AFTER a partial
+    append of batch 1 (the torn non-transactional state a plain append
+    sink cannot heal); on restart the batch replays and the anti-join
+    inserts only the missing rows — final table equals the batch
+    flagship exactly, no duplicates, no losses."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from orders_currency_conversion_etl_spark.streaming.orders_stream import (
+        convert_stream,
+        read_orders_stream,
+        stage_orders_as_stream_source,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    stage = stage_orders_as_stream_source(spark, SF, str(tmp_path / "stage"))
+    ckpt = str(tmp_path / "ckpt")
+    inner = jdbc.jdbc_idempotent_sink(url, "orders_eur", create_col_types=_EUR_COL_TYPES)
+
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # torn write: half the batch lands, checkpoint never commits
+            inner(batch_df.limit(batch_df.count() // 2), batch_id)
+            raise RuntimeError("injected crash mid-append")
+        inner(batch_df, batch_id)
+
+    def start(sink):
+        return (
+            convert_stream(read_orders_stream(spark, stage), spark, _CONVERSION_TIME)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(crashing_sink)
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except StreamingQueryException:
+        pass
+
+    q2 = start(inner)
+    q2.awaitTermination()
+
+    sink_rows = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "(SELECT * FROM orders_eur) AS s")
+        .load()
+    )
+    src = orders_src_from_tpch(catalog.load_table(spark, SF, "orders"))
+    # convert_stream uses the default fixture rates — mirror it exactly
+    want = {tuple(r) for r in convert_orders(src, rates_df(spark), _CONVERSION_TIME).collect()}
+    got = [tuple(r) for r in sink_rows.collect()]
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
