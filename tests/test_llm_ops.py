@@ -237,3 +237,76 @@ def test_split_leakage_safe_no_pair_straddles(spark):
     frac = {s: c / n for s, c in Counter(split.values()).items()}
     assert 0.6 < frac.get("train", 0) < 0.95
     assert all(v in split.values() for v in ("val", "test"))
+
+
+def test_semantic_clustered_constructed_fixture(spark, tmp_path):
+    """Ground-truth check of dedup_semantic_clustered on a constructed
+    embedding table with KNOWN geometry. Vectors 0..7 are mutually
+    orthogonal unit vectors and seed the SEM_K=8 centroids; vec 8 is a
+    near-copy of 0 (cluster 0) and vec 9 of 1 (cluster 1), so pairs
+    (0,8) and (1,9) MUST be found. Vecs 10 and 11 point the same
+    direction (cosine ~0.99, a true near-dup pair) but are nudged so
+    they assign to DIFFERENT clusters — the documented SemDeDup recall
+    loss: the pair must be missed. Cross-checks the registered DuckDB
+    oracle value for value."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orders_currency_conversion_etl_spark.plans.registry import ORACLES
+
+    dim = 64
+
+    def e(i, scale=1.0):
+        v = np.zeros(dim, dtype=np.float32)
+        v[i] = scale
+        return v
+
+    a, b = e(0), e(1)
+    vecs = {i: e(i) for i in range(8)}            # the 8 centroid seeds
+    vecs[8] = (a + e(2, 0.01)).astype(np.float32)   # dup of 0 -> cluster 0
+    vecs[9] = (b + e(2, 0.01)).astype(np.float32)   # dup of 1 -> cluster 1
+    vecs[10] = (0.9 * a + 0.8 * b).astype(np.float32)  # nearer 0 -> cluster 0
+    vecs[11] = (0.8 * a + 0.9 * b).astype(np.float32)  # nearer 1 -> cluster 1
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(sorted(vecs), type=pa.int64()),
+            "embedding": pa.array(
+                [vecs[k].tolist() for k in sorted(vecs)], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    asgn = {
+        r.vec_id: r.cid for r in dedup.semantic_cluster_assign(spark, str(tmp_path)).collect()
+    }
+    assert asgn[8] == 0 and asgn[9] == 1
+    assert asgn[10] == 0 and asgn[11] == 1      # the engineered split
+
+    got = {
+        (r.vec_a, r.vec_b): r.cluster_id
+        for r in dedup.dedup_semantic_clustered(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 8)] == 0 and got[(1, 9)] == 1   # within-cluster dups found
+    assert (10, 11) not in got                      # cross-cluster dup missed
+    assert all(asgn[x] == asgn[y] == cid for (x, y), cid in got.items())
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        oracle = {
+            (va, vb): cid
+            for cid, va, vb, _cos in con.execute(
+                ORACLES["dedup_semantic_clustered"]
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == oracle
