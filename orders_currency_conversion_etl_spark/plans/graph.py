@@ -130,7 +130,12 @@ def _pagerank_state_build(spark, sf_dir: str):
     # edge distinct, versus distinct + self-join + distinct (two extra
     # exchanges; measured 2.2s -> 1.8s at sf0.1). Per-order part sets
     # are small (bounded lineitems/order), so the in-set quadratic
-    # explode is cheap and skew-safe at 100 TB.
+    # explode is cheap and skew-safe at 100 TB. A/B'd alternative
+    # (r5): emit canonical least/greatest pairs, distinct HALF the
+    # volume, mirror after — identical edge set, but locally slower
+    # (1.12 vs 1.03 s at sf0.1: the nested-lambda CPU outweighs the
+    # halved shuffle on local[N]); worth revisiting only on a
+    # network-bound cluster shuffle.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
