@@ -1,0 +1,219 @@
+"""Data-layout optimization: Z-order (Morton) interleaved sort keys.
+
+The reference has no storage-layout surface (its sink is a row-store
+Postgres table — `/root/reference/dags/order_currency_conversion_dag.py:126-135`);
+this is EXT, the capability class a 100 TB parquet lake actually needs:
+multi-dimensional data clustering so that a filter on ANY of the
+clustered columns prunes most files/row-groups, not just a filter on
+the single sort prefix.
+
+Why Z-order and not a plain compound sort: sorting by (a, b) clusters
+perfectly on `a` but scatters `b` — a filter on `b` alone touches every
+file. The Morton curve interleaves the bits of both dimensions, so a
+range predicate on EITHER column maps to a bounded number of z-ranges
+and the parquet row-group min/max stats skip the rest. This is the same
+layout trick Delta/Iceberg expose as `OPTIMIZE ... ZORDER BY`; here it
+is built from first principles on open Spark primitives:
+
+    normalize dims to 16-bit ints  (pure integer arithmetic)
+    -> spread bits (5 shift-and-mask steps, the standard magic numbers)
+    -> interleave (sx | sy << 1)
+    -> repartitionByRange + sortWithinPartitions on the z-key
+
+Scale notes (100 TB):
+- the z-key is a narrow per-row map — no shuffle to compute;
+- `repartitionByRange` on the z-key is ONE range shuffle (sampled
+  boundaries), the same cost as any global sort, paid once at write
+  time to make every later scan cheaper;
+- min/max normalization bounds come from one tiny aggregate that
+  broadcasts (4 bigints); on an append-only lake these are maintained
+  per-partition instead of recomputed;
+- effectiveness is MEASURED, not asserted: tests/test_layout.py writes
+  the same table z-ordered vs round-robin and counts the files a
+  selective filter actually touches on both layouts.
+
+Cross-engine exactness: every step is integer arithmetic (subtract,
+multiply, integral division, shift, and/or) — bit-identical between
+Spark and DuckDB, so the registered query hash-matches its oracle with
+no float boundary anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import catalog
+
+#: Bits per dimension. 16 bits x 2 dims -> 32-bit z-key; plenty of
+#: resolution for file/row-group pruning (a 100 TB table has ~1e5-1e6
+#: row groups — 2^32 distinct cells is 4 orders of magnitude finer).
+BITS = 16
+MAX_CELL = (1 << BITS) - 1  # 65535
+
+#: The standard bit-spread chain for up to 32-bit inputs: after these
+#: five shift-and-mask steps the i-th input bit sits at position 2i.
+#: One table drives BOTH engines (Spark Column ops and oracle SQL), so
+#: the two implementations cannot drift.
+_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_col(col: Column) -> Column:
+    x = col
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _normalize(vname: str, mn: str, mx: str) -> Column:
+    """Map vname in [mn, mx] to an integer cell in [0, MAX_CELL].
+
+    Pure BIGINT arithmetic (`DIV`, not `/`) so Spark and DuckDB agree
+    bit-for-bit; GREATEST guards the degenerate constant column."""
+    return F.expr(
+        f"CAST((({vname} - {mn}) * {MAX_CELL}) DIV GREATEST({mx} - {mn}, 1) AS BIGINT)"
+    )
+
+
+def morton_key(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Attach `_zkey`: the Morton interleave of the two columns.
+
+    Normalization bounds come from one broadcast 1-row aggregate of the
+    input (4 bigints crossing the wire — the canonical tiny-dimension
+    broadcast, same shape as the flagship's rate table)."""
+    bounds = df.agg(
+        F.min(col_x).cast("bigint").alias("_mn_x"),
+        F.max(col_x).cast("bigint").alias("_mx_x"),
+        F.min(col_y).cast("bigint").alias("_mn_y"),
+        F.max(col_y).cast("bigint").alias("_mx_y"),
+    )
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    nx = _normalize(col_x, "_mn_x", "_mx_x")
+    ny = _normalize(col_y, "_mn_y", "_mx_y")
+    z = _spread_col(nx).bitwiseOR(F.shiftleft(_spread_col(ny), 1))
+    return with_bounds.withColumn("_zkey", z).drop(
+        "_mn_x", "_mx_x", "_mn_y", "_mx_y"
+    )
+
+
+def write_zordered(
+    df: DataFrame, col_x: str, col_y: str, path: str, n_files: int
+) -> None:
+    """Write df as `n_files` parquet files clustered on the Morton key.
+
+    One range shuffle (sampled boundaries on `_zkey`) + an in-partition
+    sort; the z-key itself is dropped from the stored schema — its whole
+    job is deciding row placement so parquet's per-row-group min/max on
+    the REAL columns become selective."""
+    keyed = morton_key(df, col_x, col_y)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_touched(df: DataFrame) -> int:
+    """Number of distinct files contributing at least one row to df.
+
+    The pruning metric: with row-group statistics doing their job, a
+    selective predicate over a z-ordered layout draws its matches from
+    few files; over a scattered layout every file contributes."""
+    return (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered query: per-z-bucket locality statistics
+# --------------------------------------------------------------------------
+
+def _spread_sql_ctes() -> tuple[str, str]:
+    """CTE chain applying _SPREAD_STEPS to BOTH normalized dims —
+    generated from the same step table as the Spark side, so the two
+    implementations cannot drift. Each step rewrites nx and ny in place
+    via DuckDB's `SELECT * REPLACE`."""
+    lines = []
+    prev = "norm"
+    for i, (shift, mask) in enumerate(_SPREAD_STEPS):
+        cur = f"spread{i}"
+        lines.append(
+            f"{cur} AS (SELECT * REPLACE ("
+            f"((nx | (nx << {shift})) & {mask}) AS nx, "
+            f"((ny | (ny << {shift})) & {mask}) AS ny"
+            f") FROM {prev})"
+        )
+        prev = cur
+    return ",\n".join(lines), prev
+
+
+_SPREAD_CTES, _SPREAD_LAST = _spread_sql_ctes()
+
+_ZORDER_ORACLE = f"""
+WITH ext AS (
+    SELECT CAST(MIN(l_partkey) AS BIGINT) AS mn_x,
+           CAST(MAX(l_partkey) AS BIGINT) AS mx_x,
+           CAST(MIN(l_suppkey) AS BIGINT) AS mn_y,
+           CAST(MAX(l_suppkey) AS BIGINT) AS mx_y
+    FROM lineitem
+),
+norm AS (
+    SELECT l_partkey, l_suppkey,
+           ((l_partkey - mn_x) * {MAX_CELL}) // GREATEST(mx_x - mn_x, 1) AS nx,
+           ((l_suppkey - mn_y) * {MAX_CELL}) // GREATEST(mx_y - mn_y, 1) AS ny
+    FROM lineitem, ext
+),
+{_SPREAD_CTES},
+z AS (
+    SELECT l_partkey, l_suppkey, (nx | (ny << 1)) AS zkey FROM {_SPREAD_LAST}
+)
+SELECT CAST(zkey >> 26 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+FROM z
+GROUP BY 1
+"""
+
+
+@query("layout_zorder_stats", _ZORDER_ORACLE)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-z-bucket locality profile of lineitem clustered on
+    (l_partkey, l_suppkey).
+
+    The top 6 z-key bits = the interleaved top 3 bits of each
+    normalized dimension, so each of the <=64 buckets is a bounded
+    rectangle in (part, supp) space — visible in the min/max spans this
+    query returns, and the reason range predicates on either column
+    prune whole buckets. Every step is integer arithmetic: the oracle
+    hash-matches exactly.
+    """
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    keyed = morton_key(li, "l_partkey", "l_suppkey")
+    return (
+        keyed.groupBy(
+            F.shiftright("_zkey", 26).cast("bigint").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+    )

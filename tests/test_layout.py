@@ -1,0 +1,121 @@
+"""Z-order layout: Morton-key math, bucket locality, and the thing the
+whole op exists for — measured file pruning of a selective scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.operators import layout
+from orders_currency_conversion_etl_spark.sources import catalog
+
+from tests.conftest import SF_SMOKE
+
+
+def _morton_ref(x: int, y: int) -> int:
+    """Pure-Python reference interleave (bit-at-a-time, no magic)."""
+    z = 0
+    for i in range(layout.BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_bitwise_reference(spark):
+    # Values chosen to exercise every spread step: 0, max, alternating
+    # bit patterns, and a few mid-range points.
+    pts = [
+        (0, 0),
+        (65535, 65535),
+        (0xAAAA, 0x5555),
+        (1, 2),
+        (12345, 54321),
+        (40000, 1),
+    ]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    # Identity normalization: bounds rows pin mn=0, mx=65535 exactly.
+    df = df.union(spark.createDataFrame([(0, 0), (65535, 65535)], df.schema))
+    out = {
+        (r["x"], r["y"]): r["_zkey"]
+        for r in layout.morton_key(df, "x", "y").collect()
+    }
+    for x, y in pts:
+        assert out[(x, y)] == _morton_ref(x, y), (x, y)
+
+
+def test_constant_column_does_not_divide_by_zero(spark):
+    df = spark.createDataFrame([(7, 1), (7, 2), (7, 3)], "x bigint, y bigint")
+    rows = layout.morton_key(df, "x", "y").collect()
+    assert len(rows) == 3
+    assert all(r["_zkey"] >= 0 for r in rows)
+
+
+def test_bucket_locality_bounded_rectangles(spark):
+    """Each top-6-bit z-bucket pins the top 3 bits of BOTH dims, so the
+    per-bucket span of either column is <= 1/8 of its global range
+    (plus normalization rounding slack)."""
+    stats = layout.layout_zorder_stats(spark, SF_SMOKE).collect()
+    li = catalog.load_table(spark, SF_SMOKE, "lineitem")
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    part_range = g[1] - g[0]
+    supp_range = g[3] - g[2]
+    assert len(stats) > 16  # the curve actually spreads the data
+    for r in stats:
+        assert r["max_part"] - r["min_part"] <= part_range / 8 + 2
+        assert r["max_supp"] - r["min_supp"] <= supp_range / 8 + 2
+
+
+def test_zorder_write_prunes_files_vs_roundrobin(spark, tmp_path):
+    """The measured claim: a selective 2-D predicate draws its matching
+    rows from strictly fewer files under the z-ordered layout than
+    under a size-balanced round-robin layout of the same data."""
+    li = catalog.load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zdir = os.path.join(tmp_path, "zordered")
+    rdir = os.path.join(tmp_path, "roundrobin")
+    layout.write_zordered(li, "l_partkey", "l_suppkey", zdir, n_files)
+    li.repartition(n_files).write.mode("overwrite").parquet(rdir)
+
+    bounds = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                    F.min("l_suppkey"), F.max("l_suppkey")).first()
+    # ~1/8 of each dimension -> a 1/64 cell of the 2-D space.
+    plo, phi = bounds[0], bounds[0] + (bounds[1] - bounds[0]) // 8
+    slo, shi = bounds[2], bounds[2] + (bounds[3] - bounds[2]) // 8
+    pred = (
+        (F.col("l_partkey").between(plo, phi))
+        & (F.col("l_suppkey").between(slo, shi))
+    )
+
+    z_touched = layout.files_touched(spark.read.parquet(zdir).filter(pred))
+    r_touched = layout.files_touched(spark.read.parquet(rdir).filter(pred))
+    n_match_z = spark.read.parquet(zdir).filter(pred).count()
+    n_match_r = spark.read.parquet(rdir).filter(pred).count()
+
+    assert n_match_z == n_match_r > 0  # same data, same answer
+    assert r_touched == n_files  # scattered layout: every file has matches
+    assert z_touched <= n_files // 2  # clustered layout: concentrated
+    # Single-column predicate must also prune (the advantage over a
+    # plain compound sort, which would only help the sort prefix —
+    # check the NON-prefix dimension, suppkey).
+    supp_only = F.col("l_suppkey").between(slo, shi)
+    z_supp = layout.files_touched(spark.read.parquet(zdir).filter(supp_only))
+    assert z_supp < n_files
+
+
+def test_registered_query_hash_matches_oracle(spark):
+    import __spark_entry__ as entry_mod
+    from tests.oracle_harness import compare_query
+
+    compare_query(
+        spark,
+        SF_SMOKE,
+        entry_mod.queries()["layout_zorder_stats"],
+        entry_mod.oracle_sql()["layout_zorder_stats"],
+    )
