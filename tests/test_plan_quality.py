@@ -368,3 +368,22 @@ def test_semdedup_pairing_is_equi_join_on_cluster(spark):
     # the pairing plan, and the only exchanges feed the self-join
     assert "Window" not in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_zorder_stats_plan_broadcasts_bounds_single_agg_shuffle(spark):
+    """layout_zorder_stats: the normalization bounds (a 1-row aggregate)
+    must come in via a broadcast join — never a shuffled join against
+    the fat side — and the bucket rollup is the plan's ONLY hash
+    exchange, partial-aggregated map-side. The z-key itself must be a
+    pure projection (no UDF, no extra exchange)."""
+    from orders_currency_conversion_etl_spark.operators.layout import (
+        layout_zorder_stats,
+    )
+
+    plan = _plan(layout_zorder_stats(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the bucket agg
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
