@@ -119,3 +119,36 @@ def test_registered_query_hash_matches_oracle(spark):
         entry_mod.queries()["layout_zorder_stats"],
         entry_mod.oracle_sql()["layout_zorder_stats"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the magic-number spread chain equals the bit-at-a-time
+# definition for every representable input (pure Python mirror of
+# _SPREAD_STEPS — the Spark-side equivalence is pinned above on a fixed
+# batch, so one sampled bridge + an exhaustive-ish property closes the
+# chain: definition == magic numbers == Spark == DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, strategies as st  # noqa: E402
+
+
+def _spread_magic(x: int) -> int:
+    for shift, mask in layout._SPREAD_STEPS:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+@given(st.integers(min_value=0, max_value=layout.MAX_CELL),
+       st.integers(min_value=0, max_value=layout.MAX_CELL))
+def test_spread_chain_equals_bitwise_definition(x, y):
+    assert _spread_magic(x) | (_spread_magic(y) << 1) == _morton_ref(x, y)
+
+
+@given(st.integers(min_value=0, max_value=layout.MAX_CELL - 1),
+       st.integers(min_value=0, max_value=layout.MAX_CELL))
+def test_zkey_monotone_per_dimension(x, other):
+    """With one dimension fixed, the z-key is strictly monotone in the
+    other — the property that turns a 1-D range predicate into a
+    bounded set of z-ranges (the pruning guarantee)."""
+    assert _morton_ref(x, other) < _morton_ref(x + 1, other)
+    assert _morton_ref(other, x) < _morton_ref(other, x + 1)
