@@ -217,3 +217,60 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("max_supp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# File-level min/max manifest + manifest-driven pruned reads
+# --------------------------------------------------------------------------
+
+def build_file_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file statistics table: (file, n_rows, <c>_min, <c>_max ...).
+
+    The table-format trick (Iceberg manifests / Delta file stats)
+    rebuilt from open primitives: ONE scan of the dataset grouped by
+    ``input_file_name()``. Parquet row-group stats prune *within* a
+    file only after its footer is opened; this manifest is what lets a
+    planner skip the file (and its listing/footer/task cost) entirely.
+
+    Scale: output is |files| rows (~1e5-1e6 at 100 TB — tiny). On an
+    append-only lake the manifest is maintained incrementally by
+    running this over new files and unioning, not recomputed.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Scan only the files whose [min, max] overlaps [lo, hi].
+
+    The surviving file list is collected driver-side — bounded by
+    |files|, the same driver-side scale every table-format planner
+    accepts — and handed to the reader as explicit paths, so skipped
+    files cost nothing: no task, no footer read. The residual predicate
+    is still applied (overlap is necessary, not sufficient).
+    """
+    keep = [
+        r["file"]
+        for r in manifest.filter(
+            ~((F.col(f"{col}_max") < lo) | (F.col(f"{col}_min") > hi))
+        ).select("file").collect()
+    ]
+    if not keep:
+        # Nothing overlaps: keep the schema (one footer read), zero rows.
+        first = manifest.select("file").first()
+        if first is None:
+            raise ValueError("empty manifest")
+        return spark.read.parquet(first["file"]).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))

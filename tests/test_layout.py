@@ -152,3 +152,41 @@ def test_zkey_monotone_per_dimension(x, other):
     bounded set of z-ranges (the pruning guarantee)."""
     assert _morton_ref(x, other) < _morton_ref(x + 1, other)
     assert _morton_ref(other, x) < _morton_ref(other, x + 1)
+
+
+def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Manifest-driven file skipping: the pruned read lists only
+    overlapping files (cheaper than any in-file pruning — skipped files
+    cost no task and no footer read) yet returns exactly the rows of a
+    full scan + filter. Composes with the z-ordered layout: both
+    clustered dimensions prune."""
+    li = catalog.load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zdir = os.path.join(tmp_path, "zordered")
+    layout.write_zordered(li, "l_partkey", "l_suppkey", zdir, n_files)
+
+    manifest = layout.build_file_manifest(
+        spark, zdir, ["l_partkey", "l_suppkey"]
+    ).cache()
+    assert manifest.count() == n_files
+    assert manifest.agg(F.sum("n_rows")).first()[0] == li.count()
+
+    bounds = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                    F.min("l_suppkey"), F.max("l_suppkey")).first()
+    for col, lo, hi in [
+        ("l_partkey", bounds[0], bounds[0] + (bounds[1] - bounds[0]) // 8),
+        ("l_suppkey", bounds[2], bounds[2] + (bounds[3] - bounds[2]) // 8),
+    ]:
+        pruned = layout.read_pruned(spark, manifest, col, lo, hi)
+        full = spark.read.parquet(zdir).filter(F.col(col).between(lo, hi))
+        assert pruned.count() == full.count() > 0
+        n_read = pruned.select(F.input_file_name()).distinct().count()
+        assert n_read < n_files, col  # files actually skipped at plan time
+
+    # Disjoint range: zero rows, schema intact.
+    empty = layout.read_pruned(spark, manifest, "l_partkey", bounds[1] + 10, bounds[1] + 20)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(li.columns)
+    manifest.unpersist()
