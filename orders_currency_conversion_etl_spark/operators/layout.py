@@ -274,3 +274,200 @@ def read_pruned(
             raise ValueError("empty manifest")
         return spark.read.parquet(first["file"]).filter(F.lit(False))
     return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve: the no-seam alternative to Morton
+# --------------------------------------------------------------------------
+#
+# The Z-order curve takes long diagonal jumps at power-of-two seams, so
+# a few buckets straddle distant regions; the Hilbert curve visits every
+# cell of each 2^k x 2^k block before leaving it, giving strictly
+# contiguous locality — the layout Databricks' liquid clustering and
+# most modern lakehouse optimizers prefer. Same engine contract as the
+# Morton path: pure integer arithmetic, one range shuffle at write
+# time, exact DuckDB oracle.
+#
+# Per level s = 2^(BITS-1) ... 1 (the standard xy->d walk):
+#   rx = (x & s) != 0;  ry = (y & s) != 0
+#   d += s*s * ((3*rx) XOR ry)        -- quadrant in {0,1,2,3}
+#   if ry == 0: (flip if rx) then swap x,y
+# The three implementations (Python reference, Spark Columns, oracle
+# CTE chain) share this loop structure and are pinned equal by
+# tests/test_layout.py (hypothesis property + fixed-batch bridge +
+# oracle hash-match).
+
+
+def hilbert_ref(x: int, y: int, bits: int = BITS) -> int:
+    """Pure-Python reference xy->d (the testing ground truth)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _hilbert_fold(df: DataFrame) -> DataFrame:
+    """Run the BITS-level xy->d walk over columns `_hx`, `_hy`, `_hd`.
+
+    One Project per level: every level's expressions reference the
+    PREVIOUS level's output attributes (not inlined sub-expressions).
+    Inlining the chain into one Column blows up ~3^BITS expression
+    nodes — measured to OOM the driver at BITS=16 — while the
+    per-level projection keeps the plan linear in BITS; Catalyst's
+    CollapseProject leaves it alone because each alias is referenced
+    several times by non-cheap CASE expressions."""
+    for i in range(BITS):
+        s = 1 << (BITS - 1 - i)
+        rx = F.col("_hx").bitwiseAND(F.lit(s)) != 0
+        ry = F.col("_hy").bitwiseAND(F.lit(s)) != 0
+        quadrant = F.when(~rx & ~ry, 0).when(~rx, 1).when(ry, 2).otherwise(3)
+        df = df.withColumns(
+            {
+                "_hd": F.col("_hd") + F.lit(s * s).cast("bigint") * quadrant,
+                "_hx": F.when(ry, F.col("_hx"))
+                .when(rx, F.lit(s - 1) - F.col("_hy"))
+                .otherwise(F.col("_hy")),
+                "_hy": F.when(ry, F.col("_hy"))
+                .when(rx, F.lit(s - 1) - F.col("_hx"))
+                .otherwise(F.col("_hx")),
+            }
+        )
+    return df
+
+
+def hilbert_key(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Attach `_hkey`: the Hilbert distance of the two columns
+    (normalized exactly as :func:`morton_key` normalizes)."""
+    bounds = df.agg(
+        F.min(col_x).cast("bigint").alias("_mn_x"),
+        F.max(col_x).cast("bigint").alias("_mx_x"),
+        F.min(col_y).cast("bigint").alias("_mn_y"),
+        F.max(col_y).cast("bigint").alias("_mx_y"),
+    )
+    seeded = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumns(
+            {
+                "_hx": _normalize(col_x, "_mn_x", "_mx_x"),
+                "_hy": _normalize(col_y, "_mn_y", "_mx_y"),
+                "_hd": F.lit(0).cast("bigint"),
+            }
+        )
+        .drop("_mn_x", "_mx_x", "_mn_y", "_mx_y")
+    )
+    return (
+        _hilbert_fold(seeded)
+        .withColumnRenamed("_hd", "_hkey")
+        .drop("_hx", "_hy")
+    )
+
+
+def write_hilbert_ordered(
+    df: DataFrame, col_x: str, col_y: str, path: str, n_files: int
+) -> None:
+    """Write df as `n_files` parquet files clustered on the Hilbert key
+    (same single-range-shuffle cost as :func:`write_zordered`)."""
+    keyed = hilbert_key(df, col_x, col_y)
+    (
+        keyed.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _hilbert_sql_ctes() -> tuple[str, str]:
+    """Oracle CTE chain mirroring :func:`_hilbert_col` level by level
+    (generated from the same loop, so the engines cannot drift)."""
+    lines = []
+    prev = "norm"
+    for i in range(BITS):
+        s = 1 << (BITS - 1 - i)
+        cur = f"hlev{i}"
+        quadrant = (
+            f"CASE WHEN (nx & {s}) = 0 AND (ny & {s}) = 0 THEN 0 "
+            f"WHEN (nx & {s}) = 0 THEN 1 "
+            f"WHEN (ny & {s}) <> 0 THEN 2 ELSE 3 END"
+        )
+        new_x = (
+            f"CASE WHEN (ny & {s}) <> 0 THEN nx "
+            f"WHEN (nx & {s}) <> 0 THEN {s - 1} - ny ELSE ny END"
+        )
+        new_y = (
+            f"CASE WHEN (ny & {s}) <> 0 THEN ny "
+            f"WHEN (nx & {s}) <> 0 THEN {s - 1} - nx ELSE nx END"
+        )
+        lines.append(
+            f"{cur} AS (SELECT * REPLACE ("
+            f"d + {s * s}::BIGINT * ({quadrant}) AS d, "
+            f"({new_x}) AS nx, ({new_y}) AS ny"
+            f") FROM {prev})"
+        )
+        prev = cur
+    return ",\n".join(lines), prev
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_sql_ctes()
+
+_HILBERT_ORACLE = f"""
+WITH ext AS (
+    SELECT CAST(MIN(l_partkey) AS BIGINT) AS mn_x,
+           CAST(MAX(l_partkey) AS BIGINT) AS mx_x,
+           CAST(MIN(l_suppkey) AS BIGINT) AS mn_y,
+           CAST(MAX(l_suppkey) AS BIGINT) AS mx_y
+    FROM lineitem
+),
+norm AS (
+    SELECT l_partkey, l_suppkey, CAST(0 AS BIGINT) AS d,
+           ((l_partkey - mn_x) * {MAX_CELL}) // GREATEST(mx_x - mn_x, 1) AS nx,
+           ((l_suppkey - mn_y) * {MAX_CELL}) // GREATEST(mx_y - mn_y, 1) AS ny
+    FROM lineitem, ext
+),
+{_HILBERT_CTES}
+SELECT CAST(d >> 26 AS BIGINT) AS h_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+FROM {_HILBERT_LAST}
+GROUP BY 1
+"""
+
+
+@query("layout_hilbert_stats", _HILBERT_ORACLE)
+def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Hilbert-bucket locality profile of lineitem clustered on
+    (l_partkey, l_suppkey).
+
+    The top 6 bits of the Hilbert distance index the depth-3 cell walk,
+    so each of the <=64 buckets is exactly one 1/8 x 1/8 square —
+    contiguous along the curve, unlike Morton's seam-straddling
+    buckets. Integer arithmetic end to end: the oracle hash-matches.
+    """
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    keyed = hilbert_key(li, "l_partkey", "l_suppkey")
+    return (
+        keyed.groupBy(
+            F.shiftright("_hkey", 26).cast("bigint").alias("h_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+    )

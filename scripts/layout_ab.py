@@ -52,10 +52,14 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         paths = {
             "zorder": os.path.join(tmp, "z"),
+            "hilbert": os.path.join(tmp, "h"),
             "compound_sort": os.path.join(tmp, "c"),
             "roundrobin": os.path.join(tmp, "r"),
         }
         layout.write_zordered(li, "l_partkey", "l_suppkey", paths["zorder"], N_FILES)
+        layout.write_hilbert_ordered(
+            li, "l_partkey", "l_suppkey", paths["hilbert"], N_FILES
+        )
         (
             li.repartitionByRange(N_FILES, "l_partkey", "l_suppkey")
             .sortWithinPartitions("l_partkey", "l_suppkey")

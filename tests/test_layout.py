@@ -190,3 +190,102 @@ def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path)
     assert empty.count() == 0
     assert set(empty.columns) == set(li.columns)
     manifest.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+def _hilbert_inv(d: int, bits: int = layout.BITS) -> tuple[int, int]:
+    """Reference d->xy (standard inverse walk), for round-trip tests."""
+    x = y = 0
+    s = 1
+    while s < (1 << bits):
+        rx = 1 & (d // 2)
+        ry = 1 & (d ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        d //= 4
+        s *= 2
+    return x, y
+
+
+@given(st.integers(min_value=0, max_value=(1 << (2 * layout.BITS)) - 1))
+def test_hilbert_roundtrip_and_adjacency(d):
+    """xy(d) -> d round-trips exactly, and consecutive curve positions
+    are grid-adjacent (Manhattan distance 1) — the locality property
+    that makes Hilbert clustering seam-free."""
+    x, y = _hilbert_inv(d)
+    assert layout.hilbert_ref(x, y) == d
+    if d + 1 < (1 << (2 * layout.BITS)):
+        x2, y2 = _hilbert_inv(d + 1)
+        assert abs(x2 - x) + abs(y2 - y) == 1
+
+
+def test_hilbert_spark_matches_reference(spark):
+    import random
+
+    random.seed(11)
+    pts = [(random.randint(0, 65535), random.randint(0, 65535)) for _ in range(64)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    # Identity normalization via pinned extremes (as in the Morton test).
+    df = df.union(spark.createDataFrame([(0, 0), (65535, 65535)], df.schema))
+    out = {
+        (r["x"], r["y"]): r["_hkey"]
+        for r in layout.hilbert_key(df, "x", "y").collect()
+    }
+    for x, y in pts:
+        assert out[(x, y)] == layout.hilbert_ref(x, y), (x, y)
+
+
+def test_hilbert_bucket_locality_bounded_rectangles(spark):
+    """Top-6-bit Hilbert buckets are the 64 depth-3 cells — each an
+    exact 1/8 x 1/8 square, so per-bucket spans are bounded just like
+    the Morton buckets."""
+    stats = layout.layout_hilbert_stats(spark, SF_SMOKE).collect()
+    li = catalog.load_table(spark, SF_SMOKE, "lineitem")
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    assert len(stats) > 16
+    for r in stats:
+        assert r["max_part"] - r["min_part"] <= (g[1] - g[0]) / 8 + 2
+        assert r["max_supp"] - r["min_supp"] <= (g[3] - g[2]) / 8 + 2
+
+
+def test_hilbert_query_hash_matches_oracle(spark):
+    import __spark_entry__ as entry_mod
+    from tests.oracle_harness import compare_query
+
+    compare_query(
+        spark,
+        SF_SMOKE,
+        entry_mod.queries()["layout_hilbert_stats"],
+        entry_mod.oracle_sql()["layout_hilbert_stats"],
+    )
+
+
+def test_hilbert_write_prunes_like_zorder(spark, tmp_path):
+    hdir = os.path.join(tmp_path, "hilbert")
+    li = catalog.load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n_files = 16
+    layout.write_hilbert_ordered(li, "l_partkey", "l_suppkey", hdir, n_files)
+    b = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+               F.min("l_suppkey"), F.max("l_suppkey")).first()
+    for col, lo, hi in [
+        ("l_partkey", b[0], b[0] + (b[1] - b[0]) // 8),
+        ("l_suppkey", b[2], b[2] + (b[3] - b[2]) // 8),
+    ]:
+        touched = layout.files_touched(
+            spark.read.parquet(hdir).filter(F.col(col).between(lo, hi))
+        )
+        assert touched < n_files, col

@@ -387,3 +387,23 @@ def test_zorder_stats_plan_broadcasts_bounds_single_agg_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # the bucket agg
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hilbert_stats_plan_broadcasts_bounds_single_agg_shuffle(spark):
+    """layout_hilbert_stats: same contract as the Morton twin — bounds
+    broadcast, one hash exchange (the bucket agg) — plus the constraint
+    that motivated the per-level-Project rewrite: the 16-level fold must
+    stay a LINEAR chain of projections (inlining it into one expression
+    tree grows ~3^16 nodes and OOMs the driver — measured)."""
+    from orders_currency_conversion_etl_spark.operators.layout import (
+        layout_hilbert_stats,
+    )
+
+    df = layout_hilbert_stats(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # linearity guard: the whole executed plan stays small
+    assert len(plan) < 200_000
