@@ -43,6 +43,7 @@ from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
     merge as _merge,
     mixing as _mixing,
     similarity as _similarity,
+    sketches as _sketches,
     skew as _skew,
     text as _text,
     multimodal as _multimodal,
@@ -103,13 +104,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #       12 + 38 = 50; after r5 every query registered at r4-end has
 #       >=1 green driver row. Target cumulative distinct green: 163/163
 #       + the quantize redo = full board.
-#   r6 (committed backlog — registry grew 163 -> 170 in r5, new queries
+#   r6 (committed backlog — registry grew 163 -> 171 in r5, new queries
 #       registered AFTER the r5 window froze, each value-swept locally
 #       at registration time): ROTATION_R6 = [knn_pq_adc,
 #       text_vocab_encode, knn_ivf_pq, dedup_semantic_clustered,
-#       split_leakage_safe, layout_zorder_stats, layout_hilbert_stats].
+#       split_leakage_safe, layout_zorder_stats, layout_hilbert_stats,
+#       agg_hll_rolling_distinct (rows-only by design — engine-specific
+#       sketch; exact twin dau_wau_rolling stays oracled)].
 #       These are the only never-driver-checked names; the r6 window =
-#       12 anchors + these 7 + 31 strongest-signal re-validations.
+#       12 anchors + these 8 + 30 strongest-signal re-validations.
 ANCHORS = [
     # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",
