@@ -36,6 +36,16 @@ def get_spark(app_name: str = "orders-currency-conversion-etl-spark") -> SparkSe
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Align Spark's whole-stage-codegen fallback with HotSpot's real
+        # JIT ceiling: the JVM never JIT-compiles methods over 8 KB of
+        # bytecode (-XX:-DontCompileHugeMethods default), so a fused
+        # stage whose generated method lands between 8 KB and Spark's
+        # 65535-byte default limit runs INTERPRETED — the worst of both
+        # worlds. Measured on the 16-level Hilbert fold (17 fused
+        # projections): 4.8 s default vs 1.9 s with the fallback at
+        # sf0.1 (2.5x), with every small-method stage unaffected
+        # (headline bench flat, see BENCH_LOCAL_r05 note).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Local-rig scan sizing: test parquet is one file per table, so
         # the default 128 MB split gives a 100 MB sf1 lineitem scan ONE
         # task on a 32-core box. 16 MB matters twice: it SPLITS large
@@ -66,4 +76,9 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass  # static conf on some builds; harmless
+    try:
+        # JIT-ceiling alignment (see get_spark): runtime-settable.
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    except Exception:
+        pass
     return spark

@@ -407,3 +407,18 @@ def test_hilbert_stats_plan_broadcasts_bounds_single_agg_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # linearity guard: the whole executed plan stays small
     assert len(plan) < 200_000
+
+
+def test_hll_rolling_plan_single_fact_shuffle(spark):
+    """agg_hll_rolling_distinct: the fact table is shuffled ONCE (the
+    per-day sketch agg, partial map-side); the rolling union then runs
+    over |days| rows — its single-partition window sort is over state,
+    not facts, which is the entire point of the sketch table."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        agg_hll_rolling_distinct,
+    )
+
+    plan = _plan(agg_hll_rolling_distinct(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1  # day sketch agg
+    assert "partial_hll_sketch_agg" in plan or "ObjectHashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
