@@ -78,3 +78,63 @@ def test_incremental_append_equals_rebuild(spark):
     new = daily.filter(F.col("day") == F.lit(last_day))
     assert sketches.union_estimate(daily) == sketches.union_estimate(old.union(new))
     daily.unpersist()
+
+
+def test_streaming_foreachbatch_maintains_sketch_state(spark, tmp_path):
+    """The refresh loop end-to-end on a real stream: each micro-batch's
+    per-day sketches are MERGED into a persisted state table
+    (hll_union_agg over old state + batch partials); after the stream
+    drains, the state answers with exactly the batch-built estimates —
+    the merge law under incremental arrival, not just static
+    partitioning."""
+    import os as _os
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from orders_currency_conversion_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        stage_events_as_stream_source,
+    )
+
+    stage = _os.path.join(tmp_path, "stage")
+    state_dir = _os.path.join(tmp_path, "sketch_state")
+    stage_events_as_stream_source(spark, SF_SMOKE, stage)
+    stream = read_events_stream(spark, stage, files_per_trigger=3)
+
+    def merge_batch(batch_df, batch_id):
+        fresh = batch_df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        )
+        if _os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(state_dir)
+        ):
+            old = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                old.unionByName(fresh)
+                .groupBy("day")
+                .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            )
+        else:
+            merged = fresh
+        tmp_out = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        final = batch_df.sparkSession.read.parquet(tmp_out)
+        final.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", _os.path.join(tmp_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir).select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("est")
+    )
+    batch = sketches.daily_user_sketches(spark, SF_SMOKE).select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("est")
+    )
+    got = {r["day"]: r["est"] for r in state.collect()}
+    want = {r["day"]: r["est"] for r in batch.collect()}
+    assert got == want  # EXACT: register-max merge is arrival-order-free
