@@ -215,20 +215,23 @@ JOIN oriented t ON t.src = wedge.v AND t.dst = wedge.w
 @query("triangles_parts", _TRIANGLES_ORACLE)
 def triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the part co-occurrence graph via DEGREE
-    orientation: every undirected edge points from its lower-(degree,
-    id) endpoint to the higher one, wedges are ordered out-neighbor
-    pairs of one node, and a triangle is a wedge whose closing edge
-    exists in the same oriented set.
+    orientation + adjacency-list intersection: every undirected edge
+    points from its lower-(degree, id) endpoint to the higher one, and
+    n_triangles = Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)|.
 
-    Orientation is the whole scale story: out-degree under degree
+    Orientation is the scale story: out-degree under degree
     orientation is O(sqrt(edges)) regardless of hub size (a naive
-    wedge count explodes quadratically on the hottest node), so the
-    wedge join is bounded per key — max_outdeg in the output is the
-    witness (90 vs sqrt(115k)≈340 at sf0.01). Both joins hash on node
-    keys; deg (|nodes| rows) broadcasts. The ordering key must be the
-    SAME (degree, id) tuple in the wedge pairing as in the orientation
-    — ordering wedges by bare id silently halves the count (measured:
-    207,786 vs the true 413,718 at sf0.01).
+    wedge count explodes quadratically on the hottest node) —
+    max_outdeg in the output is the witness (90 vs sqrt(115k)≈340 at
+    sf0.01). The intersection formulation is the join-shape story: the
+    classic wedge self-join materializes Σ outdeg² wedge ROWS and
+    shuffles them to the closing-edge probe, while intersecting the
+    two endpoints' sorted out-neighbor arrays moves the same data as
+    |edges| rows (one array join per endpoint, intersection JVM-side,
+    no third shuffle). Same bytes, 1/outdeg the rows — measured 7.9 s
+    (wedge join) vs 2.5 s (intersection) on identical checkpointed
+    inputs at sf0.1, identical count 1,884,488. The oracle keeps the
+    wedge formulation, so the two derivations cross-check each other.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
@@ -259,17 +262,21 @@ def triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(ku < kv, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
         .localCheckpoint(eager=True)
     )
-    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"), F.col("ddst").alias("dv_"))
-    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"), F.col("ddst").alias("dw_"))
-    wedge = w1.join(w2, "src").filter(
-        F.struct(F.col("dv_"), F.col("v")) < F.struct(F.col("dw_"), F.col("w"))
+    # Out-neighbor adjacency arrays (sqrt-bounded per node under the
+    # orientation), joined onto each oriented edge's BOTH endpoints;
+    # the per-edge intersection closes the triangle without ever
+    # materializing wedges. array_intersect is set-semantic — exact
+    # here because the oriented edge list is distinct by construction.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    tri = (
+        oriented.join(adj.select("src", F.col("nbrs").alias("nu")), "src")
+        .join(adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")), "dst")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
     )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedge.join(closing, ["v", "w"]).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     max_out = (
         oriented.groupBy("src")
