@@ -158,11 +158,17 @@ def _pagerank_state_build(spark, sf_dir: str):
 def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
     """One PageRank iteration (the loop body pagerank_parts runs 3×).
 
-    ranks is |nodes| rows — broadcasting it means the fat edge table
-    never shuffles inside the loop; the only exchange per iteration is
-    the contribution aggregation on dst."""
+    No broadcast hint on ranks — r5's sf3 decade showed the forced
+    broadcast LOSING at every measured size (|nodes|=200k: 6.0 vs
+    5.2 s/3 iters; |nodes|=600k: 27.6 vs 19.9 s — rebuilding a
+    600k-row hash relation per iteration costs more than shuffling
+    |nodes| rows to the persisted edges), and an unconditional rank
+    broadcast is categorically wrong at 100 TB where |nodes| outgrows
+    any executor. Catalyst/AQE still picks BHJ when ranks are
+    genuinely threshold-small; otherwise ranks (the SMALL side) shuffle
+    while the fat persisted edge table reuses its cached partitioning."""
     return (
-        contrib_src.join(F.broadcast(ranks), F.col("src") == F.col("node"))
+        contrib_src.join(ranks, F.col("src") == F.col("node"))
         .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
         .groupBy("dst")
         .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
