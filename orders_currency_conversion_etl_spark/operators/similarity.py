@@ -158,15 +158,49 @@ def bucket_col(emb_col: F.Column) -> F.Column:
     return b
 
 
-IVF_CENTROID_STRIDE = 64  # vec_id % stride == 0 => centroid (deterministic "training")
+#: Minimum centroid stride AND target cell count. The stride ADAPTS to
+#: corpus size — GREATEST(64, max_id DIV 64 + 1) — so the centroid set
+#: is capped at ~64 cells no matter how big the corpus gets. r5's sf3
+#: decade caught the fixed-stride version: n/64 centroids made the
+#: assignment cross-join QUADRATIC in corpus size (60k vectors × 937
+#: centroids = 56M cosine folds, 200 s at sf3; the adaptive stride is
+#: 60k × 64 = linear, and at every driver/test scale max_id DIV 64 + 1
+#: < 64, so small-scale results are bit-identical to before). Both
+#: engines compute the stride with the same integer arithmetic.
+IVF_CENTROID_STRIDE = 64
+
+#: Shared oracle fragment: the adaptive-stride centroid CTE chain.
+_DUCK_CENT_CTE = f"""st AS (
+    SELECT GREATEST({IVF_CENTROID_STRIDE}, (MAX(vec_id) // {IVF_CENTROID_STRIDE}) + 1) AS stride FROM d
+), cent AS (
+    SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d, st
+    WHERE vec_id % stride = 0
+)"""
+
+
+def _ivf_centroids(d):
+    """Adaptive-stride deterministic centroids (the Spark twin of
+    _DUCK_CENT_CTE — one 1-row aggregate broadcast, then a filter)."""
+    st = d.agg(
+        F.greatest(
+            F.lit(IVF_CENTROID_STRIDE),
+            F.expr(f"(MAX(vec_id) DIV {IVF_CENTROID_STRIDE}) + 1"),
+        ).alias("_stride")
+    )
+    return (
+        d.crossJoin(F.broadcast(st))
+        .filter(F.col("vec_id") % F.col("_stride") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
 
 
 def _ivf_oracle() -> str:
     return f"""
-{_DUCK_EMB_CTE}, cent AS (
-    SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d
-    WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-), scored AS (
+{_DUCK_EMB_CTE}, {_DUCK_CENT_CTE}, scored AS (
     SELECT d.vec_id, d.emb, d.nrm, c.cid,
            ROW_NUMBER() OVER (
                PARTITION BY d.vec_id
@@ -200,11 +234,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side pass, and the corpus written partitioned-by-cell makes a
     query touch 1/n_cells of the data via partition pruning."""
     d = _with_norm(_emb(spark, sf_dir))
-    cent = d.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
+    cent = _ivf_centroids(d)
     cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
     cell = (
@@ -781,10 +811,7 @@ def _ivf_pq_oracle() -> str:
         " p -> (p[1]-p[2])*(p[1]-p[2])), (acc,x) -> acc+x)"
     )
     return f"""
-{_DUCK_EMB_CTE}, cent AS (
-    SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d
-    WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
-), assign AS (
+{_DUCK_EMB_CTE}, {_DUCK_CENT_CTE}, assign AS (
     SELECT d.vec_id, c.cid,
            ROW_NUMBER() OVER (
                PARTITION BY d.vec_id
@@ -849,11 +876,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-off broadcast-join passes, exactly the knn_ivf / knn_pq_adc
     plans they reuse."""
     d = _with_norm(_emb(spark, sf_dir))
-    cent = d.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
+    cent = _ivf_centroids(d)
     cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
     cell = (
