@@ -310,3 +310,15 @@ def test_semantic_clustered_constructed_fixture(spark, tmp_path):
     finally:
         con.close()
     assert got == oracle
+
+
+def test_lsh_split_never_straddles_lsh_pairs(spark):
+    """The scale-path composition (split over MinHash/LSH dup clusters)
+    keeps the leakage guarantee end-to-end: every pair LSH surfaces
+    lands in one split."""
+    split = {r.doc_id: r.split for r in dedup.split_leakage_safe_lsh(spark, SF).collect()}
+    pairs = dedup.dedup_minhash_lsh(spark, SF).collect()
+    assert pairs  # fixture has near-dups; an empty check proves nothing
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+    assert {"train", "val", "test"} >= set(split.values())
