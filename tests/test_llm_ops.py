@@ -322,3 +322,51 @@ def test_lsh_split_never_straddles_lsh_pairs(spark):
     for p in pairs:
         assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
     assert {"train", "val", "test"} >= set(split.values())
+
+
+def test_ivf_centroid_count_is_capped_at_scale(spark):
+    """Anti-regression for the sf3 quadratic: the centroid set must be
+    bounded (~stride-target) no matter how large vec_ids grow — a
+    constant stride would make this count grow as n/64 and the
+    assignment cross-join quadratic."""
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.operators import similarity as sim
+
+    def emb_df(stop, step):
+        return spark.range(0, stop, step).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+            F.lit(1.0).alias("nrm"),
+        )
+
+    # stride = max(64, 65535 DIV 64 + 1) = 1024 -> only ids % 1024 == 0
+    assert sim._ivf_centroids(emb_df(65_536, 257)).count() <= 65
+    # below the knee the legacy stride applies unchanged (bit-compat):
+    # ids 0, 64, ..., 448
+    assert sim._ivf_centroids(emb_df(500, 1)).count() == 8
+
+
+def test_semdedup_k_scales_with_corpus(tmp_path, spark):
+    """Anti-regression: SemDeDup's candidate cluster count must grow
+    with the corpus (fixed k = quadratic within-cluster pairing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n2 = 9000
+    tbl2 = pa.table({
+        "vec_id": pa.array(range(n2), pa.int64()),
+        "embedding": pa.array(
+            [[float(i % 97), float((i * 31) % 89)] for i in range(n2)],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array(["x"] * n2),
+    })
+    pq.write_table(tbl2, str(tmp_path / "embeddings.parquet"))
+    k2 = (
+        dedup.semantic_cluster_assign(spark, str(tmp_path))
+        .select("cid").distinct().count()
+    )
+    # k = max(8, 8999 DIV 512 + 1) = 18 candidate centroids (ids 0..17);
+    # with spread-out data well over the legacy 8 must win vectors
+    assert k2 > 8
