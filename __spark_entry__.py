@@ -104,15 +104,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #       12 + 38 = 50; after r5 every query registered at r4-end has
 #       >=1 green driver row. Target cumulative distinct green: 163/163
 #       + the quantize redo = full board.
-#   r6 (committed backlog — registry grew 163 -> 171 in r5, new queries
-#       registered AFTER the r5 window froze, each value-swept locally
-#       at registration time): ROTATION_R6 = [knn_pq_adc,
-#       text_vocab_encode, knn_ivf_pq, dedup_semantic_clustered,
-#       split_leakage_safe, layout_zorder_stats, layout_hilbert_stats,
-#       agg_hll_rolling_distinct (rows-only by design — engine-specific
-#       sketch; exact twin dau_wau_rolling stays oracled)].
-#       These are the only never-driver-checked names; the r6 window =
-#       12 anchors + these 8 + 30 strongest-signal re-validations.
+#   r6 (this one): 12 anchors + ROTATION_R6 (38) = 50. The rotation
+#       drains every standing gap: the 8 r5-registered
+#       never-driver-checked queries, the 11 queries red in r1 (old
+#       DECIMAL boundary bug, fixed r2) that were never re-windowed —
+#       an audit of CORRECTNESS_r01..r05 shows the r5 "cumulative
+#       163/163 green" claim overcounted exactly these 11 — the 3
+#       rows-only -> exact-oracle conversions (sample_seeded on a
+#       portable md5-Bernoulli key; approx distinct/percentile now
+#       emitting exact values + within_bound), the new
+#       pagerank_parts_materialized, and 15 staleness re-validations
+#       whose newest green row is r1/r2. Target: cumulative distinct
+#       driver-green 172/172 (1 rows-only by design).
 ANCHORS = [
     # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",
@@ -137,6 +140,61 @@ ANCHORS = [
     "knn_lsh_bucketed",
     # L4 multimodal
     "multimodal_features",
+]
+
+ROTATION_R6 = [
+    # (a) the 8 r5-registered queries with no driver row ever
+    # (VERDICT r5 "Next round" #1):
+    "knn_pq_adc",
+    "text_vocab_encode",
+    "knn_ivf_pq",
+    "dedup_semantic_clustered",
+    "split_leakage_safe",
+    "layout_zorder_stats",
+    "layout_hilbert_stats",
+    "agg_hll_rolling_distinct",  # rows-only by design (engine-specific sketch)
+    # (b) the 11 queries RED in r1 (pre-fix DECIMAL boundary) and never
+    # re-windowed since — the only standing red driver rows on the
+    # board (audit of CORRECTNESS_r01..r05; the r5 VERDICT's 163/163
+    # claim overcounted these):
+    "agg_distinct_by_status",
+    "agg_having_big_customers",
+    "agg_pivot_status",
+    "agg_statistics",
+    "filter_composite_predicates",
+    "join_asof_forward_rates",
+    "scalar_subquery_revenue_share",
+    "subquery_above_customer_avg",
+    "window_cume_nth",
+    "window_lag_delta",
+    "window_lead_first",
+    # (c) rows-only -> exact-oracle conversions this round (VERDICT r5
+    # ask #2): portable md5-Bernoulli sample; approx aggs now emit
+    # exact values + within_bound booleans the oracle can hash:
+    "sample_seeded",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # (d) new this round: PageRank over the materialized edge table
+    # (VERDICT r5 ask #7) — same oracle as pagerank_parts:
+    "pagerank_parts_materialized",
+    # (e) staleness re-validation: every query whose ONLY green row is
+    # r1 (7) plus a family-spread pick of the oldest (r2-only) greens,
+    # biased to queries whose plans share code touched since:
+    "explode_part_types",
+    "regex_functions",
+    "union_by_name_missing_cols",
+    "join_fact_to_fact_revenue",
+    "unpivot_status_counts",
+    "agg_collect_sorted",
+    "agg_min_by_max_by",
+    "agg_revenue_by_nation",
+    "tpch_q9_product_profit",
+    "knn_ivf",
+    "sessionize_gap_summary",
+    "timeseries_gapfill_ffill",
+    "scd2_pointintime_lookup",
+    "mix_sources_token_budget",
+    "join_interval_attribution",
 ]
 
 ROTATION_R5 = [
@@ -191,7 +249,7 @@ ROTATION_R5 = [
     "corpus_shuffle_shards",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R5
+PRIORITY_WINDOW = ANCHORS + ROTATION_R6
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

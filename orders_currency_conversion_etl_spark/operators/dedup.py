@@ -825,7 +825,7 @@ vx AS (
     FROM vx
     WHERE vec_id IN (
         SELECT vec_id FROM embeddings ORDER BY vec_id
-        LIMIT (SELECT GREATEST({SEM_K}, (MAX(vec_id) // {SEM_TARGET_CLUSTER}) + 1) FROM embeddings)
+        LIMIT (SELECT COALESCE(GREATEST({SEM_K}, (MAX(vec_id) // {SEM_TARGET_CLUSTER}) + 1), {SEM_K}) FROM embeddings)
     )
 ), asgn AS (
     SELECT vec_id, cid FROM (
@@ -871,11 +871,17 @@ def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
     # Adaptive k (see SEM_K note): one driver-side scalar, the same
     # single-action pattern as pagerank's node count.
+    # coalesce: on an EMPTY embeddings table MAX is NULL and the whole
+    # expression must degrade to the legacy constant on BOTH engines
+    # (ADVICE r5) — not to None/engine-specific NULL handling.
     k = int(
         emb.agg(
-            F.greatest(
+            F.coalesce(
+                F.greatest(
+                    F.lit(SEM_K),
+                    F.expr(f"(MAX(vec_id) DIV {SEM_TARGET_CLUSTER}) + 1"),
+                ),
                 F.lit(SEM_K),
-                F.expr(f"(MAX(vec_id) DIV {SEM_TARGET_CLUSTER}) + 1"),
             )
         ).first()[0]
     )

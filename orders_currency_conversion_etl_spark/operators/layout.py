@@ -387,7 +387,7 @@ def write_hilbert_ordered(
 
 
 def _hilbert_sql_ctes() -> tuple[str, str]:
-    """Oracle CTE chain mirroring :func:`_hilbert_col` level by level
+    """Oracle CTE chain mirroring :func:`_hilbert_fold` level by level
     (generated from the same loop, so the engines cannot drift)."""
     lines = []
     prev = "norm"

@@ -171,7 +171,7 @@ IVF_CENTROID_STRIDE = 64
 
 #: Shared oracle fragment: the adaptive-stride centroid CTE chain.
 _DUCK_CENT_CTE = f"""st AS (
-    SELECT GREATEST({IVF_CENTROID_STRIDE}, (MAX(vec_id) // {IVF_CENTROID_STRIDE}) + 1) AS stride FROM d
+    SELECT COALESCE(GREATEST({IVF_CENTROID_STRIDE}, (MAX(vec_id) // {IVF_CENTROID_STRIDE}) + 1), {IVF_CENTROID_STRIDE}) AS stride FROM d
 ), cent AS (
     SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM d, st
     WHERE vec_id % stride = 0
@@ -181,10 +181,15 @@ _DUCK_CENT_CTE = f"""st AS (
 def _ivf_centroids(d):
     """Adaptive-stride deterministic centroids (the Spark twin of
     _DUCK_CENT_CTE — one 1-row aggregate broadcast, then a filter)."""
+    # coalesce: empty corpus → MAX is NULL → degrade to the constant
+    # stride identically on both engines (ADVICE r5).
     st = d.agg(
-        F.greatest(
+        F.coalesce(
+            F.greatest(
+                F.lit(IVF_CENTROID_STRIDE),
+                F.expr(f"(MAX(vec_id) DIV {IVF_CENTROID_STRIDE}) + 1"),
+            ),
             F.lit(IVF_CENTROID_STRIDE),
-            F.expr(f"(MAX(vec_id) DIV {IVF_CENTROID_STRIDE}) + 1"),
         ).alias("_stride")
     )
     return (

@@ -68,9 +68,17 @@ def agg_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     many windows are asked. Exact twin: `dau_wau_rolling`; the sketch
     answer tracks it within ~2% (tests/test_sketches.py) at 1/shuffle
     of the cost — the exact rollup must re-dedup (day, user) per
-    window, the sketch path unions 7 registers."""
-    daily = daily_user_sketches(spark, sf_dir)
-    w = Window.orderBy("day").rowsBetween(-(ROLLING_DAYS - 1), 0)
+    window, the sketch path unions 7 registers.
+
+    The frame is a CALENDAR-day range — ordering on a day ordinal with
+    rangeBetween, not rowsBetween over present rows — so a gap day in
+    the events (no traffic) shrinks the union to the days actually
+    inside the 7-day window, matching `dau_wau_rolling`'s date_sub
+    spine semantics exactly."""
+    daily = daily_user_sketches(spark, sf_dir).withColumn(
+        "day_ord", F.datediff("day", F.lit("1970-01-01"))
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-(ROLLING_DAYS - 1), 0)
     rolled = daily.select(
         "day", F.expr("hll_union_agg(sk)").over(w).alias("u")
     )

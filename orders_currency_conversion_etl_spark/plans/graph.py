@@ -22,6 +22,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,10 +181,121 @@ def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFram
 def pagerank_loop_body(spark, sf_dir: str) -> DataFrame:
     """One UN-truncated iteration, for plan audits (PLANS.md): the
     per-iteration exchange claim — one hash exchange (the dst agg),
-    ranks broadcast, edges never reshuffled — is inspectable here,
-    where pagerank_parts itself only shows the post-checkpoint scan."""
+    ranks shuffled as the small join side (no forced broadcast hint
+    since the r5 measurement showed the hint losing at sf1 AND sf3;
+    AQE is free to pick BHJ when ranks is small enough), edges never
+    reshuffled — is inspectable here, where pagerank_parts itself only
+    shows the post-checkpoint scan."""
     contrib_src, ranks, n = _pagerank_state(spark, sf_dir)
     return _pagerank_step(contrib_src, ranks, n)
+
+
+# --------------------------------------------------------------------------
+# Materialized edge table (the documented 100 TB path, VERDICT r5 ask #7)
+# --------------------------------------------------------------------------
+#
+# At sf1 the edge build (collect_set + explode + distinct over the fact
+# table) costs ~28 s while the 3 PageRank iterations cost ~5 s — the
+# query is dominated by re-deriving a graph that never changes between
+# runs. The cluster answer is to materialize the edge list ONCE and
+# let every graph query read it back: the build cost amortizes over
+# all subsequent runs and the fact table is never rescanned.
+
+#: root for materialized graph state; overridable so tests/driver
+#: runs land it somewhere writable regardless of cwd.
+_GRAPH_CACHE_ENV = "SPARK_GRAFT_GRAPH_CACHE"
+
+
+def graph_edges_path(sf_dir: str) -> str:
+    """Deterministic cache location for sf_dir's materialized edges.
+
+    The source fingerprint (lineitem mtime+size) is part of the path,
+    so regenerated testdata can never be served a stale graph — the
+    staleness check is the filename, not a read-repair."""
+    import tempfile
+
+    root = os.environ.get(_GRAPH_CACHE_ENV) or os.path.join(
+        tempfile.gettempdir(), "spark_graft_graph_cache"
+    )
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.isdir(src):
+        parts = sorted(os.listdir(src))
+        probe = os.path.join(src, parts[-1]) if parts else src
+    else:
+        probe = src
+    import hashlib
+
+    st = os.stat(probe)
+    # md5, not hash(): str hashing is per-process randomized, which
+    # would defeat cross-process cache reuse.
+    dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tag = f"{dir_tag}_{int(st.st_mtime)}_{st.st_size}"
+    return os.path.join(root, f"edges_{tag}")
+
+
+def build_graph_edges(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """Materialize the part co-occurrence graph: writes two parquet
+    tables under ``path`` — ``contrib`` (src, dst, outdeg: the
+    loop-invariant join input) and ``deg`` (src, outdeg: the node
+    table, for rank init and |nodes|).
+
+    Write is temp-dir + atomic rename (the make_sf1 lesson): a killed
+    build can never leave a half-graph that a later run trusts. On a
+    real cluster this is the nightly `INSERT OVERWRITE graph.edges`
+    job; the reader below is exactly what any downstream graph query
+    does."""
+    import shutil
+
+    path = path or graph_edges_path(sf_dir)
+    if os.path.isdir(os.path.join(path, "_DONE")):
+        return path
+    edges, deg, contrib_src, _ranks, _n = _pagerank_state_build(spark, sf_dir)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        contrib_src.write.mode("overwrite").parquet(os.path.join(tmp, "contrib"))
+        deg.write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
+        os.makedirs(os.path.join(tmp, "_DONE"))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        for df in (edges, deg, contrib_src):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # best-effort: state dies with the session anyway
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+@query("pagerank_parts_materialized", _PAGERANK_ORACLE)
+def pagerank_parts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MATERIALIZED edge table: identical ranks to
+    `pagerank_parts` (same oracle, hash-compared), but the dominant
+    state_build cost is paid once per dataset generation instead of
+    once per run — the 100 TB operating mode for every graph query.
+
+    The read path touches only the two small graph tables (edges ∪
+    degrees), never the fact table; the per-iteration plan is the same
+    one `pagerank_loop_body` audits."""
+    path = build_graph_edges(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "materialized")
+    for df in _PAGERANK_PERSISTED.pop(key, ()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session stopped or already evicted; nothing to free
+    contrib_src = spark.read.parquet(os.path.join(path, "contrib")).persist()
+    deg = spark.read.parquet(os.path.join(path, "deg"))
+    n = deg.count()  # |nodes|: the only driver scalar, off the tiny node table
+    _PAGERANK_PERSISTED[key] = (contrib_src,)
+    ranks = deg.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+    for _ in range(ITERATIONS):
+        ranks = _pagerank_step(contrib_src, ranks, n).localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").cast("decimal(18,12)").alias("rank"))
 
 
 # --------------------------------------------------------------------------

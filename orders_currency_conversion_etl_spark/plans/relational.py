@@ -672,19 +672,44 @@ def filter_empty_shortcircuit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", None)
+#: 3σ of the requested rsd: the HLL++ estimate must land within ±6% of
+#: exact (rsd=0.02) for the driver row to hash-match.
+_APPROX_DISTINCT_RSD = 0.02
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(*) AS n_orders,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_approx_distinct", _APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 approx: HyperLogLog++ count-distinct per status. No SQL
-    oracle — DuckDB's approx sketch differs by construction; the driver
-    records the rows-only check and tests/test_relational_extra.py
-    asserts ±5% of exact."""
-    return (
+    """A2 approx: HyperLogLog++ count-distinct per status.
+
+    Cross-engine contract (VERDICT r5 ask #2): the sketch VALUE has no
+    DuckDB twin (different HLL implementations), so the query emits the
+    exact distinct count plus `within_bound` = does the sketch land
+    within 3·rsd of exact; the oracle emits literal TRUE. A drifting
+    sketch now hash-mismatches instead of hiding behind rows-only."""
+    g = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.approx_count_distinct("o_custkey", rsd=_APPROX_DISTINCT_RSD).alias("_a"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+    ok = (
+        F.abs(F.col("_a") - F.col("exact_customers"))
+        <= 3 * _APPROX_DISTINCT_RSD * F.col("exact_customers")
+    )
+    return g.select(
+        "o_orderstatus", "exact_customers", "n_orders", ok.alias("within_bound")
     )
 
 

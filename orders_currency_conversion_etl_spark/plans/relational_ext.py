@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text_fn import hex_to_long_sql
 from ..sources import catalog
 from .registry import query
 
@@ -796,33 +797,95 @@ def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Seeded sampling (no SQL oracle: RNG streams differ across engines)
+# Seeded sampling + approx aggregates (exact-oracled; VERDICT r5 ask #2)
 # --------------------------------------------------------------------------
 
+#: ±1% relative tolerance the approx percentile must hold vs the exact
+#: interpolated percentile (accuracy=10000 ⇒ rank error 1e-4; 1% value
+#: slack is generous on this distribution and pinned since r2's test).
+_APPROX_PCT_TOL = 0.01
 
-@query("agg_approx_percentile", None)
+_APPROX_PCT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DECIMAL(18,4)) AS exact_median,
+       CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DECIMAL(18,4)) AS exact_p95,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_approx_percentile", _APPROX_PCT_ORACLE)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale replacement for agg_percentiles: KLL/GK-style
     sketch, single pass, merge-able across partitions (no per-group
-    sort). No cross-engine oracle — sketch internals differ; the ±1%
-    accuracy bound vs exact is asserted in
-    tests/test_relational_extra.py."""
+    sort).
+
+    Cross-engine contract (VERDICT r5 ask #2 — "ran" → "proven"): the
+    sketch VALUE has no DuckDB twin, so the query emits the EXACT
+    interpolated percentiles (Spark `percentile` ≡ DuckDB
+    percentile_cont) plus `within_bound` = does the sketch land within
+    ±1% of exact. The oracle emits literal TRUE — any group where the
+    sketch drifts out of tolerance hash-mismatches the driver row."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("approx_p95"),
+    g = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_em"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("_ep"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_am"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("_ap"),
+    )
+    ok = (
+        (F.abs(F.col("_am") - F.col("_em")) <= _APPROX_PCT_TOL * F.abs(F.col("_em")))
+        & (F.abs(F.col("_ap") - F.col("_ep")) <= _APPROX_PCT_TOL * F.abs(F.col("_ep")))
+    )
+    return g.select(
+        "o_orderstatus",
+        F.col("_em").cast("decimal(18,4)").alias("exact_median"),
+        F.col("_ep").cast("decimal(18,4)").alias("exact_p95"),
+        ok.alias("within_bound"),
     )
 
 
-@query("sample_seeded", None)
+#: Portable Bernoulli key: md5 of (seed || key) → 4 hex chars → bucket
+#: in [0, 1000); keep rate 100‰ = 10%. Identical rows selected in BOTH
+#: engines regardless of partitioning/retries — `df.sample(seed=)`
+#: guarantees neither (its RNG stream is split-per-partition), which is
+#: why the r5 version could only be rows-only checked.
+_SAMPLE_SEED = 7
+_SAMPLE_PERMILLE = 100
+_SAMPLE_BUCKET = (
+    "("
+    + hex_to_long_sql(
+        f"substr(md5(concat('seed{_SAMPLE_SEED}|', CAST(o_orderkey AS STRING))), 1, 4)", 4
+    )
+    + " % 1000)"
+)
+
+_SAMPLE_SEEDED_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders
+WHERE {_SAMPLE_BUCKET.replace("AS STRING", "AS VARCHAR")} < {_SAMPLE_PERMILLE}
+"""
+
+
+@query("sample_seeded", _SAMPLE_SEEDED_ORACLE)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample, fixed seed: deterministic for a given
-    partitioning of the input. Rows-only driver check; the ±20%
-    tolerance test lives in tests/test_relational_extra.py. Sampling is
-    a scan-local filter — no shuffle, fully pushed into the read at any
-    scale."""
-    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=7).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    """Seeded 10% Bernoulli sample on a PORTABLE md5 key (same design
+    as sample_stratified_hash, seed folded into the hash input): the
+    exact same row set falls out of any engine, any partitioning, any
+    retry — so the driver hash-compares it exactly. Still a scan-local
+    filter: no shuffle, predicate runs at the read, at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.expr(f"{_SAMPLE_BUCKET} < {_SAMPLE_PERMILLE}"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        )
     )
 
 

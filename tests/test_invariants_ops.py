@@ -544,3 +544,31 @@ def test_ivf_pq_is_cell_restricted_pq(spark):
             shared += 1
             assert full[key] == r["adc_dist"]
     assert shared > 0  # cells contain near neighbors, so overlap exists
+
+
+def test_pagerank_materialized_equals_derived(spark, tmp_path, monkeypatch):
+    """The materialized-edge path (VERDICT r5 ask #7) must produce the
+    EXACT ranks of the derive-on-the-fly query, and the second run must
+    reuse the written graph instead of rebuilding (mtime pinned)."""
+    import os
+
+    from orders_currency_conversion_etl_spark.plans import graph
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", str(tmp_path))
+    base = {
+        r["node"]: r["rank"] for r in QUERIES["pagerank_parts"](spark, SF).collect()
+    }
+    mat = {
+        r["node"]: r["rank"]
+        for r in QUERIES["pagerank_parts_materialized"](spark, SF).collect()
+    }
+    assert base == mat  # exact: same edges, same loop, same arithmetic
+
+    path = graph.graph_edges_path(SF)
+    stamp = os.path.getmtime(os.path.join(path, "_DONE"))
+    again = {
+        r["node"]: r["rank"]
+        for r in QUERIES["pagerank_parts_materialized"](spark, SF).collect()
+    }
+    assert again == base
+    assert os.path.getmtime(os.path.join(path, "_DONE")) == stamp  # no rebuild

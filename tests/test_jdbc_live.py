@@ -230,3 +230,74 @@ def test_streaming_conversion_into_live_jdbc_exactly_once(spark, derby_urls, tmp
     got = [tuple(r) for r in sink_rows.collect()]
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
+
+
+def test_reference_ddl_types_roundtrip_exact(spark, tmp_path):
+    """VERDICT r5 ask #8: round-trip the reference's exact DDL types
+    (init/postgres-1/init.sql:1-9 / postgres-2/init.sql:1-11) through
+    Derby's STRICTEST equivalents — bounded VARCHAR, DECIMAL(12,2) /
+    DECIMAL(16,6), TIMESTAMP, UUID-as-VARCHAR(36) — and assert that
+    every value, every Decimal scale, and the µs timestamp wall clock
+    survive bit-for-bit. The dialect deltas this pins are documented
+    at sources/jdbc.py::POSTGRES_DIALECT_NOTES."""
+    import uuid
+
+    url = f"jdbc:derby:{tmp_path}/ddldb;create=true"
+
+    rows = [
+        (
+            str(uuid.UUID(int=7)),                       # order_id UUID
+            "a@example.com",                             # customer_email VARCHAR(255)
+            dt.datetime(2024, 3, 1, 12, 34, 56, 789123), # order_date TIMESTAMP (µs)
+            decimal.Decimal("12345678.91"),              # original_amount DECIMAL(12,2)
+            "JPY",                                       # original_currency VARCHAR(3)
+            decimal.Decimal("0.01"),                     # amount_eur DECIMAL(12,2): min unit
+            decimal.Decimal("160.200001"),               # exchange_rate DECIMAL(16,6)
+            dt.datetime(2024, 2, 29, 23, 59, 59, 999999),# exchange_rate_date TIMESTAMP
+            None,                                        # processed_at TIMESTAMP NULL
+        ),
+        (
+            str(uuid.UUID(int=2**127)),
+            "b@example.com",
+            dt.datetime(1999, 12, 31, 0, 0, 0, 1),       # 1 µs after midnight
+            decimal.Decimal("-0.99"),                    # negative money
+            "USD",
+            decimal.Decimal("9999999999.99"),            # DECIMAL(12,2) max
+            decimal.Decimal("-1.000000"),
+            dt.datetime(2024, 3, 1, 0, 0, 0),
+            dt.datetime(2024, 3, 1, 12, 0, 0, 500000),
+        ),
+    ]
+    schema = (
+        "order_id string, customer_email string, order_date timestamp, "
+        "original_amount decimal(12,2), original_currency string, "
+        "amount_eur decimal(12,2), exchange_rate decimal(16,6), "
+        "exchange_rate_date timestamp, processed_at timestamp"
+    )
+    src = spark.createDataFrame(rows, schema)
+
+    col_types = (
+        "order_id VARCHAR(36), customer_email VARCHAR(255), "
+        "order_date TIMESTAMP, original_amount DECIMAL(12,2), "
+        "original_currency VARCHAR(3), amount_eur DECIMAL(12,2), "
+        "exchange_rate DECIMAL(16,6), exchange_rate_date TIMESTAMP, "
+        "processed_at TIMESTAMP"
+    )
+    _create_table(src, url, "orders_eur_ddl", col_types)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", '(SELECT * FROM orders_eur_ddl) AS s')
+        .load()
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want
+    # scales declared in the DDL are the scales read back (no float transit)
+    by_name = dict(back.dtypes)
+    assert by_name["original_amount"] == "decimal(12,2)"
+    assert by_name["exchange_rate"] == "decimal(16,6)"
+    g = got[0]
+    assert isinstance(g[3], decimal.Decimal) and g[3].as_tuple().exponent == -2
+    assert isinstance(g[6], decimal.Decimal) and g[6].as_tuple().exponent == -6

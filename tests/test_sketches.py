@@ -138,3 +138,64 @@ def test_streaming_foreachbatch_maintains_sketch_state(spark, tmp_path):
     got = {r["day"]: r["est"] for r in state.collect()}
     want = {r["day"]: r["est"] for r in batch.collect()}
     assert got == want  # EXACT: register-max merge is arrival-order-free
+
+
+def test_rolling_window_uses_calendar_days_not_present_rows(spark, tmp_path):
+    """ADVICE r5 (medium): a rowsBetween(-6, 0) frame spans the last 7
+    PRESENT days, silently diverging from the documented 7-calendar-day
+    semantics whenever the events table has a gap day (no traffic).
+    Pin the rangeBetween fix with a gappy fixture: days 1-3, then a
+    4-day outage, then days 8-9 — the window at day 8 must cover only
+    days {2,3,8}, NOT reach back to day 1."""
+    import datetime
+    import os as _os
+
+    rows = []
+    eid = 0
+    for day, users in [
+        (1, [1, 2, 3]),
+        (2, [3, 4]),
+        (3, [5]),
+        # days 4-7: outage, no events at all
+        (8, [6, 7]),
+        (9, [8]),
+    ]:
+        for u in users:
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, day, 12, 0, 0),
+                    u,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+    from orders_currency_conversion_etl_spark import schemas
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schemas.EVENTS).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+
+    got = {
+        r["day"]: r["est_users_7d"]
+        for r in sketches.agg_hll_rolling_distinct(spark, sf_dir).collect()
+    }
+    # calendar-window exact distincts (cardinalities this small are
+    # exact under HLL lgK=12):
+    by_day = {
+        1: {1, 2, 3},
+        2: {3, 4},
+        3: {5},
+        8: {6, 7},
+        9: {8},
+    }
+    want = {
+        datetime.date(2024, 1, d): len(
+            set().union(*(by_day.get(x, set()) for x in range(d - 6, d + 1)))
+        )
+        for d in by_day
+    }
+    assert got == want
