@@ -157,20 +157,31 @@ def _pagerank_state_build(spark, sf_dir: str):
     return edges, deg, contrib_src, ranks, n
 
 
+#: Broadcast the rank table while |nodes| stays under this cap, shuffle
+#: beyond it. The driver KNOWS n exactly (the one collected scalar), so
+#: the choice is made with perfect information instead of a hint-always
+#: or hint-never policy. History: r4 always-hinted; r5 removed the hint
+#: citing loaded-machine measurements (hint losing 6.0 vs 5.2 s at
+#: 200k, 27.6 vs 19.9 s at 600k); r6's QUIET paired A/B showed those
+#: numbers were load artifacts — the hint WINS at both measured sizes
+#: (3-iter loop: 3.5 vs 4.5 s at 200k; 6.3 vs 11.0 s at 600k nodes) —
+#: and the r5 change was a real +15% full-query regression at sf1.
+#: The cap is what makes the hint safe at 100 TB: 2M (node,double)
+#: rows ≈ a ~130 MB hash relation, comfortably inside any executor;
+#: past it, ranks (still the SMALL side) shuffle to the persisted
+#: edges and AQE decides per-stage.
+RANKS_BROADCAST_MAX_NODES = 2_000_000
+
+
 def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFrame:
     """One PageRank iteration (the loop body pagerank_parts runs 3×).
 
-    No broadcast hint on ranks — r5's sf3 decade showed the forced
-    broadcast LOSING at every measured size (|nodes|=200k: 6.0 vs
-    5.2 s/3 iters; |nodes|=600k: 27.6 vs 19.9 s — rebuilding a
-    600k-row hash relation per iteration costs more than shuffling
-    |nodes| rows to the persisted edges), and an unconditional rank
-    broadcast is categorically wrong at 100 TB where |nodes| outgrows
-    any executor. Catalyst/AQE still picks BHJ when ranks are
-    genuinely threshold-small; otherwise ranks (the SMALL side) shuffle
-    while the fat persisted edge table reuses its cached partitioning."""
+    Rank side: broadcast below RANKS_BROADCAST_MAX_NODES (measured
+    winner at every in-rig size), shuffle above (the only tenable shape
+    once |nodes| outgrows executor memory)."""
+    rank_side = F.broadcast(ranks) if n <= RANKS_BROADCAST_MAX_NODES else ranks
     return (
-        contrib_src.join(ranks, F.col("src") == F.col("node"))
+        contrib_src.join(rank_side, F.col("src") == F.col("node"))
         .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
         .groupBy("dst")
         .agg((F.lit(0.15) / n + F.lit(DAMPING) * F.sum("contrib")).alias("rank"))
@@ -181,9 +192,8 @@ def _pagerank_step(contrib_src: DataFrame, ranks: DataFrame, n: int) -> DataFram
 def pagerank_loop_body(spark, sf_dir: str) -> DataFrame:
     """One UN-truncated iteration, for plan audits (PLANS.md): the
     per-iteration exchange claim — one hash exchange (the dst agg),
-    ranks shuffled as the small join side (no forced broadcast hint
-    since the r5 measurement showed the hint losing at sf1 AND sf3;
-    AQE is free to pick BHJ when ranks is small enough), edges never
+    ranks broadcast below RANKS_BROADCAST_MAX_NODES / shuffled above
+    (see the cap's comment for the r6 measured history), edges never
     reshuffled — is inspectable here, where pagerank_parts itself only
     shows the post-checkpoint scan."""
     contrib_src, ranks, n = _pagerank_state(spark, sf_dir)
