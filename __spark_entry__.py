@@ -194,7 +194,10 @@ ROTATION_R6 = [
     "timeseries_gapfill_ffill",
     "scd2_pointintime_lookup",
     "mix_sources_token_budget",
-    "join_interval_attribution",
+    # (f) new this round: Misra-Gries heavy hitters (mergeable-summary
+    # family #2) — exact top-k via sketch-pruned candidates, full SQL
+    # oracle:
+    "heavy_hitters_mg",
 ]
 
 ROTATION_R5 = [

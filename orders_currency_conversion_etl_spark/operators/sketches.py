@@ -94,3 +94,143 @@ def union_estimate(sketches: DataFrame, sk_col: str = "sk") -> int:
     return sketches.agg(
         F.expr(f"hll_sketch_estimate(hll_union_agg({sk_col}))").alias("est")
     ).first()["est"]
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries summaries + exact candidate recount
+# --------------------------------------------------------------------------
+#
+# The second mergeable-summary family member (after HLL): bounded-memory
+# frequent-item detection. The 100 TB problem it solves: exact top-k
+# over a huge key space (token n-grams, URLs, user agents) shuffles
+# |distinct keys| rows; the Misra-Gries pass shuffles at most
+# CAPACITY x partitions candidate rows, then ONLY the candidates are
+# recounted exactly — output is EXACT top-k (hash-matched against the
+# plain-SQL oracle), the sketch merely prunes the shuffle.
+#
+# MG guarantee used: per partition, surviving weight w(k) satisfies
+# w(k) >= count_p(k) - n_p/(CAPACITY+1) (every decrement round removes
+# >= CAPACITY+1 units of mass, total decremented mass <= n_p). Summing
+# over partitions: any key with global count > n/(CAPACITY+1) MUST
+# survive somewhere — the candidate set provably contains every true
+# heavy hitter. tests/test_sketches.py pins both the bound and the
+# containment.
+#
+# The key stream is a SEEDED workload generator (same family as
+# generate_orders_seeded, F9-F11): the synthetic corpus is measured
+# frequency-FLAT (top-1 bigram 357 vs 20th 332 at sf0.1 — no heavy
+# hitters exist to find), so the stream derives a geometrically
+# skewed integer key from md5(lineitem PK) with INTEGER-ONLY
+# arithmetic both engines evaluate bit-identically: level L occurs
+# with prob 2^-(L+1) and fans out over 4^L buckets, giving one key
+# with ~n/2 hits, 4 with ~n/16, ... — scale-free skew, so the top-20
+# counts exceed n/(CAPACITY+1) by orders of magnitude at EVERY sf.
+
+MG_CAPACITY = 4096
+HH_TOPK = 20
+_HH_LEVELS = 10
+
+from ..functions.text_fn import hex_to_long_sql  # noqa: E402  (module tail)
+
+#: uniform 20-bit hash of the lineitem PK, and an independent 20-bit
+#: residual from the next md5 chars — one md5 evaluation feeds both.
+_HH_H1 = hex_to_long_sql(
+    "substr(md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))), 1, 5)", 5
+)
+_HH_H2 = hex_to_long_sql(
+    "substr(md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))), 6, 5)", 5
+)
+
+
+def _hh_key_sql() -> str:
+    """The shared key derivation (generated once, used verbatim by both
+    engines — the _hilbert_sql_ctes cannot-drift pattern): geometric
+    level via explicit integer thresholds on h1, fan-out via h2 mod a
+    per-level constant. No floats, no shifts — just CASE/comparison/%
+    on BIGINT, the portable common ground."""
+    total = 1 << 20
+    cases = []
+    acc = 0
+    for lvl in range(_HH_LEVELS):
+        acc += total >> (lvl + 1)  # P(level) = 2^-(lvl+1)
+        base = 4 ** lvl
+        cases.append(f"WHEN {_HH_H1} < {acc} THEN {base} + ({_HH_H2} % {base})")
+    base = 4 ** _HH_LEVELS
+    cases.append(f"ELSE {base} + ({_HH_H2} % {base})")
+    return "CASE " + " ".join(cases) + " END"
+
+
+_HH_KEY = _hh_key_sql()
+
+_HH_ORACLE = f"""
+WITH stream AS (
+    SELECT CAST({_HH_KEY.replace("AS STRING", "AS VARCHAR")} AS BIGINT) AS key
+    FROM lineitem
+)
+SELECT key, COUNT(*) AS n
+FROM stream
+GROUP BY key
+ORDER BY n DESC, key
+LIMIT {HH_TOPK}
+"""
+
+
+def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return li.select(F.expr(_HH_KEY).cast("bigint").alias("key"))
+
+
+def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
+    """Per-partition Misra-Gries summaries via mapInPandas: at most
+    ``capacity`` (key, weight) rows leave each partition regardless of
+    how many distinct keys entered it. State lives across the
+    partition's Arrow batches inside the generator — the idiomatic
+    Spark shape for a streaming-summary pass."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for k, c in pdf["key"].value_counts().items():
+                counts[int(k)] = counts.get(int(k), 0) + int(c)
+            if len(counts) > capacity:
+                # batched decrement: subtracting `cut` from every key and
+                # dropping <=0 is `cut` uniform MG rounds at once; each
+                # round removes >= capacity+1 mass, preserving the
+                # w >= count - n_p/(capacity+1) guarantee.
+                vals = sorted(counts.values())
+                cut = vals[len(counts) - capacity]
+                counts = {k: v - cut for k, v in counts.items() if v > cut}
+        yield pd.DataFrame(
+            {"key": pd.Series(list(counts), dtype="int64"),
+             "w": pd.Series(list(counts.values()), dtype="int64")}
+        )
+
+    return stream.mapInPandas(mg, schema="key bigint, w bigint")
+
+
+@query("heavy_hitters_mg", _HH_ORACLE)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 keys of the skewed stream, found the bounded-memory
+    way: MG summaries per partition -> merged candidate set (<=
+    CAPACITY x partitions rows, broadcastable at any corpus size) ->
+    exact recount of ONLY the candidates -> top-k.
+
+    The final counts are exact, so the plain GROUP BY oracle
+    hash-matches; a sketch bug that dropped a true heavy hitter would
+    surface as a driver mismatch, not hide behind a tolerance."""
+    stream = _hh_stream(spark, sf_dir)
+    candidates = (
+        _mg_partition_summaries(stream)
+        .groupBy("key")
+        .agg(F.sum("w").alias("w"))
+        .select("key")
+    )
+    return (
+        stream.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(HH_TOPK)
+    )

@@ -199,3 +199,55 @@ def test_rolling_window_uses_calendar_days_not_present_rows(spark, tmp_path):
         for d in by_day
     }
     assert got == want
+
+
+def test_mg_summaries_respect_capacity_and_bound(spark):
+    """Misra-Gries invariants on the real stream: (1) every partition
+    emits at most MG_CAPACITY rows; (2) merged weight understates the
+    true count by at most n/(CAPACITY+1) summed over partitions —
+    the guarantee that makes candidate containment provable."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        MG_CAPACITY,
+        _hh_stream,
+        _mg_partition_summaries,
+    )
+
+    stream = _hh_stream(spark, SF_SMOKE)
+    n_parts = stream.rdd.getNumPartitions()
+    summaries = _mg_partition_summaries(stream).cache()
+    # (1): total survivors bounded by capacity x partitions
+    assert summaries.count() <= MG_CAPACITY * n_parts
+    merged = {r["key"]: r["w"] for r in summaries.groupBy("key").agg(
+        F.sum("w").alias("w")).collect()}
+    exact = {r["key"]: r["n"] for r in stream.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(exact.values())
+    slack = n / (MG_CAPACITY + 1) * n_parts + 1
+    for k, c in exact.items():
+        assert merged.get(k, 0) >= c - slack, (k, c, merged.get(k, 0))
+    summaries.unpersist()
+
+
+def test_heavy_hitters_candidates_contain_true_topk(spark):
+    """End-to-end: the exact recount over MG candidates equals the
+    exact top-k computed with no sketch at all."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        HH_TOPK,
+        _hh_stream,
+        heavy_hitters_mg,
+    )
+
+    got = [(r["key"], r["n"]) for r in heavy_hitters_mg(spark, SF_SMOKE).collect()]
+    want = [
+        (r["key"], r["n"])
+        for r in _hh_stream(spark, SF_SMOKE)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(HH_TOPK)
+        .collect()
+    ]
+    assert got == want
+    # the constructed stream really is skewed: top key carries ~n/2
+    n = sum(r[1] for r in want)
+    assert want[0][0] == 1 and want[0][1] > 5 * want[1][1]
