@@ -422,3 +422,41 @@ def test_hll_rolling_plan_single_fact_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # day sketch agg
     assert "partial_hll_sketch_agg" in plan or "ObjectHashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """heavy_hitters_mg: the exact recount must probe a BROADCAST of
+    the merged candidate set (bounded by CAPACITY x partitions rows at
+    any corpus size) — a shuffled join here would reintroduce the
+    |distinct keys| exchange the sketch exists to avoid. Exactly two
+    hash exchanges total: merging the per-partition summaries and the
+    final recount agg."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        heavy_hitters_mg,
+    )
+
+    plan = _plan(heavy_hitters_mg(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+    # the ONLY python surface is the MG mapInPandas pass
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_materialized_reads_no_fact_table(spark, tmp_path, monkeypatch):
+    """pagerank_parts_materialized: once the graph is materialized, the
+    query's lineage must touch ONLY the graph tables — a lineitem scan
+    would mean the fact derivation silently re-ran."""
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", str(tmp_path))
+    from orders_currency_conversion_etl_spark.plans.graph import (
+        build_graph_edges,
+        pagerank_parts_materialized,
+    )
+
+    build_graph_edges(spark, SF)
+    df = pagerank_parts_materialized(spark, SF)
+    # localCheckpoint truncates the final plan; inspect the loop input
+    # via the persisted contrib relation's own lineage instead:
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "lineitem" not in analyzed
