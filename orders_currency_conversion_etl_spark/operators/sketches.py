@@ -191,7 +191,9 @@ def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> D
         import pandas as pd
 
         counts: dict[int, int] = {}
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             for k, c in pdf["key"].value_counts().items():
                 counts[int(k)] = counts.get(int(k), 0) + int(c)
             if len(counts) > capacity:
@@ -202,31 +204,62 @@ def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> D
                 vals = sorted(counts.values())
                 cut = vals[len(counts) - capacity]
                 counts = {k: v - cut for k, v in counts.items() if v > cut}
+        # sentinel row (key=-1: real keys are >=1 by construction)
+        # carries the partition's processed-row count, so the merge can
+        # recover the global n — and with it the global error bound —
+        # without a second pass over the stream.
+        keys = [-1] + list(counts)
+        ws = [n_p] + list(counts.values())
         yield pd.DataFrame(
-            {"key": pd.Series(list(counts), dtype="int64"),
-             "w": pd.Series(list(counts.values()), dtype="int64")}
+            {"key": pd.Series(keys, dtype="int64"),
+             "w": pd.Series(ws, dtype="int64")}
         )
 
     return stream.mapInPandas(mg, schema="key bigint, w bigint")
 
 
+def _hh_candidates(spark: SparkSession, summaries: DataFrame) -> DataFrame:
+    """Provably-sufficient candidate prune.
+
+    Raw survivors number up to CAPACITY x partitions — broadcastable in
+    this rig but 134M rows at 4096 x 32k task partitions, which is NOT
+    a broadcast. The prune uses the two-sided MG bound
+    ``C(k) - n/(cap+1) <= w(k) <= C(k)``: any true top-k key must have
+    merged weight >= (k-th largest weight) - n/(cap+1), because the
+    k-th TRUE count is at least the k-th largest merged weight. Keys
+    below that line provably cannot be top-k; what's left is ~k keys
+    plus however many sit inside one error band — scale-free, since
+    both the threshold and the band grow with n.
+
+    Two driver-side scalars (the k-th weight and n) — the same bounded
+    altitude as PageRank's node count."""
+    merged = summaries.groupBy("key").agg(F.sum("w").alias("w")).cache()
+    n = merged.filter(F.col("key") == -1).agg(F.sum("w")).first()[0] or 0
+    survivors = merged.filter(F.col("key") != -1)
+    kth = (
+        survivors.orderBy(F.desc("w"), F.asc("key"))
+        .limit(HH_TOPK)
+        .agg(F.min("w"))
+        .first()[0]
+    )
+    if kth is None:  # degenerate empty stream
+        return survivors.select("key")
+    err = n // (MG_CAPACITY + 1)
+    return survivors.filter(F.col("w") >= F.lit(kth - err)).select("key")
+
+
 @query("heavy_hitters_mg", _HH_ORACLE)
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 keys of the skewed stream, found the bounded-memory
-    way: MG summaries per partition -> merged candidate set (<=
-    CAPACITY x partitions rows, broadcastable at any corpus size) ->
+    way: MG summaries per partition -> merged + error-band-pruned
+    candidate set (~k keys at any corpus size, see _hh_candidates) ->
     exact recount of ONLY the candidates -> top-k.
 
     The final counts are exact, so the plain GROUP BY oracle
     hash-matches; a sketch bug that dropped a true heavy hitter would
     surface as a driver mismatch, not hide behind a tolerance."""
     stream = _hh_stream(spark, sf_dir)
-    candidates = (
-        _mg_partition_summaries(stream)
-        .groupBy("key")
-        .agg(F.sum("w").alias("w"))
-        .select("key")
-    )
+    candidates = _hh_candidates(spark, _mg_partition_summaries(stream))
     return (
         stream.join(F.broadcast(candidates), "key")
         .groupBy("key")

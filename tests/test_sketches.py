@@ -215,14 +215,18 @@ def test_mg_summaries_respect_capacity_and_bound(spark):
     stream = _hh_stream(spark, SF_SMOKE)
     n_parts = stream.rdd.getNumPartitions()
     summaries = _mg_partition_summaries(stream).cache()
-    # (1): total survivors bounded by capacity x partitions
-    assert summaries.count() <= MG_CAPACITY * n_parts
+    # (1): survivors bounded by capacity x partitions (+ one n_p
+    # sentinel row per partition, key=-1)
+    assert summaries.filter(F.col("key") != -1).count() <= MG_CAPACITY * n_parts
     merged = {r["key"]: r["w"] for r in summaries.groupBy("key").agg(
         F.sum("w").alias("w")).collect()}
     exact = {r["key"]: r["n"] for r in stream.groupBy("key").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     n = sum(exact.values())
-    slack = n / (MG_CAPACITY + 1) * n_parts + 1
+    # (3): the sentinel rows sum to exactly n — the merge recovers the
+    # global stream size without a second pass
+    assert merged.pop(-1) == n
+    slack = n / (MG_CAPACITY + 1) + 1
     for k, c in exact.items():
         assert merged.get(k, 0) >= c - slack, (k, c, merged.get(k, 0))
     summaries.unpersist()
@@ -251,3 +255,29 @@ def test_heavy_hitters_candidates_contain_true_topk(spark):
     # the constructed stream really is skewed: top key carries ~n/2
     n = sum(r[1] for r in want)
     assert want[0][0] == 1 and want[0][1] > 5 * want[1][1]
+
+
+def test_hh_candidate_prune_is_tight_and_sufficient(spark):
+    """The error-band prune must (a) keep every true top-k key and
+    (b) actually prune: far fewer candidates than raw survivors."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        HH_TOPK,
+        _hh_candidates,
+        _hh_stream,
+        _mg_partition_summaries,
+    )
+
+    stream = _hh_stream(spark, SF_SMOKE)
+    summaries = _mg_partition_summaries(stream)
+    cand = {r["key"] for r in _hh_candidates(spark, summaries).collect()}
+    true_topk = {
+        r["key"]
+        for r in stream.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(HH_TOPK)
+        .collect()
+    }
+    assert true_topk <= cand  # sufficiency: no true heavy hitter pruned
+    n_survivors = summaries.filter(F.col("key") != -1).select("key").distinct().count()
+    assert len(cand) < n_survivors  # the prune does real work
