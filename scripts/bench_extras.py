@@ -1,9 +1,9 @@
-"""Timings for the queries added after the r5 bench window froze.
+"""Timings for queries added after the headline bench window froze.
 
 The headline bench (bench.py) keeps a stable query set so
-round-over-round totals stay comparable; this records the r5-added
+round-over-round totals stay comparable; this records the newest
 operators separately so their cost at bench scale is committed
-evidence too. Writes BENCH_EXTRAS_r05.json.
+evidence too. Writes BENCH_EXTRAS_r{ROUND}.json.
 
 Run from the repo root:  python scripts/bench_extras.py
 """
@@ -25,6 +25,9 @@ from orders_currency_conversion_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+ROUND = "06"
+
+#: r5 additions kept for round-over-round comparison + r6 additions.
 EXTRAS = [
     "knn_pq_adc",
     "text_vocab_encode",
@@ -34,6 +37,12 @@ EXTRAS = [
     "layout_zorder_stats",
     "layout_hilbert_stats",
     "agg_hll_rolling_distinct",
+    # r6:
+    "heavy_hitters_mg",
+    "pagerank_parts_materialized",
+    "sample_seeded",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
 ]
 
 
@@ -53,14 +62,14 @@ def main() -> None:
     except OSError:
         load = None
     out = {
-        "metric": "r5_added_queries_runtime",
+        "metric": f"r{ROUND}_extras_runtime",
         "unit": "sec",
         "sf_dir": SF_DIR,
         "load_avg_1m": load,
         "queries": timings,
         "total": round(sum(timings.values()), 3),
     }
-    with open(os.path.join(REPO, "BENCH_EXTRAS_r05.json"), "w") as fh:
+    with open(os.path.join(REPO, f"BENCH_EXTRAS_r{ROUND}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
     spark.stop()
