@@ -176,8 +176,25 @@ LIMIT {HH_TOPK}
 
 
 def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side stream derivation: ONE md5 per row, then the shared
+    CASE parses h1/h2 out of the materialized digest column — halves
+    the hash work vs inlining md5 into both parse chains (the oracle
+    keeps the inline form; substr(md5,..) of the same input is the
+    same bytes either way, so values cannot differ)."""
     li = catalog.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    return li.select(F.expr(_HH_KEY).cast("bigint").alias("key"))
+    digest = li.select(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("_d")
+    )
+    key_from_digest = _HH_KEY.replace(
+        "md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING)))", "_d"
+    )
+    return digest.select(F.expr(key_from_digest).cast("bigint").alias("key"))
 
 
 def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
