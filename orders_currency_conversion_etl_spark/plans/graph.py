@@ -222,10 +222,12 @@ def graph_edges_path(sf_dir: str) -> str:
     The source fingerprint (lineitem mtime+size) is part of the path,
     so regenerated testdata can never be served a stale graph — the
     staleness check is the filename, not a read-repair."""
-    import tempfile
-
+    # default under the repo's gitignored .localdata (NOT the system
+    # temp dir): survives across runs with the fixtures it derives
+    # from, and keeps all engine state inside the workspace.
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     root = os.environ.get(_GRAPH_CACHE_ENV) or os.path.join(
-        tempfile.gettempdir(), "spark_graft_graph_cache"
+        repo_root, ".localdata", "graph_cache"
     )
     src = os.path.join(sf_dir, "lineitem.parquet")
     if os.path.isdir(src):
