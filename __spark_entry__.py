@@ -200,6 +200,12 @@ ROTATION_R6 = [
     "heavy_hitters_mg",
 ]
 
+#: Registered during r6 AFTER this round's window froze (locally
+#: value-swept at registration); first window slot next round.
+ROTATION_R7 = [
+    "triangles_parts_materialized",
+]
+
 ROTATION_R5 = [
     # the embedding_quantize_int8 redo (r4's one red row — boundary
     # flattening fix verified by tests/test_registry_boundary.py)

@@ -383,6 +383,13 @@ def triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return _count_triangles(edges, deg)
+
+
+def _count_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-orient canonical (u<v) edges and sum per-edge adjacency
+    intersections (the shared core of both triangle queries; `edges`
+    must be distinct, `deg` the undirected degree table)."""
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ku = F.struct(F.col("du"), F.col("u"))
@@ -415,3 +422,26 @@ def triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("max_outdeg"))
     )
     return tri.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(max_out))
+
+
+@query("triangles_parts_materialized", _TRIANGLES_ORACLE)
+def triangles_parts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the MATERIALIZED graph: the second consumer
+    of build_graph_edges' state — the actual argument for
+    materializing (one build amortizes across every graph query, not
+    just reruns of one). The cache's directed symmetric edge list
+    collapses to canonical u<v pairs, and its out-degree table IS the
+    undirected degree table (symmetry); the counting core and oracle
+    are shared verbatim with `triangles_parts`, so the two derivations
+    cross-check each other on top of different scan paths."""
+    path = build_graph_edges(spark, sf_dir)
+    contrib = spark.read.parquet(os.path.join(path, "contrib"))
+    deg_cached = spark.read.parquet(os.path.join(path, "deg"))
+    edges = (
+        contrib.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        # truncate for the same four-reader fan-out as the derive path
+        .localCheckpoint(eager=True)
+    )
+    deg = deg_cached.select(F.col("src").alias("node"), F.col("outdeg").alias("d"))
+    return _count_triangles(edges, deg)

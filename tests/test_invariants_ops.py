@@ -572,3 +572,12 @@ def test_pagerank_materialized_equals_derived(spark, tmp_path, monkeypatch):
     }
     assert again == base
     assert os.path.getmtime(os.path.join(path, "_DONE")) == stamp  # no rebuild
+
+
+def test_triangles_materialized_equals_derived(spark, tmp_path, monkeypatch):
+    """Second consumer of the materialized graph: identical triangle
+    count/edge count/max-outdeg through the cached scan path."""
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CACHE", str(tmp_path))
+    a = QUERIES["triangles_parts"](spark, SF).collect()[0]
+    b = QUERIES["triangles_parts_materialized"](spark, SF).collect()[0]
+    assert tuple(a) == tuple(b)
