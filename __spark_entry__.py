@@ -204,6 +204,7 @@ ROTATION_R6 = [
 #: value-swept at registration); first window slot next round.
 ROTATION_R7 = [
     "triangles_parts_materialized",
+    "knn_lsh_multiprobe",
 ]
 
 ROTATION_R5 = [

