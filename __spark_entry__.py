@@ -205,6 +205,7 @@ ROTATION_R6 = [
 ROTATION_R7 = [
     "triangles_parts_materialized",
     "knn_lsh_multiprobe",
+    "agg_hll_rolling_accuracy",
 ]
 
 ROTATION_R5 = [

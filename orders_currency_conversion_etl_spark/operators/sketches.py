@@ -23,11 +23,12 @@ day = one O(1) union, reshuffling history = no-op.
 
 Estimates vs exact: the registered rolling query has NO DuckDB oracle
 (DuckDB's HLL is a different implementation — cross-engine hashes
-can't match; the driver records the weaker rows-only check, same as
-the other approx twins). The exact twin lives in-registry as
-`dau_wau_rolling` (plans/behavior.py); tests/test_sketches.py bounds
-the sketch error against the exact rollup at <2% (lgK=12 on ~1e3
-cardinalities is near-exact).
+can't match; the driver records the weaker rows-only check). Its
+accuracy IS driver-verified anyway: `agg_hll_rolling_accuracy` (below)
+joins the estimate to the exact calendar-window rolling distinct and
+emits exact + within_bound with a full SQL oracle, and the exact twin
+`dau_wau_rolling` (plans/behavior.py) is oracled too;
+tests/test_sketches.py additionally bounds the error at <2% locally.
 
 Scale notes (100 TB):
 - sketch build: one pass, map-side partial aggregation (the agg is
@@ -283,4 +284,63 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(HH_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch-accuracy gate: the HLL rolling estimate, driver-verifiable
+# --------------------------------------------------------------------------
+
+#: 3σ of lgK=12's ~1.6% rsd, plus a small absolute floor for tiny days.
+HLL_REL_BOUND = 0.05
+HLL_ABS_FLOOR = 3
+
+_HLL_ACCURACY_ORACLE = """
+WITH ev AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), spine AS (
+    SELECT DISTINCT day FROM ev
+)
+SELECT s.day,
+       COUNT(DISTINCT e.user_id) AS exact_users_7d,
+       TRUE AS within_bound
+FROM spine s
+JOIN ev e ON e.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day
+"""
+
+
+@query("agg_hll_rolling_accuracy", _HLL_ACCURACY_ORACLE)
+def agg_hll_rolling_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rows-only sketch, made driver-verifiable (the r6 conversion
+    pattern from agg_approx_distinct): joins the HLL rolling estimate
+    to the exact calendar-window rolling distinct and emits the exact
+    value plus `within_bound` = |est − exact| ≤ max(3, 5%·exact); the
+    oracle computes the exact side and literal TRUE, so a drifting
+    sketch hash-mismatches a hard driver row. agg_hll_rolling_distinct
+    stays registered as the production read path (state-only, no fact
+    re-dedup); THIS query is its accuracy gate and deliberately pays
+    the exact-side cost."""
+    est = agg_hll_rolling_distinct(spark, sf_dir)
+    ev = (
+        catalog.load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    spine = ev.select("day").distinct().alias("s")
+    exact = (
+        spine.join(
+            ev.alias("e"),
+            (F.col("e.day") <= F.col("s.day"))
+            & (F.col("e.day") >= F.date_sub(F.col("s.day"), ROLLING_DAYS - 1)),
+        )
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    ok = F.abs(F.col("est_users_7d") - F.col("exact_users_7d")) <= F.greatest(
+        F.lit(HLL_ABS_FLOOR), F.lit(HLL_REL_BOUND) * F.col("exact_users_7d")
+    )
+    return (
+        exact.join(est, "day")
+        .select("day", "exact_users_7d", ok.alias("within_bound"))
     )
