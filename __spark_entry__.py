@@ -206,6 +206,7 @@ ROTATION_R7 = [
     "triangles_parts_materialized",
     "knn_lsh_multiprobe",
     "agg_hll_rolling_accuracy",
+    "hll_segment_overlap",
 ]
 
 ROTATION_R5 = [

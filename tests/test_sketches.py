@@ -361,3 +361,28 @@ def test_streaming_foreachbatch_maintains_mg_state(spark, tmp_path):
     ]
     assert got == want
     assert MG_CAPACITY > 0  # capacity constant stays importable/used
+
+
+def test_segment_overlap_covers_all_pairs_within_bound(spark):
+    """Inclusion-exclusion overlap: one row per unordered segment pair,
+    every estimate inside the documented bound, and the exact values
+    match a direct computation."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        hll_segment_overlap,
+    )
+
+    rows = hll_segment_overlap(spark, SF_SMOKE).collect()
+    ev = catalog.load_table(spark, SF_SMOKE, "events").select("event_type", "user_id").distinct()
+    types = sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    users = {}
+    for t in types:
+        users[t] = {r["user_id"] for r in ev.filter(F.col("event_type") == t).collect()}
+    want = {
+        (a, b): len(users[a] & users[b])
+        for i, a in enumerate(types)
+        for b in types[i + 1:]
+        if users[a] & users[b]
+    }
+    got = {(r["type_a"], r["type_b"]): r["exact_overlap"] for r in rows}
+    assert got == want
+    assert all(r["within_bound"] for r in rows)
