@@ -43,6 +43,10 @@ EXTRAS = [
     "sample_seeded",
     "agg_approx_distinct",
     "agg_approx_percentile",
+    "triangles_parts_materialized",
+    "knn_lsh_multiprobe",
+    "agg_hll_rolling_accuracy",
+    "hll_segment_overlap",
 ]
 
 
