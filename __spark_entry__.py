@@ -207,6 +207,7 @@ ROTATION_R7 = [
     "knn_lsh_multiprobe",
     "agg_hll_rolling_accuracy",
     "hll_segment_overlap",
+    "knn_ivf_materialized",
 ]
 
 ROTATION_R5 = [

@@ -239,16 +239,28 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side pass, and the corpus written partitioned-by-cell makes a
     query touch 1/n_cells of the data via partition pruning."""
     d = _with_norm(_emb(spark, sf_dir))
+    cell = _ivf_cells(d)
+    return _ivf_search(cell)
+
+
+def _ivf_cells(d: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment: (vec_id, embedding, nrm, cid).
+    The expensive IVF step — the piece build_ivf_index persists."""
     cent = _ivf_centroids(d)
     cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
-    cell = (
+    return (
         d.crossJoin(F.broadcast(cent))
         .withColumn("cent_cos", cos_c)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "nrm", "cid")
     )
+
+
+def _ivf_search(cell: DataFrame) -> DataFrame:
+    """In-cell exact-cosine top-k over an assigned corpus (shared by the
+    derive and materialized IVF queries)."""
     q = cell.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -267,6 +279,73 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ann_index_path(sf_dir: str) -> str:
+    """Fingerprinted cache location for sf_dir's IVF index (the
+    graph_edges_path convention: source mtime+size in the name, so
+    stale state is unreachable by construction)."""
+    import hashlib
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_ANN_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".localdata",
+        "ann_cache",
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        parts = sorted(os.listdir(src))
+        probe = os.path.join(src, parts[-1]) if parts else src
+    else:
+        probe = src
+    st = os.stat(probe)
+    dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(root, f"ivf_{dir_tag}_{int(st.st_mtime)}_{st.st_size}")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
+    """Materialize the IVF index: cell assignments written PARTITIONED
+    BY cid (atomic temp-dir + rename), so a query's in-cell scan is a
+    partition-pruned read of 1/n_cells of the corpus — the on-disk
+    FAISS-IVF analogue, built once per embedding generation."""
+    import os
+    import shutil
+
+    path = path or ann_index_path(sf_dir)
+    if os.path.isdir(os.path.join(path, "_DONE")):
+        return path
+    cell = _ivf_cells(_with_norm(_emb(spark, sf_dir)))
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        cell.write.mode("overwrite").partitionBy("cid").parquet(os.path.join(tmp, "cells"))
+        os.makedirs(os.path.join(tmp, "_DONE"))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+@query("knn_ivf_materialized", _ivf_oracle())
+def knn_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the MATERIALIZED index: identical results to
+    knn_ivf (same oracle), but the centroid cross-join assignment is
+    paid once per embedding generation, and the index is laid out
+    partitioned-by-cell so the in-cell scan arrives partition-pruned.
+    Same operating-mode story as pagerank_parts_materialized — at
+    100 TB the index build is the dominant cost and no production ANN
+    service re-derives it per query."""
+    import os
+
+    path = build_ivf_index(spark, sf_dir)
+    cell = spark.read.parquet(os.path.join(path, "cells")).select(
+        "vec_id", "embedding", "nrm", "cid"
+    )
+    return _ivf_search(cell)
 
 
 @query("knn_lsh_bucketed", _lsh_oracle())

@@ -581,3 +581,12 @@ def test_triangles_materialized_equals_derived(spark, tmp_path, monkeypatch):
     a = QUERIES["triangles_parts"](spark, SF).collect()[0]
     b = QUERIES["triangles_parts_materialized"](spark, SF).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_knn_ivf_materialized_equals_derived(spark, tmp_path, monkeypatch):
+    """Materialized IVF must return the exact rows of the derive path
+    (same centroids, same cells, same in-cell ranking)."""
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", str(tmp_path))
+    a = {tuple(r) for r in QUERIES["knn_ivf"](spark, SF).collect()}
+    b = {tuple(r) for r in QUERIES["knn_ivf_materialized"](spark, SF).collect()}
+    assert a == b and a

@@ -468,3 +468,19 @@ def test_pagerank_materialized_reads_no_fact_table(spark, tmp_path, monkeypatch)
     # via the persisted contrib relation's own lineage instead:
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "lineitem" not in analyzed
+
+
+def test_ivf_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatch):
+    """knn_ivf_materialized: the index is written partitioned by cid,
+    and the in-cell scan must carry a DYNAMIC partition-pruning filter
+    injected from the broadcast query side — the corpus read touches
+    1/n_cells of the files, which is the entire point of laying the
+    index out by cell."""
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", str(tmp_path))
+    from orders_currency_conversion_etl_spark.operators.similarity import (
+        knn_ivf_materialized,
+    )
+
+    plan = _plan(knn_ivf_materialized(spark, SF))
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
