@@ -47,6 +47,7 @@ EXTRAS = [
     "knn_lsh_multiprobe",
     "agg_hll_rolling_accuracy",
     "hll_segment_overlap",
+    "knn_ivf_materialized",
 ]
 
 

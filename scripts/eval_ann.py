@@ -28,7 +28,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 
-VARIANTS = ("knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf", "knn_pq_adc", "knn_ivf_pq")
+VARIANTS = ("knn_lsh_bucketed", "knn_lsh_multiprobe", "knn_ivf", "knn_ivf_materialized", "knn_pq_adc", "knn_ivf_pq")
 EXACT = "knn_brute_force"
 SF1_DIR = os.path.join(REPO, ".localdata", "sf1")
 
