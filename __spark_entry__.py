@@ -113,7 +113,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #       rows-only -> exact-oracle conversions (sample_seeded on a
 #       portable md5-Bernoulli key; approx distinct/percentile now
 #       emitting exact values + within_bound), the new
-#       pagerank_parts_materialized, and 15 staleness re-validations
+#       pagerank_parts_materialized, the new heavy_hitters_mg, and 14
+#       staleness re-validations
 #       whose newest green row is r1/r2. Target: cumulative distinct
 #       driver-green 172/172 (1 rows-only by design).
 ANCHORS = [
@@ -177,9 +178,10 @@ ROTATION_R6 = [
     # (d) new this round: PageRank over the materialized edge table
     # (VERDICT r5 ask #7) — same oracle as pagerank_parts:
     "pagerank_parts_materialized",
-    # (e) staleness re-validation: every query whose ONLY green row is
-    # r1 (7) plus a family-spread pick of the oldest (r2-only) greens,
-    # biased to queries whose plans share code touched since:
+    # (e) staleness re-validation (14): every query whose ONLY green
+    # row is r1 (7) plus a family-spread pick of the oldest (r2-only)
+    # greens, biased to queries whose plans share code touched since.
+    # 8 + 11 + 3 + 1 + 14 + 1 [section (f)] = 38:
     "explode_part_types",
     "regex_functions",
     "union_by_name_missing_cols",

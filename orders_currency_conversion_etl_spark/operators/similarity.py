@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import state_cache
 from ..plans.registry import query
 from ..sources import catalog
 from .dedup import dot_cols
@@ -282,52 +283,31 @@ def _ivf_search(cell: DataFrame) -> DataFrame:
 
 
 def ann_index_path(sf_dir: str) -> str:
-    """Fingerprinted cache location for sf_dir's IVF index (the
-    graph_edges_path convention: source mtime+size in the name, so
-    stale state is unreachable by construction)."""
-    import hashlib
-    import os
-
-    root = os.environ.get("SPARK_GRAFT_ANN_CACHE") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".localdata",
-        "ann_cache",
+    """Fingerprinted cache location for sf_dir's IVF index (the shared
+    state_cache protocol: source mtime+size in the name, so stale
+    state is unreachable by construction)."""
+    return state_cache.fingerprint_path(
+        sf_dir, "embeddings", "SPARK_GRAFT_ANN_CACHE", "ann_cache", "ivf"
     )
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(src):
-        parts = sorted(os.listdir(src))
-        probe = os.path.join(src, parts[-1]) if parts else src
-    else:
-        probe = src
-    st = os.stat(probe)
-    dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(root, f"ivf_{dir_tag}_{int(st.st_mtime)}_{st.st_size}")
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
     """Materialize the IVF index: cell assignments written PARTITIONED
-    BY cid (atomic temp-dir + rename), so a query's in-cell scan is a
-    partition-pruned read of 1/n_cells of the corpus — the on-disk
-    FAISS-IVF analogue, built once per embedding generation."""
+    BY cid via state_cache.materialize (atomic temp-dir + rename), so
+    a query's in-cell scan is a partition-pruned read of 1/n_cells of
+    the corpus — the on-disk FAISS-IVF analogue, built once per
+    embedding generation."""
     import os
-    import shutil
 
     path = path or ann_index_path(sf_dir)
-    if os.path.isdir(os.path.join(path, "_DONE")):
+    if state_cache.is_materialized(path):
         return path
     cell = _ivf_cells(_with_norm(_emb(spark, sf_dir)))
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    try:
+
+    def write_parts(tmp: str) -> None:
         cell.write.mode("overwrite").partitionBy("cid").parquet(os.path.join(tmp, "cells"))
-        os.makedirs(os.path.join(tmp, "_DONE"))
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
-    return path
+
+    return state_cache.materialize(path, write_parts)
 
 
 @query("knn_ivf_materialized", _ivf_oracle())

@@ -131,6 +131,10 @@ MG_CAPACITY = 4096
 HH_TOPK = 20
 _HH_LEVELS = 10
 
+#: applicationId -> the previous invocation's cached merged-summary
+#: DataFrame (released on the next call; see _hh_candidates).
+_HH_PERSISTED: dict[str, DataFrame] = {}
+
 from ..functions.text_fn import hex_to_long_sql  # noqa: E402  (module tail)
 
 #: uniform 20-bit hash of the lineitem PK, and an independent 20-bit
@@ -216,11 +220,16 @@ def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> D
                 counts[int(k)] = counts.get(int(k), 0) + int(c)
             if len(counts) > capacity:
                 # batched decrement: subtracting `cut` from every key and
-                # dropping <=0 is `cut` uniform MG rounds at once; each
-                # round removes >= capacity+1 mass, preserving the
-                # w >= count - n_p/(capacity+1) guarantee.
+                # dropping <=0 is `cut` uniform MG rounds at once. cut is
+                # the (capacity+1)-th LARGEST value — at least capacity+1
+                # keys carry >= cut, so each round removes >= capacity+1
+                # mass, preserving w >= count - n_p/(capacity+1) exactly
+                # (r6 review: vals[len-capacity] is one position too
+                # high — only capacity keys at >= cut, bound degrades to
+                # n_p/capacity, and a flat batch of capacity+1 equal
+                # counts would wipe the whole summary).
                 vals = sorted(counts.values())
-                cut = vals[len(counts) - capacity]
+                cut = vals[len(counts) - capacity - 1]
                 counts = {k: v - cut for k, v in counts.items() if v > cut}
         # sentinel row (key=-1: real keys are >=1 by construction)
         # carries the partition's processed-row count, so the merge can
@@ -251,7 +260,18 @@ def _hh_candidates(spark: SparkSession, summaries: DataFrame) -> DataFrame:
 
     Two driver-side scalars (the k-th weight and n) — the same bounded
     altitude as PageRank's node count."""
+    # One cached generation per session (the _PAGERANK_PERSISTED
+    # lesson): repeated invocations — bench loops, dump_plans — must
+    # not stack cached RDD generations for the session lifetime.
+    key = spark.sparkContext.applicationId
+    prev = _HH_PERSISTED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session stopped or already evicted; nothing to free
     merged = summaries.groupBy("key").agg(F.sum("w").alias("w")).cache()
+    _HH_PERSISTED[key] = merged
     n = merged.filter(F.col("key") == -1).agg(F.sum("w")).first()[0] or 0
     survivors = merged.filter(F.col("key") != -1)
     kth = (

@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import state_cache
 from ..sources import catalog
 from .registry import query
 
@@ -217,70 +218,40 @@ _GRAPH_CACHE_ENV = "SPARK_GRAFT_GRAPH_CACHE"
 
 
 def graph_edges_path(sf_dir: str) -> str:
-    """Deterministic cache location for sf_dir's materialized edges.
-
-    The source fingerprint (lineitem mtime+size) is part of the path,
-    so regenerated testdata can never be served a stale graph — the
-    staleness check is the filename, not a read-repair."""
-    # default under the repo's gitignored .localdata (NOT the system
-    # temp dir): survives across runs with the fixtures it derives
-    # from, and keeps all engine state inside the workspace.
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    root = os.environ.get(_GRAPH_CACHE_ENV) or os.path.join(
-        repo_root, ".localdata", "graph_cache"
+    """Deterministic cache location for sf_dir's materialized edges
+    (the shared state_cache protocol: source fingerprint in the path,
+    so stale state is unreachable by construction)."""
+    return state_cache.fingerprint_path(
+        sf_dir, "lineitem", _GRAPH_CACHE_ENV, "graph_cache", "edges"
     )
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    if os.path.isdir(src):
-        parts = sorted(os.listdir(src))
-        probe = os.path.join(src, parts[-1]) if parts else src
-    else:
-        probe = src
-    import hashlib
-
-    st = os.stat(probe)
-    # md5, not hash(): str hashing is per-process randomized, which
-    # would defeat cross-process cache reuse.
-    dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    tag = f"{dir_tag}_{int(st.st_mtime)}_{st.st_size}"
-    return os.path.join(root, f"edges_{tag}")
 
 
 def build_graph_edges(spark: SparkSession, sf_dir: str, path: str | None = None) -> str:
     """Materialize the part co-occurrence graph: writes two parquet
     tables under ``path`` — ``contrib`` (src, dst, outdeg: the
     loop-invariant join input) and ``deg`` (src, outdeg: the node
-    table, for rank init and |nodes|).
-
-    Write is temp-dir + atomic rename (the make_sf1 lesson): a killed
-    build can never leave a half-graph that a later run trusts. On a
-    real cluster this is the nightly `INSERT OVERWRITE graph.edges`
-    job; the reader below is exactly what any downstream graph query
-    does."""
-    import shutil
-
+    table, for rank init and |nodes|) — via state_cache.materialize
+    (atomic temp-dir + rename: a killed build can never leave a
+    half-graph a later run trusts). On a real cluster this is the
+    nightly `INSERT OVERWRITE graph.edges` job; the reader below is
+    exactly what any downstream graph query does."""
     path = path or graph_edges_path(sf_dir)
-    if os.path.isdir(os.path.join(path, "_DONE")):
+    if state_cache.is_materialized(path):
         return path
     edges, deg, contrib_src, _ranks, _n = _pagerank_state_build(spark, sf_dir)
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    try:
+
+    def write_parts(tmp: str) -> None:
         contrib_src.write.mode("overwrite").parquet(os.path.join(tmp, "contrib"))
         deg.write.mode("overwrite").parquet(os.path.join(tmp, "deg"))
-        os.makedirs(os.path.join(tmp, "_DONE"))
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+
+    try:
+        return state_cache.materialize(path, write_parts)
     finally:
         for df in (edges, deg, contrib_src):
             try:
                 df.unpersist()
             except Exception:
                 pass  # best-effort: state dies with the session anyway
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
-    return path
 
 
 @query("pagerank_parts_materialized", _PAGERANK_ORACLE)

@@ -386,3 +386,26 @@ def test_segment_overlap_covers_all_pairs_within_bound(spark):
     got = {(r["type_a"], r["type_b"]): r["exact_overlap"] for r in rows}
     assert got == want
     assert all(r["within_bound"] for r in rows)
+
+
+def test_mg_flat_batch_at_capacity_boundary_not_wiped(spark):
+    """r6 review regression: with cut taken one position too high, a
+    batch of exactly capacity+1 equal-count keys wiped the WHOLE
+    summary (undercount > n_p/(cap+1)). The corrected (cap+1)-th-
+    largest cut must keep survivors and respect the bound."""
+    from orders_currency_conversion_etl_spark.operators.sketches import (
+        _mg_partition_summaries,
+    )
+
+    cap = 4
+    # one partition, 5 distinct keys x 3 occurrences each (flat), then
+    # one extra heavy key so the summary has something provable to keep
+    rows = [(k,) for k in range(1, cap + 2) for _ in range(3)] + [(99,)] * 12
+    stream = spark.createDataFrame(rows, "key bigint").repartition(1)
+    s = _mg_partition_summaries(stream, capacity=cap)
+    got = {r["key"]: r["w"] for r in s.collect()}
+    n_p = got.pop(-1)
+    assert n_p == len(rows)
+    assert 0 < len(got) <= cap  # not wiped, capacity respected
+    # the heavy key must survive with the MG bound intact
+    assert got.get(99, 0) >= 12 - n_p / (cap + 1)
