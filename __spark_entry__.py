@@ -210,6 +210,7 @@ ROTATION_R7 = [
     "agg_hll_rolling_accuracy",
     "hll_segment_overlap",
     "knn_ivf_materialized",
+    "dedup_incremental_lsh",
 ]
 
 ROTATION_R5 = [

@@ -1041,3 +1041,110 @@ def split_leakage_safe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return split_from_dup_clusters(spark, sf_dir, cc)
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dedup: new batch vs the persisted corpus index
+# --------------------------------------------------------------------------
+
+#: deterministic "arriving batch": every 10th doc_id. Portable integer
+#: predicate, so both engines split the corpus identically.
+_INCR_NEW_MOD = 10
+
+
+def _incremental_lsh_oracle() -> str:
+    mh_cols = ",\n       ".join(f"{_minhash_sql(i)} AS mh{i}" for i in range(MINHASH_K))
+    band_selects = []
+    for b in range(LSH_BANDS):
+        members = " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {members} AS band_val FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return (
+        _TOK_CTE
+        + f"""
+, hs AS (
+    SELECT doc_id, list_transform(shingles, s -> {_BASE_HASH_SQL}) AS hashes FROM sh
+), sig AS (
+    SELECT doc_id,
+       {mh_cols}
+    FROM hs
+), bands AS (
+{bands_union}
+), cand AS (
+    SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+    FROM bands n JOIN bands c
+      ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+     AND n.doc_id % {_INCR_NEW_MOD} = 0 AND c.doc_id % {_INCR_NEW_MOD} <> 0
+)
+SELECT doc_new, doc_corpus,
+       CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+            / (len(sn.shingles) + len(sc.shingles) - len(list_intersect(sn.shingles, sc.shingles))) AS jaccard
+FROM cand
+JOIN sh sn ON sn.doc_id = doc_new
+JOIN sh sc ON sc.doc_id = doc_corpus
+WHERE CAST(len(list_intersect(sn.shingles, sc.shingles)) AS DOUBLE)
+      / (len(sn.shingles) + len(sc.shingles) - len(list_intersect(sn.shingles, sc.shingles))) >= {JACCARD_T!r}
+"""
+    )
+
+
+@query("dedup_incremental_lsh", _incremental_lsh_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dedup: which documents of an ARRIVING batch are
+    near-duplicates of the EXISTING corpus — the incremental shape a
+    production pipeline runs on every delivery, where re-pairing the
+    whole corpus (dedup_minhash_lsh's batch shape) would be O(corpus)
+    per batch instead of O(batch).
+
+    The batch is the deterministic doc_id % 10 == 0 slice (a portable
+    stand-in for "today's delivery"); candidates come from joining
+    ONLY the batch's band rows against the corpus band table, then
+    true-Jaccard verification — cost ∝ batch collisions. At 100 TB
+    the corpus band table is persisted state (the state_cache pattern
+    pagerank/IVF materialize; bands append-only as batches commit),
+    and this query is the read path: new signatures probe the index,
+    never rebuild it. The anti-join idempotency redesign (S6) then
+    drops the flagged docs from the ingest — same contract as
+    incremental_unprocessed, at near-dup rather than exact-key
+    granularity."""
+    sh = _shared(_docs_shingled(spark, sf_dir).select("doc_id", "shingles"))
+    sig = sh.withColumn("hashes", _hashes_col()).select(
+        "doc_id", "shingles", *_minhash_cols()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("|", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias(
+                "band_val"
+            ),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    new_b = bands.filter(F.col("doc_id") % _INCR_NEW_MOD == 0).alias("n")
+    corp_b = bands.filter(F.col("doc_id") % _INCR_NEW_MOD != 0).alias("c")
+    cand = (
+        new_b.join(
+            corp_b,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_val") == F.col("c.band_val")),
+        )
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("c.doc_id").alias("doc_corpus"))
+        .distinct()
+    )
+    sn, sc = sh.alias("sn"), sh.alias("sc")
+    inter = F.size(F.array_intersect(F.col("sn.shingles"), F.col("sc.shingles")))
+    union = F.size(F.col("sn.shingles")) + F.size(F.col("sc.shingles")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sn, F.col("sn.doc_id") == F.col("doc_new"))
+        .join(sc, F.col("sc.doc_id") == F.col("doc_corpus"))
+        .filter(jac >= JACCARD_T)
+        .select("doc_new", "doc_corpus", jac.alias("jaccard"))
+    )

@@ -590,3 +590,21 @@ def test_knn_ivf_materialized_equals_derived(spark, tmp_path, monkeypatch):
     a = {tuple(r) for r in QUERIES["knn_ivf"](spark, SF).collect()}
     b = {tuple(r) for r in QUERIES["knn_ivf_materialized"](spark, SF).collect()}
     assert a == b and a
+
+
+def test_incremental_lsh_sides_are_disjoint_and_consistent(spark):
+    """dedup_incremental_lsh: left side only batch docs (id % 10 == 0),
+    right side only corpus docs, and every reported pair is also found
+    by the batch-shape dedup_minhash_lsh (same bands, same threshold —
+    the incremental query is a restriction, never a new pair source)."""
+    rows = QUERIES["dedup_incremental_lsh"](spark, SF).collect()
+    assert rows, "fixture contains cross-slice near-dups"
+    assert all(r["doc_new"] % 10 == 0 for r in rows)
+    assert all(r["doc_corpus"] % 10 != 0 for r in rows)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    }
+    for r in rows:
+        pair = tuple(sorted((r["doc_new"], r["doc_corpus"])))
+        assert pair in full, pair
