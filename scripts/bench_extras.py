@@ -48,6 +48,7 @@ EXTRAS = [
     "agg_hll_rolling_accuracy",
     "hll_segment_overlap",
     "knn_ivf_materialized",
+    "dedup_incremental_lsh",
 ]
 
 
