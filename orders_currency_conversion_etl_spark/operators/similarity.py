@@ -287,7 +287,15 @@ def ann_index_path(sf_dir: str) -> str:
     state_cache protocol: source mtime+size in the name, so stale
     state is unreachable by construction)."""
     return state_cache.fingerprint_path(
-        sf_dir, "embeddings", "SPARK_GRAFT_ANN_CACHE", "ann_cache", "ivf"
+        sf_dir,
+        "embeddings",
+        "SPARK_GRAFT_ANN_CACHE",
+        "ann_cache",
+        "ivf",
+        # derivation token: changing the centroid stride (or the cell
+        # layout version) must invalidate the cache, not serve an
+        # index built under the old parameters (r6 ADVICE).
+        derivation=f"ivf_v2_stride{IVF_CENTROID_STRIDE}",
     )
 
 

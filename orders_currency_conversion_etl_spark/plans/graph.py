@@ -222,7 +222,15 @@ def graph_edges_path(sf_dir: str) -> str:
     (the shared state_cache protocol: source fingerprint in the path,
     so stale state is unreachable by construction)."""
     return state_cache.fingerprint_path(
-        sf_dir, "lineitem", _GRAPH_CACHE_ENV, "graph_cache", "edges"
+        sf_dir,
+        "lineitem",
+        _GRAPH_CACHE_ENV,
+        "graph_cache",
+        "edges",
+        # derivation token: bump the version string whenever the
+        # edge-build logic or the persisted layout changes, so an old
+        # cache can't be served to new code (r6 ADVICE).
+        derivation="edges_v2_contrib_deg",
     )
 
 

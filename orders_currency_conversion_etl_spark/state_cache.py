@@ -1,16 +1,22 @@
 """Shared protocol for materialized engine state (graph edges, ANN
 index): fingerprinted cache paths + atomic temp-dir materialization.
 
-One implementation, two call sites (plans/graph.py, operators/
-similarity.py) — extracted in r6 after review found the two copies
+One implementation, call sites in plans/graph.py and operators/
+similarity.py — extracted in r6 after review found the two copies
 already drifting. The protocol:
 
-- the cache path embeds the SOURCE's mtime+size (and an md5 of the
-  dataset dir), so regenerated testdata can never be served stale
-  state — staleness is unreachable by construction, not read-repaired;
-- writes land in ``<path>.tmp`` and are renamed into place only after
-  a ``_DONE`` marker is created, so a killed build can never leave a
-  half-materialization a later run trusts (the make_sf1 lesson);
+- the cache path embeds a fingerprint of the SOURCE table (every
+  part-file's name+mtime+size, not a single probe) AND a caller-
+  supplied derivation token (the constants / code-version string the
+  state depends on), so neither regenerated testdata nor a changed
+  derivation can ever be served stale state — staleness is
+  unreachable by construction, not read-repaired;
+- writes land in a per-process temp dir (``<path>.tmp.<pid>``) and
+  are renamed into place only after a ``_DONE`` marker is created, so
+  a killed build can never leave a half-materialization a later run
+  trusts, and two concurrent builders (pytest worker + bench) can
+  never interleave writes into the same staging dir — last atomic
+  rename wins with a complete build either way;
 - the default root lives under the repo's gitignored ``.localdata``
   (state stays inside the workspace, with the fixtures it derives
   from), overridable per-cache via an env var.
@@ -18,6 +24,7 @@ already drifting. The protocol:
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import os
 import shutil
@@ -26,22 +33,43 @@ from collections.abc import Callable
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def fingerprint_path(sf_dir: str, source_table: str, env_var: str, subdir: str, prefix: str) -> str:
+def fingerprint_path(
+    sf_dir: str,
+    source_table: str,
+    env_var: str,
+    subdir: str,
+    prefix: str,
+    derivation: str = "",
+) -> str:
     """Deterministic cache location for ``sf_dir``'s state derived from
     ``source_table`` (e.g. ``lineitem``): root from ``env_var`` or
-    ``.localdata/<subdir>``, leaf ``<prefix>_<dirtag>_<mtime>_<size>``."""
+    ``.localdata/<subdir>``, leaf ``<prefix>_<dirtag>_<srcfp>[_<deriv>]``.
+
+    ``srcfp`` hashes EVERY part-file's (name, mtime_ns, size) — a
+    same-second same-size regeneration still changes mtime_ns on any
+    real filesystem, and adding/removing/renaming a part always
+    changes the digest. ``derivation`` is the caller's token for the
+    parameters/code-version the state depends on (e.g. the centroid
+    stride), so tuning a constant invalidates the cache instead of
+    silently serving state built under the old value.
+    """
     root = os.environ.get(env_var) or os.path.join(_REPO_ROOT, ".localdata", subdir)
     src = os.path.join(sf_dir, f"{source_table}.parquet")
+    h = hashlib.md5()
     if os.path.isdir(src):
-        parts = sorted(os.listdir(src))
-        probe = os.path.join(src, parts[-1]) if parts else src
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
     else:
-        probe = src
-    st = os.stat(probe)
+        st = os.stat(src)
+        h.update(f"{os.path.basename(src)}:{st.st_mtime_ns}:{st.st_size};".encode())
     # md5, not hash(): str hashing is per-process randomized, which
     # would defeat cross-process cache reuse.
     dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(root, f"{prefix}_{dir_tag}_{int(st.st_mtime)}_{st.st_size}")
+    leaf = f"{prefix}_{dir_tag}_{h.hexdigest()[:16]}"
+    if derivation:
+        leaf += "_" + hashlib.md5(derivation.encode()).hexdigest()[:10]
+    return os.path.join(root, leaf)
 
 
 def is_materialized(path: str) -> bool:
@@ -51,10 +79,16 @@ def is_materialized(path: str) -> bool:
 def materialize(path: str, write_parts: Callable[[str], None]) -> str:
     """Idempotently build the state at ``path``: no-op if its ``_DONE``
     marker exists, else call ``write_parts(tmp_dir)`` and atomically
-    rename the finished temp dir into place."""
+    rename the finished temp dir into place.
+
+    The staging dir is suffixed with the pid so concurrent builders of
+    the same fingerprint (pytest worker racing bench) each stage into
+    their own dir; whichever renames last wins, and both renamed trees
+    are complete builds of the same fingerprint so the race is benign.
+    """
     if is_materialized(path):
         return path
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     try:
@@ -65,5 +99,13 @@ def materialize(path: str, write_parts: Callable[[str], None]) -> str:
         raise
     os.makedirs(os.path.dirname(path), exist_ok=True)
     shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError as exc:  # pragma: no cover - concurrent-rename race
+        # A concurrent builder renamed its complete build in between
+        # our rmtree and rename (ENOTEMPTY/EEXIST): its state is
+        # equivalent — keep it, drop ours.
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return path

@@ -462,12 +462,28 @@ def test_pagerank_materialized_reads_no_fact_table(spark, tmp_path, monkeypatch)
         pagerank_parts_materialized,
     )
 
-    build_graph_edges(spark, SF)
-    df = pagerank_parts_materialized(spark, SF)
-    # localCheckpoint truncates the final plan; inspect the loop input
-    # via the persisted contrib relation's own lineage instead:
-    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.plans.graph import _pagerank_step
+
+    path = build_graph_edges(spark, SF)
+    # The query's own result plan is truncated by the in-loop
+    # localCheckpoint, so asserting on it is vacuous (r6 ADVICE).
+    # Reconstruct the UNcheckpointed loop input exactly as the read
+    # path builds it — parquet graph tables + one _pagerank_step —
+    # and require that ITS full lineage never reaches the fact table:
+    contrib_src = spark.read.parquet(_os.path.join(path, "contrib"))
+    deg = spark.read.parquet(_os.path.join(path, "deg"))
+    n = deg.count()
+    ranks0 = deg.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+    step = _pagerank_step(contrib_src, ranks0, n)
+    analyzed = step._jdf.queryExecution().analyzed().toString()
     assert "lineitem" not in analyzed
+    # and the end-to-end query still runs green off the same cache:
+    df = pagerank_parts_materialized(spark, SF)
+    assert df.count() > 0
 
 
 def test_ivf_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatch):
