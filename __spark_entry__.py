@@ -202,8 +202,8 @@ ROTATION_R6 = [
     "heavy_hitters_mg",
 ]
 
-#: Registered during r6 AFTER this round's window froze (locally
-#: value-swept at registration); first window slot next round.
+#: Registered during r6 AFTER that round's window froze (locally
+#: value-swept at registration); windowed this round (r7).
 ROTATION_R7 = [
     "triangles_parts_materialized",
     "knn_lsh_multiprobe",
@@ -211,6 +211,55 @@ ROTATION_R7 = [
     "hll_segment_overlap",
     "knn_ivf_materialized",
     "dedup_incremental_lsh",
+]
+
+#   r7 (this one): 12 anchors + ROTATION_R7 (6, draining the only
+#       driver-unverified registrations — VERDICT r6 ask #1) + the 2
+#       r7-new quantile-sketch queries (mergeable-summary family #3,
+#       VERDICT r6 ask #6) + 30 staleness re-validations: every query
+#       whose newest green row is r2 (17) and the alphabetically-first
+#       13 of the r3-only cohort. Per VERDICT r6 ask #5,
+#       agg_hll_rolling_distinct (rows-only by design) is NO LONGER
+#       windowed — its accuracy gate agg_hll_rolling_accuracy takes
+#       the slot. 12 + 6 + 2 + 30 = 50.
+ROTATION_R7_NEW = [
+    "quantile_sketch_rolling",
+    "quantile_sketch_accuracy",
+]
+
+ROTATION_R7_REVALIDATE = [
+    # (a) newest green row = r2 (all 17):
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "cast_matrix",
+    "filter_empty_shortcircuit",
+    "higher_order_array_funcs",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_counts",
+    "join_interval_attribution",
+    "join_salted_skew",
+    "map_column_access",
+    "null_handling_functions",
+    "set_except_segments",
+    "set_intersect_segments",
+    "string_functions",
+    "text_bpe_token_count",
+    "window_ntile_percent_rank",
+    "window_range_frame",
+    # (b) newest green row = r3, alphabetically first 13:
+    "agg_percentiles",
+    "agg_rollup_region_nation",
+    "attribution_windowed_stats",
+    "case_bucket_totalprice",
+    "cohort_retention_weekly",
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_longest_substring",
+    "dedup_stream_first_delivery",
+    "dq_expectations_orders",
+    "funnel_user_conversion",
+    "grouped_zscore_pandas",
 ]
 
 ROTATION_R5 = [
@@ -265,7 +314,7 @@ ROTATION_R5 = [
     "corpus_shuffle_shards",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R6
+PRIORITY_WINDOW = ANCHORS + ROTATION_R7 + ROTATION_R7_NEW + ROTATION_R7_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -446,3 +446,276 @@ def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(OVERLAP_ABS_FLOOR), F.lit(OVERLAP_REL_BOUND) * exact_union
     )
     return joined.select("type_a", "type_b", "exact_overlap", ok.alias("within_bound"))
+
+
+# --------------------------------------------------------------------------
+# Approximate quantiles: mergeable exponent/sub-bucket histograms
+# --------------------------------------------------------------------------
+#
+# The third mergeable-summary family member (after HLL distinct counts
+# and Misra-Gries heavy hitters): persisted per-day value histograms
+# that answer any rolling/merged percentile without re-scanning facts.
+# The 100 TB problem: a p95-latency/p95-order-value dashboard that
+# recomputes exact percentiles re-sorts the window's raw values per
+# refresh; a persisted histogram answers any calendar window by
+# SUMMING per-bin counts — |days| x |occupied bins| rows of state.
+#
+# Sketch shape: HdrHistogram-style exponent + sub-bucket binning (the
+# same layout DDSketch's paper calls log-linear buckets): for integer
+# cents c >= 16, bin = 16*e + m with e = floor(log2 c) and m = the
+# next 4 mantissa bits; c < 16 gets singleton bins. Guarantees, both
+# EXACT by construction (pinned in tests/test_sketches.py):
+#   - merge law: histograms merge by per-bin count SUM — associative,
+#     commutative, partition-invariant (same law HLL has by register
+#     max), so appending a day is O(bins) and reshuffling is a no-op;
+#   - rank law: the reported bin CONTAINS the true rank-r element, so
+#     the estimate (the bin's lower edge) is within one bin width
+#     (<= 1/16 relative) below the true quantile, always.
+#
+# Why not Spark's approx_percentile partial state or a KLL/t-digest
+# binary blob? Those are engine-opaque — like the HLL sketch column
+# they'd force a rows-only driver check. This binning is PURE INTEGER
+# arithmetic (CASE ladder + %, the _hh_key_sql pattern), which DuckDB
+# evaluates bit-identically, so the ROLLING ESTIMATES THEMSELVES are
+# exact-hash oracled — the strongest check a sketch query can get.
+
+#: sub-buckets per octave; 16 -> worst-case relative bin width 1/16.
+QS_SUBBUCKETS = 16
+#: highest exponent in the portable CASE ladder (2^41 cents ~ $22B —
+#: per-ORDER values above that are out of domain by construction).
+QS_MAX_E = 40
+#: rolling window, calendar days (same as the HLL rolling state).
+QS_ROLLING_DAYS = 7
+
+
+def _qs_idiv(a: str, b: int) -> str:
+    """Portable exact integer division (both engines): subtract the
+    remainder, then a double divide that is exact because the numerator
+    is a multiple of ``b`` and < 2^52."""
+    return f"CAST((({a}) - (({a}) % {b})) / {b} AS BIGINT)"
+
+
+def _qs_bin_sql(c: str) -> str:
+    """Shared Spark/DuckDB SQL: cents -> histogram bin (16*e + m).
+
+    One CASE ladder of integer comparisons finds e = floor(log2 c)
+    (no float log anywhere near a bin boundary); the sub-bucket is
+    the 4 bits below the leading bit, extracted with exact %-and-
+    divide arithmetic. Generated once, used verbatim by both engines
+    — the cannot-drift pattern of _hh_key_sql."""
+    cases = [f"WHEN ({c}) < 16 THEN ({c})"]
+    for e in range(4, QS_MAX_E + 1):
+        d = 1 << (e - 4)
+        cases.append(
+            f"WHEN ({c}) < {1 << (e + 1)} THEN {16 * e - 16} + {_qs_idiv(c, d)}"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {16 * (QS_MAX_E + 1)} END"
+
+
+def _qs_edge_sql(b: str) -> str:
+    """Shared SQL: bin -> lower edge in cents ((16 + m) * 2^(e-4);
+    singleton bins below 16 are their own edge). The edge is the
+    sketch's quantile ESTIMATE: never above the true quantile, within
+    one bin width below it."""
+    cases = [f"WHEN ({b}) < 16 THEN ({b})"]
+    for e in range(4, QS_MAX_E + 1):
+        d = 1 << (e - 4)
+        cases.append(f"WHEN ({b}) < {16 * (e + 1)} THEN (({b}) % 16 + 16) * {d}")
+    return "CASE " + " ".join(cases) + f" ELSE {1 << (QS_MAX_E + 1)} END"
+
+
+def _qs_width_sql(edge: str) -> str:
+    """Shared SQL: bin lower EDGE (cents) -> that bin's width in cents.
+    An edge (16+m)*2^(e-4) lies in [2^e, 2^(e+1)), so the same
+    comparison ladder that finds e for a raw value finds it for the
+    edge; width = 2^(e-4) (1 for the singleton bins below 16).
+    edge + width is the next bin's edge, including across octaves."""
+    cases = [f"WHEN ({edge}) < 16 THEN 1"]
+    for e in range(4, QS_MAX_E + 1):
+        cases.append(f"WHEN ({edge}) < {1 << (e + 1)} THEN {1 << (e - 4)}")
+    return "CASE " + " ".join(cases) + f" ELSE {1 << (QS_MAX_E - 4)} END"
+
+
+#: ceil(q*n) as exact integer arithmetic: ceil(p*n/100) = (p*n + 99) div 100.
+def _qs_rank_sql(n: str, pct: int) -> str:
+    return _qs_idiv(f"{pct} * ({n}) + 99", 100)
+
+
+_QS_CENTS = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+
+_QS_ROLLING_ORACLE = f"""
+WITH state AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           {_qs_bin_sql(_QS_CENTS)} AS bin,
+           COUNT(*) AS c
+    FROM orders
+    GROUP BY 1, 2
+), spine AS (
+    SELECT DISTINCT day FROM state
+), win AS (
+    SELECT s.day AS day, t.bin AS bin, SUM(t.c) AS c
+    FROM spine s
+    JOIN state t ON t.day BETWEEN s.day - {QS_ROLLING_DAYS - 1} AND s.day
+    GROUP BY 1, 2
+), cum AS (
+    SELECT day, bin,
+           SUM(c) OVER (PARTITION BY day ORDER BY bin) AS cum,
+           SUM(c) OVER (PARTITION BY day) AS n
+    FROM win
+), picked AS (
+    SELECT day,
+           MAX(n) AS n_7d,
+           MIN(CASE WHEN cum >= {_qs_rank_sql("n", 50)} THEN bin END) AS b50,
+           MIN(CASE WHEN cum >= {_qs_rank_sql("n", 95)} THEN bin END) AS b95,
+           MIN(CASE WHEN cum >= {_qs_rank_sql("n", 99)} THEN bin END) AS b99
+    FROM cum
+    GROUP BY day
+)
+SELECT day, n_7d,
+       {_qs_edge_sql("b50")} AS est_p50_cents,
+       {_qs_edge_sql("b95")} AS est_p95_cents,
+       {_qs_edge_sql("b99")} AS est_p99_cents
+FROM picked
+"""
+
+
+def daily_price_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted incremental state: per (order day, bin) counts of
+    o_totalprice cents. Appending a day touches only that day's rows;
+    any two state tables (per-partition, per-file, per-day) merge by
+    per-bin SUM."""
+    o = catalog.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr(_QS_CENTS).alias("cents"),
+    )
+    return (
+        o.select("day", F.expr(_qs_bin_sql("cents")).alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@query("quantile_sketch_rolling", _QS_ROLLING_ORACLE)
+def quantile_sketch_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p95/p99 of order value from histogram state
+    alone. The facts are scanned exactly once (to build the state);
+    the rolling merge range-joins the broadcast day spine against the
+    |days| x |occupied bins| state table and reads each quantile as
+    the first bin whose cumulative count reaches ceil(q*n) — all
+    integer arithmetic, so the DuckDB oracle hash-matches the
+    ESTIMATES themselves, not a tolerance band (contrast
+    agg_hll_rolling_distinct, whose engine-opaque sketch forces a
+    rows-only check). Estimates are bin lower edges in cents: at most
+    one bin width (<= 1/16 relative) below the true quantile —
+    the accuracy gate below pins that bound against the exact values."""
+    state = daily_price_histograms(spark, sf_dir)
+    spine = state.select("day").distinct().select(F.col("day").alias("spine_d"))
+    win = (
+        state.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.date_sub(F.col("spine_d"), QS_ROLLING_DAYS - 1))
+            & (F.col("day") <= F.col("spine_d")),
+        )
+        .groupBy(F.col("spine_d").alias("day"), F.col("bin"))
+        .agg(F.sum("c").alias("c"))
+    )
+    w_cum = Window.partitionBy("day").orderBy("bin")
+    w_all = Window.partitionBy("day")
+    cum = win.select(
+        "day",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    picked = cum.groupBy("day").agg(
+        F.max("n").alias("n_7d"),
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(_qs_rank_sql("n", p)), F.col("bin"))
+            ).alias(f"b{p}")
+            for p in (50, 95, 99)
+        ],
+    )
+    return picked.select(
+        "day",
+        "n_7d",
+        *[F.expr(_qs_edge_sql(f"b{p}")).alias(f"est_p{p}_cents") for p in (50, 95, 99)],
+    )
+
+
+_QS_ACCURACY_ORACLE = f"""
+WITH vals AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, {_QS_CENTS} AS cents FROM orders
+), spine AS (
+    SELECT DISTINCT day FROM vals
+), winvals AS (
+    SELECT s.day AS day, v.cents AS cents
+    FROM spine s
+    JOIN vals v ON v.day BETWEEN s.day - {QS_ROLLING_DAYS - 1} AND s.day
+), ranked AS (
+    SELECT day, cents,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY cents) AS rn,
+           COUNT(*) OVER (PARTITION BY day) AS n
+    FROM winvals
+)
+SELECT day,
+       MIN(CASE WHEN rn = {_qs_rank_sql("n", 50)} THEN cents END) AS exact_p50_cents,
+       MIN(CASE WHEN rn = {_qs_rank_sql("n", 95)} THEN cents END) AS exact_p95_cents,
+       MIN(CASE WHEN rn = {_qs_rank_sql("n", 99)} THEN cents END) AS exact_p99_cents,
+       TRUE AS within_bound
+FROM ranked
+GROUP BY day
+"""
+
+
+@query("quantile_sketch_accuracy", _QS_ACCURACY_ORACLE)
+def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's rank law, driver-verified (the accuracy-gate
+    pattern of agg_hll_rolling_accuracy): joins the rolling estimates
+    to the EXACT rolling rank-ceil(q*n) values (explicit ROW_NUMBER
+    formula — no engine-specific quantile_disc semantics) and emits
+    within_bound = AND over q of est <= exact < est + bin_width. The
+    oracle computes the exact side and literal TRUE, so an off-by-one
+    in the cumsum, the rank arithmetic, or the bin ladder — in either
+    the sketch path or this exact path — is a hash mismatch. This
+    query deliberately pays the exact sort the sketch avoids."""
+    est = quantile_sketch_rolling(spark, sf_dir)
+    vals = catalog.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr(_QS_CENTS).alias("cents"),
+    )
+    spine = vals.select("day").distinct().select(F.col("day").alias("spine_d"))
+    winvals = vals.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.date_sub(F.col("spine_d"), QS_ROLLING_DAYS - 1))
+        & (F.col("day") <= F.col("spine_d")),
+    ).select(F.col("spine_d").alias("day"), "cents")
+    w_rn = Window.partitionBy("day").orderBy("cents")
+    w_all = Window.partitionBy("day")
+    ranked = winvals.select(
+        "day",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    exact = ranked.groupBy("day").agg(
+        *[
+            F.min(
+                F.when(F.col("rn") == F.expr(_qs_rank_sql("n", p)), F.col("cents"))
+            ).alias(f"exact_p{p}_cents")
+            for p in (50, 95, 99)
+        ]
+    )
+    joined = exact.join(est, "day")
+    ok = None
+    for p in (50, 95, 99):
+        e, x = F.col(f"est_p{p}_cents"), F.col(f"exact_p{p}_cents")
+        cond = (e <= x) & (x < e + F.expr(_qs_width_sql(f"est_p{p}_cents")))
+        ok = cond if ok is None else (ok & cond)
+    return joined.select(
+        "day",
+        "exact_p50_cents",
+        "exact_p95_cents",
+        "exact_p99_cents",
+        ok.alias("within_bound"),
+    )

@@ -409,3 +409,165 @@ def test_mg_flat_batch_at_capacity_boundary_not_wiped(spark):
     assert 0 < len(got) <= cap  # not wiped, capacity respected
     # the heavy key must survive with the MG bound intact
     assert got.get(99, 0) >= 12 - n_p / (cap + 1)
+
+
+# --------------------------------------------------------------------------
+# Quantile histograms (mergeable-summary family #3)
+# --------------------------------------------------------------------------
+
+
+def test_qs_bin_ladder_matches_reference_formula(spark):
+    """The portable CASE ladder computes exactly floor-log2 + 4
+    mantissa bits: cross-check every bin/edge/width against the plain
+    Python formula over a boundary-dense probe set (powers of two,
+    +/-1 neighbours, sub-16 singletons)."""
+    probes = sorted(
+        {c for e in range(0, 41) for c in ((1 << e) - 1, 1 << e, (1 << e) + 1)}
+        | set(range(0, 20))
+        | {37, 1000, 123456, 49997859}
+    )
+    probes = [c for c in probes if c >= 0]
+
+    def ref_bin(c):
+        if c < 16:
+            return c
+        e = c.bit_length() - 1
+        return 16 * e + (c >> (e - 4)) - 16
+
+    def ref_edge(b):
+        if b < 16:
+            return b
+        e, m = divmod(b, 16)
+        return (16 + m) << (e - 4)
+
+    df = spark.createDataFrame([(c,) for c in probes], "c bigint")
+    rows = df.select(
+        "c",
+        F.expr(sketches._qs_bin_sql("c")).alias("bin"),
+    ).collect()
+    for r in rows:
+        if r["c"] < (1 << 41):
+            assert r["bin"] == ref_bin(r["c"]), r["c"]
+    bins = sorted({ref_bin(c) for c in probes if c < (1 << 41)})
+    bdf = spark.createDataFrame([(b,) for b in bins], "b bigint")
+    erows = bdf.select(
+        "b",
+        F.expr(sketches._qs_edge_sql("b")).alias("edge"),
+        F.expr(sketches._qs_width_sql(sketches._qs_edge_sql("b"))).alias("w"),
+    ).collect()
+    for r in erows:
+        assert r["edge"] == ref_edge(r["b"]), r["b"]
+        # width bridges to the NEXT occupiable value, including across
+        # octaves; bin 15's successor is cents=16 (bins 16..63 are an
+        # unoccupied gap in the ID space — IDs jump to 64 at e=4).
+        nxt = r["b"] + 1
+        if nxt <= 16:
+            expected_next = nxt
+        else:
+            e, m = divmod(nxt, 16)
+            expected_next = (16 + m) << (e - 4)
+        assert r["edge"] + r["w"] == expected_next, r["b"]
+
+
+def test_qs_histograms_merge_by_sum_partition_invariant(spark):
+    """The merge law: histogram state built per arbitrary partition and
+    summed per-bin equals the state of the whole — EXACT equality (the
+    same law test the HLL family pins)."""
+    o = catalog.load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr(sketches._QS_CENTS).alias("cents"),
+    )
+    binned = o.select("day", F.expr(sketches._qs_bin_sql("cents")).alias("bin"))
+    whole = {
+        (r["day"], r["bin"]): r["c"]
+        for r in binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    parts = (
+        binned.withColumn("p", F.pmod(F.xxhash64("bin", "day"), F.lit(7)))
+        .groupBy("p", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("day", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    merged = {(r["day"], r["bin"]): r["c"] for r in parts.collect()}
+    assert whole == merged
+    state = {
+        (r["day"], r["bin"]): r["c"]
+        for r in sketches.daily_price_histograms(spark, SF_SMOKE).collect()
+    }
+    assert state == whole
+
+
+def test_qs_rolling_estimates_satisfy_rank_law(spark):
+    """The rank law, per day and per quantile: est <= true rank-r value
+    < est + bin_width — i.e. the reported bin CONTAINS the exact
+    discrete quantile. Checked via the registered accuracy query
+    (within_bound must be TRUE on every row) AND independently against
+    a driver-side exact recompute."""
+    rows = sketches.quantile_sketch_accuracy(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    # independent exact recompute for a handful of days
+    o = catalog.load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr(sketches._QS_CENTS).alias("cents"),
+    )
+    est = {r["day"]: r for r in sketches.quantile_sketch_rolling(spark, SF_SMOKE).collect()}
+    data = o.collect()
+    by_day = {}
+    for r in data:
+        by_day.setdefault(r["day"], []).append(r["cents"])
+    import datetime as dt
+
+    for day in sorted(est)[:5] + sorted(est)[-3:]:
+        vals = sorted(
+            c
+            for d, cs in by_day.items()
+            for c in cs
+            if 0 <= (day - d).days <= sketches.QS_ROLLING_DAYS - 1
+        )
+        n = len(vals)
+        assert est[day]["n_7d"] == n
+        for p in (50, 95, 99):
+            r = (p * n + 99) // 100
+            exact = vals[r - 1]
+            lo = est[day][f"est_p{p}_cents"]
+            assert lo <= exact, (day, p)
+            # recover width from edge
+            w = 1 if lo < 16 else 1 << (lo.bit_length() - 1 - 4)
+            assert exact < lo + w, (day, p)
+
+
+def test_qs_rolling_uses_calendar_days_not_present_rows(spark, tmp_path):
+    """A gap day must shrink the window to the days actually inside it
+    (the HLL calendar-frame lesson, pinned for this family too)."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "O", "1-URGENT", dt.datetime(2024, 1, 1), 100.00),
+        (2, 1, "O", "1-URGENT", dt.datetime(2024, 1, 2), 200.00),
+        # gap: Jan 3-9 absent
+        (3, 1, "O", "1-URGENT", dt.datetime(2024, 1, 10), 400.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_orderpriority string, o_orderdate timestamp, o_totalprice double",
+    )
+    p = str(tmp_path / "orders.parquet")
+    df.write.parquet(p)
+    est = {
+        r["day"]: r
+        for r in sketches.quantile_sketch_rolling(spark, str(tmp_path)).collect()
+    }
+    # Jan 10's 7-day window covers Jan 4-10: ONLY the 400.00 order.
+    d10 = dt.date(2024, 1, 10)
+    assert est[d10]["n_7d"] == 1
+    lo = est[d10]["est_p50_cents"]
+    w = 1 if lo < 16 else 1 << (lo.bit_length() - 1 - 4)
+    assert lo <= 40000 < lo + w
+    # Jan 2's window covers Jan 1-2: both orders; p50 rank=1 -> 100.00.
+    d2 = dt.date(2024, 1, 2)
+    assert est[d2]["n_7d"] == 2
+    lo2 = est[d2]["est_p50_cents"]
+    w2 = 1 if lo2 < 16 else 1 << (lo2.bit_length() - 1 - 4)
+    assert lo2 <= 10000 < lo2 + w2
