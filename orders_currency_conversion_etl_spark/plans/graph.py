@@ -265,7 +265,11 @@ def build_graph_edges(spark: SparkSession, sf_dir: str, path: str | None = None)
         d = deg.select(F.col("src").alias("node"), F.col("outdeg").alias("d"))
         oriented = _orient_edges(canonical, d)
         oriented.write.mode("overwrite").parquet(os.path.join(tmp, "oriented"))
-        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        # Derive adj from the just-written parquet, not oriented's
+        # lineage — otherwise the orientation joins execute a second
+        # time for this write (r7 ADVICE).
+        oriented_persisted = spark.read.parquet(os.path.join(tmp, "oriented"))
+        adj = oriented_persisted.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         adj.write.mode("overwrite").parquet(os.path.join(tmp, "adj"))
 
     try:

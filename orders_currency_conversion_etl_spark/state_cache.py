@@ -98,6 +98,15 @@ def materialize(path: str, write_parts: Callable[[str], None]) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # Re-check right before clearing the target: a concurrent builder
+    # may have renamed a COMPLETE build into place since the top-of-
+    # function check, and rmtree-ing it would yank state out from
+    # under a third session mid-read. Only clear a target that lacks
+    # its _DONE marker (i.e. a stale half-materialization from a
+    # pre-temp-dir era or a crashed legacy build).
+    if is_materialized(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return path
     shutil.rmtree(path, ignore_errors=True)
     try:
         os.rename(tmp, path)
