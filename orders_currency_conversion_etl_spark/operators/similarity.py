@@ -228,6 +228,88 @@ WHERE rank <= {TOP_K}
 """
 
 
+#: Cells the query probes in knn_ivf_nprobe. Tuned on the planted-
+#: neighbor benchmark (ANN_EVAL.json v2, sf0.1): nprobe=1 (knn_ivf's
+#: implicit setting) measures recall@10 = 0.72; nprobe=2 = 0.855 at
+#: 5.0% of the corpus scanned — past the stated >=0.8 @ <=15% target;
+#: nprobe=4 = 0.959 at 9.9% for callers who want more.
+IVF_NPROBE = 2
+
+
+def _ivf_nprobe_oracle() -> str:
+    return f"""
+{_DUCK_EMB_CTE}, {_DUCK_CENT_CTE}, scored AS (
+    SELECT d.vec_id, d.emb, d.nrm, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY list_reduce(list_transform(list_zip(d.emb, c.cemb), p -> p[1]*p[2]), (acc,x) -> acc+x)
+                        / (d.nrm * c.cnrm) DESC, c.cid) AS rn
+    FROM d, cent c
+), cell AS (
+    SELECT vec_id, emb, nrm, cid FROM scored WHERE rn = 1
+), qprobe AS (
+    SELECT vec_id, emb, nrm, cid FROM scored
+    WHERE rn <= {IVF_NPROBE} AND vec_id IN {QUERY_IDS!r}
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DUCK_COS} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank
+    FROM qprobe q JOIN cell c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+@query("knn_ivf_nprobe", _ivf_nprobe_oracle())
+def knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-cell probing — the TUNED IVF configuration from
+    the planted-neighbor benchmark (ANN_EVAL.json v2): the corpus keeps
+    its single nearest-centroid cell assignment, but each QUERY probes
+    its IVF_NPROBE nearest cells, recovering the neighbors that
+    jittered across a Voronoi boundary (the measured recall@10 gap:
+    0.72 single-cell -> 0.855 at nprobe=2, 5% of the corpus scored).
+
+    Scale shape is unchanged from knn_ivf: probing costs the query
+    nprobe partition-pruned cell reads — the corpus is never
+    re-shuffled and the query side stays a broadcast. Each corpus
+    vector lives in exactly one cell and probe cells are distinct, so
+    no (query, neighbor) pair can appear twice — no dedup step.
+    CI gate: tests/test_ann_recall.py pins recall >= 0.8 at <= 15%
+    scanned on a planted corpus."""
+    d = _with_norm(_emb(spark, sf_dir))
+    cent = _ivf_centroids(d)
+    cos_c = dot_cols(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cent_cos").desc(), F.col("cid"))
+    ranked = (
+        d.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cos_c)
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    cell = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "nrm", "cid")
+    qprobe = ranked.filter(
+        F.col("vec_id").isin(*QUERY_IDS) & (F.col("rn") <= IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cid").alias("q_cid"),
+    )
+    cos = dot_cols(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cell.join(
+            F.broadcast(qprobe),
+            (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 @query("knn_ivf", _ivf_oracle())
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) cells: every vector is assigned to
