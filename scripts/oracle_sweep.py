@@ -35,6 +35,7 @@ from tests.oracle_harness import compare_query  # noqa: E402
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.1")
     only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    skip = os.environ.get("SPARK_GRAFT_SWEEP_SKIP")
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
 
     queries = entry_mod.queries()
@@ -42,6 +43,11 @@ def main() -> int:
     names = sorted(queries)
     if only:
         names = [n for n in names if n in set(only.split(","))]
+    if skip:
+        # for sf1+ sweeps: the size-guarded O(n^2) baselines refuse big
+        # inputs by design, and dedup_simhash's 91.5M-pair result is
+        # uncollectable (its digest sweep is a separate script)
+        names = [n for n in names if n not in set(skip.split(","))]
 
     spark = get_spark("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
