@@ -500,3 +500,20 @@ def test_ivf_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatc
     plan = _plan(knn_ivf_materialized(spark, SF))
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_lsh_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatch):
+    """knn_lsh_materialized: the index is written partitioned by
+    bucket, and the probe join must carry a DYNAMIC partition-pruning
+    filter injected from the broadcast probe side — each query reads
+    its B+1 probed bucket partitions, not the corpus (the same
+    operating mode test_ivf_materialized_scan_is_dynamically_pruned
+    pins for cells)."""
+    monkeypatch.setenv("SPARK_GRAFT_ANN_CACHE", str(tmp_path))
+    from orders_currency_conversion_etl_spark.operators.similarity import (
+        knn_lsh_materialized,
+    )
+
+    plan = _plan(knn_lsh_materialized(spark, SF))
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
