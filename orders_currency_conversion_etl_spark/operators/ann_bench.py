@@ -69,9 +69,13 @@ def make_planted_corpus(
     (path, query_ids, truth: query_id -> planted neighbor ids).
 
     Query vectors are existing corpus rows spread evenly across the id
-    range (offset to avoid the PQ codebook ids < codewords and the IVF
-    centroid ids ≡ 0 mod stride — planting ON a centroid/codeword
-    would perturb the index structure itself between variants).
+    range, stepped off the PQ codebook prefix (ids < codewords) and off
+    the IVF centroid lattice (ids ≡ 0 mod the POST-planting adaptive
+    stride) — a query or planted row ON a centroid/codeword would
+    perturb the index structure itself between variants. Planted ids
+    likewise skip lattice multiples. The effective stride is solved as
+    a fixed point because it adapts to max(vec_id), which the planted
+    rows themselves extend (similarity.IVF_CENTROID_STRIDE).
     Each planted row is query + N(0, sigma) per component, seeded per
     (query, replica) — sigma=0.04 on unit vectors gives cosine ~0.955,
     comparable to a paraphrase/near-dup embedding, while random pairs
@@ -95,16 +99,43 @@ def make_planted_corpus(
     if n_queries > n:
         raise ValueError(f"corpus has {n} rows < n_queries={n_queries}")
 
-    # query ids: evenly spaced, offset past the codebook prefix and off
-    # the centroid stride lattice
+    # The IVF stride adapts to max(vec_id) — GREATEST(64, max_id DIV
+    # 64 + 1) — and planting extends max_id, so solve the effective
+    # post-planting stride as a fixed point (converges in <= 2 steps:
+    # skipping adds at most total/stride ids, moving max_id // 64 by
+    # at most 1).
+    from .similarity import IVF_CENTROID_STRIDE, PQ_CODEWORDS
+
+    total_plants = n_queries * n_plant
+    base_max = int(ids.max())
+    stride_eff = IVF_CENTROID_STRIDE
+    for _ in range(8):
+        skipped = total_plants // stride_eff + 2
+        final_max = base_max + total_plants + skipped
+        nxt = max(IVF_CENTROID_STRIDE, final_max // IVF_CENTROID_STRIDE + 1)
+        if nxt == stride_eff:
+            break
+        stride_eff = nxt
+
+    def _off_lattice(vec_id: int) -> bool:
+        return vec_id % stride_eff != 0 and vec_id >= PQ_CODEWORDS
+
+    # query ids: evenly spaced; each candidate steps forward until its
+    # id is off the codebook prefix and off the centroid lattice
     stride = max(1, n // n_queries)
-    q_idx = [(i * stride + stride // 2 + 33) % n for i in range(n_queries)]
-    # de-dup in the unlikely wrap case while preserving determinism
+    q_idx: list[int] = []
     seen: set[int] = set()
-    q_idx = [i for i in q_idx if not (i in seen or seen.add(i))][:n_queries]
+    for i in range(n_queries):
+        cand = (i * stride + stride // 2 + 33) % n
+        for _ in range(n):
+            if cand not in seen and _off_lattice(int(ids[cand])):
+                break
+            cand = (cand + 1) % n
+        q_idx.append(cand)
+        seen.add(cand)
     query_ids = [int(ids[i]) for i in q_idx]
 
-    next_id = int(ids.max()) + 1
+    next_id = base_max + 1
     plant_ids, plant_embs, plant_labels = [], [], []
     truth: dict[int, set[int]] = {}
     for qi, idx in zip(query_ids, q_idx):
@@ -112,11 +143,23 @@ def make_planted_corpus(
         for r in range(n_plant):
             rng = np.random.default_rng((qi * 1_000_003 + r * 7919 + seed) & 0x7FFFFFFF)
             v = embs[idx] + rng.normal(0.0, sigma, EMB_DIM).astype(np.float32)
+            while next_id % stride_eff == 0:  # keep plants off the lattice
+                next_id += 1
             plant_ids.append(next_id)
             plant_embs.append(v.tolist())
             plant_labels.append(int(labels[idx]))
             truth[qi].add(next_id)
             next_id += 1
+
+    # The avoidance only holds if the fixed point matched the stride
+    # the engines will actually derive from the planted corpus.
+    actual_stride = max(
+        IVF_CENTROID_STRIDE, max(base_max, next_id - 1) // IVF_CENTROID_STRIDE + 1
+    )
+    assert actual_stride == stride_eff, (
+        f"planted-corpus stride fixed point diverged: solved {stride_eff}, "
+        f"actual {actual_stride} — lattice avoidance would be off"
+    )
 
     out = pa.table(
         {

@@ -43,6 +43,39 @@ def unprocessed(
     return out
 
 
+def unprocessed_at_scale(
+    source: DataFrame,
+    sink: DataFrame,
+    key: str = "order_id",
+    batch_limit: int | None = None,
+    watermark: Column | None = None,
+) -> DataFrame:
+    """:func:`unprocessed` in its 100 TB form: the sink keyset is
+    fact-sized, so broadcasting it (what AQE/Catalyst picks at fixture
+    scale, flagged in PLANCHECK_BROADCASTS.json) would ship the whole
+    processed-id set to every executor. The SHUFFLE_HASH hint forces a
+    shuffled hash anti-join instead: both sides partition on the key,
+    each task builds a hash set over only its sink slice — no
+    broadcast, no sort (anti-join needs existence, not order, so
+    shuffle-hash beats sort-merge when the build side fits per-task
+    memory; AQE still falls back to SMJ on skewed/oversized builds).
+
+    Steady-state zero-shuffle layout: write BOTH source and sink
+    bucketed by ``key`` into the warehouse (``.write.bucketBy(n, key)
+    .sortBy(key).saveAsTable(...)``) — then every incremental batch
+    anti-joins bucket-to-bucket with no exchange at all; this function
+    is the drop-in for plain-parquet pipelines where bucketing isn't
+    owned by this job.
+    """
+    sink_keys = sink.select(key).hint("shuffle_hash")
+    if watermark is not None:
+        source = source.filter(watermark)
+    out = source.join(sink_keys, on=key, how="left_anti")
+    if batch_limit is not None:
+        out = out.limit(batch_limit)
+    return out
+
+
 def mark_processed(source: DataFrame, processed_keys: DataFrame, key: str, ts_col: Column) -> DataFrame:
     """Functional stand-in for the reference's write-back UPDATE
     (reference: dags/order_currency_conversion_dag.py:143-150): returns

@@ -285,3 +285,27 @@ def incremental_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unprocessed(src, sink, key="order_id").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
+
+
+@query("incremental_unprocessed_at_scale", _INCREMENTAL_ORACLE)
+def incremental_unprocessed_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op J3 at 100 TB (VERDICT r8 ask #4): identical semantics and
+    oracle as `incremental_unprocessed`, but the sink keyset is treated
+    as fact-sized — shuffled hash anti-join on the key, plan-asserted
+    in tests/test_plan_quality.py to contain NO broadcast of the sink
+    (the fixture-scale plan broadcasts it, which is wrong when the
+    processed-id set is as big as the source). See
+    operators/incremental.py:unprocessed_at_scale for the layout notes
+    (bucketed source+sink = zero-exchange steady state)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.incremental import unprocessed_at_scale
+
+    orders = _t(spark, sf_dir, "orders")
+    sink = orders.filter(F.col("o_orderkey") % 10 >= 8).select(
+        F.col("o_orderkey").alias("order_id")
+    )
+    src = orders.withColumn("order_id", F.col("o_orderkey"))
+    return unprocessed_at_scale(src, sink, key="order_id").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )

@@ -104,6 +104,15 @@ def materialize(path: str, write_parts: Callable[[str], None]) -> str:
     # under a third session mid-read. Only clear a target that lacks
     # its _DONE marker (i.e. a stale half-materialization from a
     # pre-temp-dir era or a crashed legacy build).
+    # Residual race (ADVICE r8): a concurrent rename can still land
+    # BETWEEN this re-check and the rmtree below, in which case we
+    # delete a live complete build before our own rename replaces it
+    # with an equivalent one. Readers in that window can hit a missing
+    # file; acceptable here because (a) both trees are complete builds
+    # of the same fingerprint, (b) all readers are retry-at-plan-time
+    # Spark scans in tests/bench, and (c) closing it fully needs
+    # directory-level atomic swap (renameat2/RENAME_EXCHANGE), which
+    # os.rename/os.replace don't give for non-empty dirs cross-platform.
     if is_materialized(path):
         shutil.rmtree(tmp, ignore_errors=True)
         return path

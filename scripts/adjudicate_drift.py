@@ -13,16 +13,35 @@ disappears under pairing was rig noise.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 
 
 def main() -> int:
     jsonl, a_path, b_path, out_path, a_label, b_label, note = sys.argv[1:8]
+    # Normalize before bucketing: the JSONL rows record whatever path
+    # shape ab_drift.py was invoked with (relative, trailing slash, ...)
+    # which need not equal this invocation's argv byte-for-byte.
+    a_path, b_path = os.path.realpath(a_path), os.path.realpath(b_path)
     rows = [json.loads(line) for line in open(jsonl) if line.strip()]
+    if not rows:
+        raise SystemExit(f"{jsonl} is empty — nothing to adjudicate")
     sides = {a_path: [], b_path: []}
+    unmatched = set()
     for r in rows:
-        sides[r["repo"]].append(r)
+        key = os.path.realpath(r["repo"])
+        if key in sides:
+            sides[key].append(r)
+        else:
+            unmatched.add(r["repo"])
+    if unmatched or not sides[a_path] or not sides[b_path]:
+        raise SystemExit(
+            f"repo values in {jsonl} don't match the CLI sides:\n"
+            f"  unmatched rows: {sorted(unmatched)}\n"
+            f"  A={a_path}: {len(sides[a_path])} rows, "
+            f"B={b_path}: {len(sides[b_path])} rows"
+        )
 
     queries = sorted(rows[0]["queries"])
     verdicts = {}

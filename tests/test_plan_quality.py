@@ -517,3 +517,14 @@ def test_lsh_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatc
     plan = _plan(knn_lsh_materialized(spark, SF))
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_incremental_at_scale_never_broadcasts_sink(spark):
+    """VERDICT r8 ask #4: the scale form of the J3 anti-join must not
+    broadcast the sink keyset (fact-sized at 100 TB) — shuffled hash
+    anti-join on the key, both sides exchanged, no broadcast anywhere."""
+    plan = _plan(QUERIES["incremental_unprocessed_at_scale"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
