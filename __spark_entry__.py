@@ -314,7 +314,67 @@ ROTATION_R5 = [
     "corpus_shuffle_shards",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R7 + ROTATION_R7_NEW + ROTATION_R7_REVALIDATE
+#   r9: 12 anchors + the 3 r8-registered queries that missed the r8
+#       window freeze (VERDICT r8 ask #1 — the only registry entries
+#       without a hard driver row) + the 1 r9-new scale variant of the
+#       J3 anti-join (VERDICT r8 ask #4) + 34 staleness re-validations:
+#       the entire newest-green-row=r3 cohort (21) and the
+#       alphabetically-first 13 of the r4-only cohort (which happens to
+#       include both multimodal queries — freshly touched in r9 by the
+#       real-pixel-decode work). agg_hll_rolling_distinct is GONE from
+#       the registry (r9, VERDICT r8 ask #7): its registered surface is
+#       the fully-oracled agg_hll_rolling_accuracy (r8-green).
+#       12 + 3 + 1 + 21 + 13 = 50.
+ROTATION_R9_NEW = [
+    # (a) r8-registered after that round's window froze — sweep-green
+    # at sf0.1 AND sf1, never driver-checked:
+    "dedup_minhash_lsh_hr",
+    "knn_lsh_materialized",
+    "knn_ivf_nprobe",
+    # (b) new in r9: the no-sink-broadcast scale form of J3:
+    "incremental_unprocessed_at_scale",
+]
+
+ROTATION_R9_REVALIDATE = [
+    # (c) newest green row = r3 (all 21):
+    "incremental_rollup_merge",
+    "join_semi_customers_with_orders",
+    "json_extract_props",
+    "kmeans_embeddings",
+    "merge_upsert_orders",
+    "mix_sources_temperature",
+    "pandas_udf_geomean",
+    "sample_weighted_es",
+    "scd2_priority_history",
+    "set_union_segments",
+    "snapshot_diff_cdc",
+    "split_train_val_test",
+    "text_unigram_logprob",
+    "tfidf_top_terms_per_source",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "triangles_parts",
+    "window_latest_order_per_customer",
+    "wordcount_topk",
+    # (d) newest green row = r4, alphabetically first 13:
+    "agg_mode_median",
+    "curation_pipeline_lsh",
+    "date_functions",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroids",
+    "events_session_window",
+    "knn_brute_force",
+    "knn_recall_at_k",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+]
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R9_NEW + ROTATION_R9_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

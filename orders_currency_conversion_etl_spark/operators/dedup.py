@@ -821,18 +821,22 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition, not reimplementation: the pair stream IS
     dedup_minhash_lsh (same shingle/signature/band constants), so the
-    scale argument carries over unchanged; the rollup adds two
-    broadcast joins against the tiny (doc_id, source) projection and a
-    ≤|sources|² aggregation. max_jaccard (order-free) rather than an
-    avg keeps the double column deterministic under any partitioning.
+    scale argument carries over unchanged; the rollup adds two joins
+    against the 2-column (doc_id, source) projection and a ≤|sources|²
+    aggregation. The projection joins are estimate-driven (r9 — no
+    forced broadcast): fixture-small projections broadcast, and at
+    corpus scale Catalyst flips them to shuffle, where the
+    collision-bounded pair side is the smaller build. max_jaccard
+    (order-free) rather than an avg keeps the double column
+    deterministic under any partitioning.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir)
     src = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"))
     sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"))
     return (
-        pairs.join(F.broadcast(sa), F.col("a_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("b_id") == F.col("doc_b"))
+        pairs.join(sa, F.col("a_id") == F.col("doc_a"))
+        .join(sb, F.col("b_id") == F.col("doc_b"))
         .groupBy(
             F.least("a_src", "b_src").alias("source_x"),
             F.greatest("a_src", "b_src").alias("source_y"),

