@@ -104,26 +104,34 @@ def materialize(path: str, write_parts: Callable[[str], None]) -> str:
     # under a third session mid-read. Only clear a target that lacks
     # its _DONE marker (i.e. a stale half-materialization from a
     # pre-temp-dir era or a crashed legacy build).
-    # Residual race (ADVICE r8): a concurrent rename can still land
-    # BETWEEN this re-check and the rmtree below, in which case we
-    # delete a live complete build before our own rename replaces it
-    # with an equivalent one. Readers in that window can hit a missing
-    # file; acceptable here because (a) both trees are complete builds
-    # of the same fingerprint, (b) all readers are retry-at-plan-time
-    # Spark scans in tests/bench, and (c) closing it fully needs
-    # directory-level atomic swap (renameat2/RENAME_EXCHANGE), which
-    # os.rename/os.replace don't give for non-empty dirs cross-platform.
+    # Residual race (ADVICE r8, shrunk r9): a concurrent rename can
+    # still land BETWEEN this re-check and the clear below. Clearing
+    # by rename-aside (atomic) instead of rmtree-in-place narrows the
+    # reader-visible gap from O(tree delete) to two renames — a reader
+    # sees either the old tree, ENOENT for an instant, or our
+    # equivalent complete build; never a half-deleted tree. Closing
+    # the gap to zero needs directory-level atomic swap
+    # (renameat2/RENAME_EXCHANGE), which os.rename/os.replace don't
+    # give for non-empty dirs cross-platform — acceptable because both
+    # trees are complete builds of the same fingerprint and all
+    # readers are retry-at-plan-time Spark scans in tests/bench.
     if is_materialized(path):
         shutil.rmtree(tmp, ignore_errors=True)
         return path
-    shutil.rmtree(path, ignore_errors=True)
+    trash = f"{path}.trash.{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    try:
+        os.rename(path, trash)
+    except FileNotFoundError:
+        pass
     try:
         os.rename(tmp, path)
     except OSError as exc:  # pragma: no cover - concurrent-rename race
         # A concurrent builder renamed its complete build in between
-        # our rmtree and rename (ENOTEMPTY/EEXIST): its state is
+        # our rename-aside and rename (ENOTEMPTY/EEXIST): its state is
         # equivalent — keep it, drop ours.
         if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST):
             raise
         shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     return path

@@ -608,3 +608,68 @@ def test_incremental_lsh_sides_are_disjoint_and_consistent(spark):
     for r in rows:
         pair = tuple(sorted((r["doc_new"], r["doc_corpus"])))
         assert pair in full, pair
+
+
+def test_materialize_replaces_stale_and_keeps_complete(tmp_path):
+    """state_cache.materialize: a stale half-build (no _DONE) at the
+    target is replaced via rename-aside (ADVICE r8 race shrink — no
+    in-place rmtree of the target), a COMPLETE build is never rebuilt,
+    and neither staging nor trash dirs are left behind."""
+    import os
+
+    from orders_currency_conversion_etl_spark import state_cache
+
+    target = str(tmp_path / "state_x")
+
+    # Stale half-build: directory exists, no _DONE marker.
+    os.makedirs(target)
+    with open(os.path.join(target, "stale.bin"), "w") as f:
+        f.write("old")
+    calls = []
+
+    def build(tmp_dir):
+        calls.append(tmp_dir)
+        with open(os.path.join(tmp_dir, "part-0.parquet"), "w") as f:
+            f.write("new")
+
+    assert state_cache.materialize(target, build) == target
+    assert calls and state_cache.is_materialized(target)
+    assert not os.path.exists(os.path.join(target, "stale.bin"))
+    assert os.path.exists(os.path.join(target, "part-0.parquet"))
+
+    # Complete build: second materialize must not call the builder.
+    def explode(tmp_dir):  # pragma: no cover - must not run
+        raise AssertionError("rebuilt a complete state")
+
+    assert state_cache.materialize(target, explode) == target
+
+    # No staging/trash residue next to the target.
+    residue = [n for n in os.listdir(tmp_path) if ".tmp." in n or ".trash." in n]
+    assert residue == []
+
+
+def test_materialize_failed_build_leaves_no_state(tmp_path):
+    """A builder that raises must leave neither a _DONE-marked target
+    nor its staging dir, and a later successful build must proceed."""
+    import os
+
+    from orders_currency_conversion_etl_spark import state_cache
+
+    target = str(tmp_path / "state_y")
+
+    def bad(tmp_dir):
+        with open(os.path.join(tmp_dir, "half.bin"), "w") as f:
+            f.write("x")
+        raise RuntimeError("builder died")
+
+    with pytest.raises(RuntimeError):
+        state_cache.materialize(target, bad)
+    assert not state_cache.is_materialized(target)
+    assert [n for n in os.listdir(tmp_path) if ".tmp." in n] == []
+
+    def good(tmp_dir):
+        with open(os.path.join(tmp_dir, "ok.bin"), "w") as f:
+            f.write("y")
+
+    assert state_cache.materialize(target, good) == target
+    assert state_cache.is_materialized(target)
