@@ -157,21 +157,32 @@ _HH_H2 = hex_to_long_sql(
 )
 
 
-def _hh_key_sql() -> str:
-    """The shared key derivation (generated once, used verbatim by both
-    engines — the _hilbert_sql_ctes cannot-drift pattern): geometric
-    level via explicit integer thresholds on h1, fan-out via h2 mod a
-    per-level constant. No floats, no shifts — just CASE/comparison/%
-    on BIGINT, the portable common ground."""
+def _hh_key_sql(h1: str = _HH_H1, h2: str = _HH_H2) -> str:
+    """The shared key derivation (ONE generator feeds both engines —
+    the _hilbert_sql_ctes cannot-drift pattern): geometric level via
+    explicit integer thresholds on h1, fan-out via h2 mod a per-level
+    constant. No floats, no shifts — just CASE/comparison/% on BIGINT,
+    the portable common ground.
+
+    ``h1``/``h2`` parameterize the LEAF parse only; the CASE structure
+    (thresholds, bases, mod constants) is always this one text. The
+    oracle keeps the default portable instr-chain leaves; the Spark
+    side passes pre-parsed column refs (see _hh_stream) because the
+    leaves get duplicated into every branch — and, after the recount
+    join's inferred isnotnull(key) is pushed through the projections,
+    into the scan filter too. With instr-chain leaves that blows
+    whole-stage codegen past the JVM's 64 KB method limit (r9
+    profiling: silent fallback to interpreted eval, ~2x the stream
+    pass); with column-ref leaves the duplicated copies stay tiny."""
     total = 1 << 20
     cases = []
     acc = 0
     for lvl in range(_HH_LEVELS):
         acc += total >> (lvl + 1)  # P(level) = 2^-(lvl+1)
         base = 4 ** lvl
-        cases.append(f"WHEN {_HH_H1} < {acc} THEN {base} + ({_HH_H2} % {base})")
+        cases.append(f"WHEN {h1} < {acc} THEN {base} + ({h2} % {base})")
     base = 4 ** _HH_LEVELS
-    cases.append(f"ELSE {base} + ({_HH_H2} % {base})")
+    cases.append(f"ELSE {base} + ({h2} % {base})")
     return "CASE " + " ".join(cases) + " END"
 
 
@@ -191,12 +202,34 @@ LIMIT {HH_TOPK}
 
 
 def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side stream derivation: ONE md5 per row, then the shared
-    CASE parses h1/h2 out of the materialized digest column — halves
-    the hash work vs inlining md5 into both parse chains (the oracle
-    keeps the inline form; substr(md5,..) of the same input is the
-    same bytes either way, so values cannot differ)."""
-    li = catalog.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    """Spark-side stream derivation: ONE md5 per row, then h1/h2 parsed
+    out of the digest ONCE each, then the shared CASE evaluated over
+    the two parsed columns (the oracle keeps the fully inline form;
+    every stage is a pure rewrite of the same bytes, so values cannot
+    differ). Staging matters: the generated CASE references h1 in all
+    11 branch conditions and h2 in all 11 results — inlined, Spark
+    evaluates the 5-hexdigit instr/substr parse chain per branch
+    (r9 profiling: the parse dominated the scan). Projecting _h1/_h2
+    first pins one evaluation each; CollapseProject will not re-inline
+    them because they are non-cheap and multiply referenced.
+
+    The Spark-side leaf parse is conv(hex, 16, 10) — one builtin call
+    per 20-bit half instead of hex_to_long_sql's five instr/substr
+    terms. Values are identical (md5 emits lowercase hex; both parses
+    are base-16 positional); the driver's hash compare against the
+    instr-chain oracle pins that per run, and test_sketches pins the
+    bound/containment invariants.
+
+    load_table_parallel, not load_table: the md5 + parse + Python MG
+    pass is CPU-bound, and the sf0.1 parquet arrives as 3 scan tasks —
+    1/10th of the rig. The round-robin exchange moves only the two
+    8-byte PK columns and is a no-op at real scale (SCALE.md §rig
+    artifacts). Candidate correctness is partitioning-independent:
+    the prune bound holds for ANY partitioning and the final counts
+    are an exact recount."""
+    li = catalog.load_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
     digest = li.select(
         F.md5(
             F.concat(
@@ -206,10 +239,13 @@ def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_d")
     )
-    key_from_digest = _HH_KEY.replace(
-        "md5(concat(CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING)))", "_d"
+    parsed = digest.select(
+        F.expr("CAST(conv(substr(_d, 1, 5), 16, 10) AS BIGINT)").alias("_h1"),
+        F.expr("CAST(conv(substr(_d, 6, 5), 16, 10) AS BIGINT)").alias("_h2"),
     )
-    return digest.select(F.expr(key_from_digest).cast("bigint").alias("key"))
+    return parsed.select(
+        F.expr(_hh_key_sql("_h1", "_h2")).cast("bigint").alias("key")
+    )
 
 
 def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
