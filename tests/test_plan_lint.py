@@ -198,3 +198,51 @@ def test_broadcast_audit_fully_adjudicated():
     registered = set(entry.queries())
     orphans = sorted(set(mod.ADJUDICATIONS) - registered)
     assert not orphans, f"ADJUDICATIONS entries for unregistered queries: {orphans}"
+
+
+def test_codegen_audit_clean_and_current():
+    """The committed codegen-fallback audit (scripts/audit_codegen.py →
+    CODEGEN_AUDIT.json) must be clean and must cover the live registry.
+
+    Motivation: heavy_hitters_mg ran one stage INTERPRETED for four
+    rounds — a pushed-down filter re-inlined an 11-branch CASE, the
+    fused method blew hugeMethodLimit (8000 = HotSpot's JIT ceiling,
+    session.py), and Spark's only signal was a driver log line nothing
+    was reading. The audit executes every registered query and
+    attributes every 'Whole-stage codegen disabled' / interpreter-
+    fallback warning to its query; its detector is validated against a
+    negative control that provably fires on this rig (the
+    harness_validated note in the JSON).
+
+    This gate: the artifact must say clean (or every finding must carry
+    a committed justification), must have run EVERY currently
+    registered query, and must have executed them all without error —
+    so registering a new query without re-running the audit fails here
+    rather than silently shrinking coverage."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "CODEGEN_AUDIT.json")) as f:
+        audit = json.load(f)
+
+    assert audit.get("harness_validated"), "detector not validated — rerun the negative control"
+    assert audit.get("run_errors") == {}, f"audit run errors: {audit['run_errors']}"
+
+    unjustified = {
+        q: ev
+        for q, ev in audit.get("queries_with_fallbacks", {}).items()
+        if not ev.get("justification")
+    }
+    assert not unjustified, (
+        f"codegen fallbacks without committed rationale: {sorted(unjustified)} — "
+        "fix the plan (see heavy_hitters_mg's parameterized-leaf pattern, "
+        "operators/sketches.py) or justify in the JSON"
+    )
+
+    import __spark_entry__ as entry
+
+    assert audit.get("queries_run") == len(entry.queries()), (
+        "registry changed since the audit ran — rerun scripts/audit_codegen.py "
+        f"(audited {audit.get('queries_run')}, registry has {len(entry.queries())})"
+    )
