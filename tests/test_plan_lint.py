@@ -246,3 +246,42 @@ def test_codegen_audit_clean_and_current():
         "registry changed since the audit ran — rerun scripts/audit_codegen.py "
         f"(audited {audit.get('queries_run')}, registry has {len(entry.queries())})"
     )
+
+
+def test_partition_invariance_audit_clean_and_current():
+    """The committed partitioning-invariance audit
+    (scripts/audit_partition_invariance.py → PARTITION_INVARIANCE.json)
+    must be clean, detector-validated, and must cover the live
+    registry.
+
+    The property under audit: a query's RESULT must not depend on the
+    physical partitioning (scan splits, shuffle partition count,
+    defaultParallelism, state built under a different layout) — the
+    property that makes results verified on local[32] transfer to a
+    1000-executor cluster. The audit compares order-insensitive result
+    hashes between the normal rig shape and a deliberately alien one
+    (local[7], 1 MB splits, rebuilt state caches), and its detector is
+    proven able to fire by an F.rand control whose hash DOES move
+    across shapes (the harness_validated block)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "PARTITION_INVARIANCE.json")) as f:
+        audit = json.load(f)
+
+    hv = audit.get("harness_validated") or {}
+    assert hv.get("detector_fires") is True, "detector not validated — rerun compare"
+    assert audit.get("errors") == {}, f"audit errors: {sorted(audit['errors'])}"
+    assert audit.get("diffs") == {}, (
+        f"partition-DEPENDENT queries: {sorted(audit['diffs'])} — their local "
+        "verification does not transfer to a cluster; fix before shipping"
+    )
+
+    import __spark_entry__ as entry
+
+    assert audit.get("n_queries") == len(entry.queries()), (
+        "registry changed since the audit ran — rerun "
+        "scripts/audit_partition_invariance.py "
+        f"(audited {audit.get('n_queries')}, registry has {len(entry.queries())})"
+    )
