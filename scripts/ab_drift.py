@@ -39,9 +39,17 @@ import __spark_entry__  # noqa: F401, E402
 from orders_currency_conversion_etl_spark.plans import registry  # noqa: E402
 from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 
+# Default set = the r6 drift-watch four + the standing repeat-offender
+# set (VERDICT r9 ask #8: queries twice-adjudicated "tail variance" or
+# once gate-tripping stay in EVERY future paired run so cumulative
+# creep is measured against r1 code, not the previous round):
+# dedup_minhash_lsh / knn_lsh_bucketed (~1.11x r8, 1.03-1.08x r10),
+# multimodal_features (2.32x driver record adjudicated noise at 1.06x,
+# DRIFT_AB_r10), text_token_stats (1.13x "real" in r10 — watch).
 QUERIES = os.environ.get(
     "SPARK_GRAFT_AB_QUERIES",
-    "agg_pricing_summary,pagerank_parts,flagship_conversion,curation_pipeline_lsh",
+    "agg_pricing_summary,pagerank_parts,flagship_conversion,curation_pipeline_lsh,"
+    "dedup_minhash_lsh,knn_lsh_bucketed,multimodal_features,text_token_stats",
 ).split(",")
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_AB_SF_DIR", os.path.join("/root/repo", ".localdata", "sf1")

@@ -25,7 +25,14 @@ GATE = 2.0
 
 #: query -> committed adjudication that cleared a >GATE single-shot
 #: delta as rig noise. Keep empty unless a DRIFT_AB artifact says so.
-PERF_WAIVERS: dict[str, str] = {}
+PERF_WAIVERS: dict[str, str] = {
+    # The driver's post-reboot bench wrote 0.697s = 2.32x r1 into
+    # BENCH_LOCAL_r09.json for a mapInPandas query whose code was
+    # unchanged since r1. The r10 paired 8+8 protocol (r1-end code vs
+    # current tree, interleaved fresh processes, identical boot) put
+    # the median ratio at 1.058 = noise: DRIFT_AB_r10.json.
+    "multimodal_features": "DRIFT_AB_r10.json (ratio_B_over_A 1.058, verdict noise)",
+}
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
@@ -72,3 +79,49 @@ def test_perf_waivers_cite_committed_adjudications():
         with open(path) as f:
             verdicts = json.load(f)["verdicts"]
         assert q in verdicts, f"{m.group(0)} has no verdict for {q}"
+
+
+def test_bench_auto_adjudication_replaces_flagged(monkeypatch):
+    """bench.py's boot-variance hardening (r10, VERDICT r9 ask #2):
+    an in-process timing >1.5x its r1 baseline must be re-measured in
+    fresh processes and the record must carry both numbers."""
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_fresh_process_rerun", lambda flagged, sf_dir: {n: 0.111 for n in flagged}
+    )
+    with open(os.path.join(_ROOT, "BENCH_r01.json")) as f:
+        base = json.load(f)["parsed"]["queries"]
+    # one query pinned far over 1.5x, one well under
+    result = {
+        "queries": {
+            "multimodal_features": round(base["multimodal_features"] * 3, 3),
+            "flagship_conversion": round(base["flagship_conversion"] * 0.9, 3),
+        },
+        "value": 0.0,
+    }
+    bench._auto_adjudicate(result, "/root/testdata/sf0.1")
+    adj = result["auto_adjudication"]["queries"]
+    assert list(adj) == ["multimodal_features"]
+    assert result["queries"]["multimodal_features"] == 0.111  # fresh-process min won
+    assert adj["multimodal_features"]["in_process_sec"] == round(
+        base["multimodal_features"] * 3, 3
+    )
+    assert result["queries"]["flagship_conversion"] == round(
+        base["flagship_conversion"] * 0.9, 3
+    )
+    assert result["value"] == round(sum(result["queries"].values()), 3)
+
+
+def test_bench_auto_adjudication_noop_when_clean(monkeypatch):
+    import bench
+
+    calls = []
+    monkeypatch.setattr(
+        bench, "_fresh_process_rerun", lambda flagged, sf_dir: calls.append(flagged) or {}
+    )
+    with open(os.path.join(_ROOT, "BENCH_r01.json")) as f:
+        base = json.load(f)["parsed"]["queries"]
+    result = {"queries": {q: t for q, t in base.items()}, "value": 1.0}
+    bench._auto_adjudicate(result, "/root/testdata/sf0.1")
+    assert not calls and "auto_adjudication" not in result
