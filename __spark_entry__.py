@@ -374,7 +374,63 @@ ROTATION_R9_REVALIDATE = [
     "multimodal_resize",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R9_NEW + ROTATION_R9_REVALIDATE
+#   r10 (this one): 12 anchors + 1 r10-new registration
+#       (multimodal_png_decode — the stdlib-zlib compressed-format
+#       decode, VERDICT r9 ask #3) + 37 staleness re-validations per
+#       VERDICT r9 ask #5: the ENTIRE remaining newest-green-row=r4
+#       cohort (24 — computed from CORRECTNESS_r01..r09; the 13
+#       alphabetically-first r4 names were already revalidated in r9)
+#       and the alphabetically-first 13 of the r5-only cohort (35
+#       total). Keeps the invariant "no registry entry's newest driver
+#       row is older than 5 rounds": after r10 the oldest cohort is
+#       r5 (22 names), next due r11. 12 + 1 + 24 + 13 = 50.
+ROTATION_R10_NEW = [
+    "multimodal_png_decode",
+]
+
+ROTATION_R10_REVALIDATE = [
+    # (a) newest green row = r4, the full remaining cohort (24):
+    "outlier_events_iqr",
+    "sample_stratified_hash",
+    "text_chunk_documents",
+    "text_decontaminate",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_expensive_orders",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_split",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_orders",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_top3_per_customer",
+    # (b) newest green row = r5, alphabetically first 13:
+    "activity_streaks",
+    "agg_bitwise_battery",
+    "agg_boolean_battery",
+    "corpus_shuffle_shards",
+    "curation_pipeline",
+    "dau_wau_rolling",
+    "dedup_cluster_histogram",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "events_anomaly_mad",
+    "events_error_rate_hourly",
+    "events_sliding_stats",
+]
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R10_NEW + ROTATION_R10_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

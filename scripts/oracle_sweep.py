@@ -31,6 +31,23 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import compare_query  # noqa: E402
 
+#: The documented sf1+ exclusion set (r10, VERDICT r9 ask #7 made it
+#: canonical instead of an ad-hoc env var per run): the O(n^2)
+#: exactness baselines REFUSE sf1-sized inputs by design
+#: (operators/guards.py names the LSH path in the error), and
+#: dedup_simhash's ~91.5M-pair sf1 result is uncollectable — its sf1
+#: evidence is the separate digest sweep
+#: (scripts/sweep_sf1_simhash_digest.py). tests/test_artifact_sync.py
+#: asserts the committed ORACLE_SWEEP_sf1 covers exactly
+#: registry-minus-this-set, so a stale artifact can't claim coverage.
+SF1_SKIP = frozenset(
+    {
+        "dedup_embedding_cosine",
+        "knn_brute_force",
+        "dedup_simhash",
+    }
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.1")
@@ -43,10 +60,12 @@ def main() -> int:
     names = sorted(queries)
     if only:
         names = [n for n in names if n in set(only.split(","))]
-    if skip:
-        # for sf1+ sweeps: the size-guarded O(n^2) baselines refuse big
-        # inputs by design, and dedup_simhash's 91.5M-pair result is
-        # uncollectable (its digest sweep is a separate script)
+    if skip == "SF1":
+        # the canonical exclusion set — use this (not a hand-typed
+        # list) for sf1+ sweeps so the committed artifact matches what
+        # tests/test_artifact_sync.py asserts
+        names = [n for n in names if n not in SF1_SKIP]
+    elif skip:
         names = [n for n in names if n not in set(skip.split(","))]
 
     spark = get_spark("oracle-sweep")

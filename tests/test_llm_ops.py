@@ -432,3 +432,122 @@ def test_resize_images_nearest_bounded_output(spark):
         tw, th, rgb = multimodal.decode_ppm(bytes(r.payload))
         assert (tw, th) == (8, 6)
         assert len(rgb) == 8 * 6 * 3
+
+
+# --------------------------------------------------------------------------
+# PNG codec (r10, VERDICT r9 ask #3): stdlib-zlib compressed decode
+# --------------------------------------------------------------------------
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode(cycle filters 0-4) -> decode reproduces every pixel, for
+    dims that exercise 1-pixel rows, odd strides, and up/left edges."""
+    import random
+
+    rng = random.Random(11)
+    for w, h in [(1, 1), (2, 2), (4, 3), (16, 11), (7, 5), (3, 9), (13, 6)]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for cyc in (True, False):
+            payload = multimodal.encode_png(w, h, rgb, cycle_filters=cyc)
+            got_w, got_h, mode, pixels = multimodal.decode_png(payload)
+            assert (got_w, got_h, mode) == (w, h, "RGB")
+            assert pixels == rgb
+
+
+def _hand_built_png(colortype: int, scanlines: bytes, w: int, h: int) -> bytes:
+    """Assemble a PNG from pre-filtered scanlines WITHOUT encode_png —
+    an independent construction so a spec deviation in the encoder
+    can't cancel one in the decoder."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+
+def test_png_decode_spec_vectors():
+    """Filter reconstruction checked against HAND-COMPUTED values from
+    the PNG spec (RFC 2083 §6), one scanline per filter type, 2px RGB
+    rows. Raw pixels chosen so every predictor (left/up/upleft) is
+    distinct; expected reconstructions computed by hand below."""
+    # Target image rows (what decode must reconstruct), 2 RGB pixels each:
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([15, 25, 35, 55, 65, 75])
+    row2 = bytes([17, 28, 39, 60, 71, 82])
+    row3 = bytes([20, 30, 40, 62, 72, 82])
+    row4 = bytes([25, 35, 45, 70, 80, 90])
+    # Hand-filtered scanlines (filter byte + filtered data), per spec:
+    # f0 (None): raw
+    sl0 = bytes([0]) + row0
+    # f1 (Sub): x - left (left=0 for first pixel)
+    sl1 = bytes([1]) + bytes([15, 25, 35, (55 - 15) % 256, (65 - 25) % 256, (75 - 35) % 256])
+    # f2 (Up): x - up (up = row1)
+    sl2 = bytes([2]) + bytes([(17 - 15) % 256, (28 - 25) % 256, (39 - 35) % 256,
+                              (60 - 55) % 256, (71 - 65) % 256, (82 - 75) % 256])
+    # f3 (Average): x - (left + up)//2 ; up = row2, left of first px = 0
+    sl3 = bytes([3]) + bytes([
+        (20 - (0 + 17) // 2) % 256, (30 - (0 + 28) // 2) % 256, (40 - (0 + 39) // 2) % 256,
+        (62 - (20 + 60) // 2) % 256, (72 - (30 + 71) // 2) % 256, (82 - (40 + 82) // 2) % 256,
+    ])
+    # f4 (Paeth): predictor of (left, up, upleft); up = row3.
+    # First pixel: left=0, upleft=0 -> p = up -> pred = up.
+    # Second pixel: left=row4[0:3], up=row3[3:6], upleft=row3[0:3].
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    pred2 = [paeth(25, 62, 20), paeth(35, 72, 30), paeth(45, 82, 40)]
+    sl4 = bytes([4]) + bytes([
+        (25 - 20) % 256, (35 - 30) % 256, (45 - 40) % 256,
+        (70 - pred2[0]) % 256, (80 - pred2[1]) % 256, (90 - pred2[2]) % 256,
+    ])
+    payload = _hand_built_png(2, sl0 + sl1 + sl2 + sl3 + sl4, w=2, h=5)
+    got_w, got_h, mode, pixels = multimodal.decode_png(payload)
+    assert (got_w, got_h, mode) == (2, 5, "RGB")
+    assert pixels == row0 + row1 + row2 + row3 + row4
+
+
+def test_png_decode_rgba():
+    """Color type 6 (RGBA, bpp=4): filter arithmetic must stride by 4."""
+    raw0 = bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    raw1 = bytes([11, 12, 13, 14, 15, 16, 17, 18])
+    sl = bytes([0]) + raw0 + bytes([1]) + bytes(
+        [11, 12, 13, 14, (15 - 11) % 256, (16 - 12) % 256, (17 - 13) % 256, (18 - 14) % 256]
+    )
+    payload = _hand_built_png(6, sl, w=2, h=2)
+    got_w, got_h, mode, pixels = multimodal.decode_png(payload)
+    assert (got_w, got_h, mode) == (2, 2, "RGBA")
+    assert pixels == raw0 + raw1
+
+
+def test_png_corruption_and_unsupported_are_rejected():
+    payload = bytearray(multimodal.encode_png(4, 3, bytes(range(36))))
+    payload[len(payload) - 20] ^= 0xFF  # flip a byte inside IDAT/CRC zone
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(payload))
+    # palette PNG (colortype 3) is honestly gated, not silently wrong
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(_hand_built_png(3, bytes([0, 0, 0]), w=1, h=1))
+
+
+def test_png_decode_images_routes_without_pil(spark):
+    """decode_images on PNG payloads runs unconditionally (no PIL): the
+    compressed-format NotImplementedError branch is now unreachable for
+    PNG bytes, and parsed dims match the synthesis formulas."""
+    docs = catalog.load_table(spark, SF, "documents").limit(60)
+    out = multimodal.decode_images(multimodal.with_png_payload(docs)).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 3 + r.doc_id % 11
+        assert r.mode == "RGB"
