@@ -41,3 +41,97 @@ def test_conversion_stream_checkpoint_idempotent(spark):
         processed = spark.read.parquet(os.path.join(out, "processed", "batch=*"))
         assert processed.count() == first
         assert set(processed.columns) == {"order_id", "processed_at"}
+
+
+def test_conversion_stream_crash_between_sinks_replays_exactly_once(spark):
+    """Live-trigger e2e with a mid-stream kill (r10, VERDICT r9 ask #6):
+    the dual-commit contract under a REAL wall-clock trigger, not just
+    availableNow batch-twin reasoning.
+
+    Phase 1 runs the conversion stream on a 500 ms processingTime
+    trigger (maxFilesPerTrigger=1 → one staged file per micro-batch)
+    with a sink that dies at the SHARPEST point of the reference's
+    two-connection protocol: after the orders_eur append, before the
+    processed-marker write (order_currency_conversion_dag.py:126-157
+    commits target first, then markers). Phase 2 restarts from the same
+    checkpoint and drains. The failed batch must replay under the same
+    batch_id and overwrite its own torn output — exactly-once EFFECT,
+    zero duplicate and zero missing rows vs the batch flagship."""
+    import time
+
+    from orders_currency_conversion_etl_spark.streaming.orders_stream import (
+        convert_stream,
+        dual_sink,
+        read_orders_stream,
+        stage_orders_as_stream_source,
+    )
+
+    with tempfile.TemporaryDirectory() as work:
+        stage = os.path.join(work, "stage")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        marker = os.path.join(work, "crashed_once")
+        stage_orders_as_stream_source(spark, SF, stage, n_files=6)
+
+        CRASH_BATCH = 2
+        inner = dual_sink(out)
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == CRASH_BATCH and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("injected")
+                # torn write: target lands, marker never does
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(out, "orders_eur", f"batch={batch_id}")
+                )
+                raise RuntimeError("injected crash between target append and marker")
+            inner(batch_df, batch_id)
+
+        q1 = (
+            convert_stream(read_orders_stream(spark, stage), spark, CONVERSION_TIME)
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 180
+        while q1.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not q1.isActive, "stream never hit the injected crash"
+        exc = q1.exception()
+        assert exc is not None and "injected crash" in str(exc)
+
+        # the torn state phase 2 must repair: target written, marker absent
+        assert os.path.exists(os.path.join(out, "orders_eur", f"batch={CRASH_BATCH}"))
+        assert not os.path.exists(os.path.join(out, "processed", f"batch={CRASH_BATCH}"))
+        # and the wall-clock trigger made real progress before dying
+        done_before = spark.read.parquet(os.path.join(out, "orders_eur", "batch=*")).count()
+        assert done_before > 0
+
+        # Phase 2: restart from the same checkpoint, normal sink, drain.
+        q2 = (
+            convert_stream(read_orders_stream(spark, stage), spark, CONVERSION_TIME)
+            .writeStream.outputMode("append")
+            .foreachBatch(inner)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        streamed = boundary_cast(
+            spark.read.parquet(os.path.join(out, "orders_eur", "batch=*"))
+        )
+        batch = QUERIES["flagship_conversion"](spark, SF)
+        s = sorted(tuple(r) for r in streamed.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert len(s) == len(b) > 0  # no dup from the replayed batch
+        assert s == b  # no missing row either: exactly-once effect
+        # marker side healed: every converted order marked exactly once
+        processed = spark.read.parquet(os.path.join(out, "processed", "batch=*"))
+        assert processed.count() == len(b)
+        assert processed.select("order_id").distinct().count() == len(b)
+        # the crash really exercised the replay path
+        assert os.path.exists(marker)
+        assert os.path.exists(os.path.join(out, "processed", f"batch={CRASH_BATCH}"))
