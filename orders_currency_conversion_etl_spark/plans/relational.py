@@ -56,7 +56,18 @@ GROUP BY l_returnflag, l_linestatus
 
 @query("agg_pricing_summary", _PRICING_ORACLE)
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    """A1: hash aggregation with map-side combine (TPC-H Q1 shape).
+
+    Loads through the parallel loader (r10): the exact-decimal sums are
+    the dominant per-row cost here (measured 4x the same aggregation
+    over doubles), and the partial HashAggregate runs inside the scan
+    tasks — a handful at fixture scale, so the decimal work serialized
+    on 3 cores. The round-robin spread moves it onto every core for an
+    extra exchange of the 5 pruned columns (measured net win 1.27 ->
+    0.76 s at sf0.1); at 100 TB maxPartitionBytes already yields
+    thousands of scan tasks and the spread is a no-op by construction
+    (sources/catalog.py:load_table_parallel)."""
+    li = catalog.load_table_parallel(spark, sf_dir, "lineitem")
     disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
