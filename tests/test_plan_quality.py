@@ -528,3 +528,39 @@ def test_incremental_at_scale_never_broadcasts_sink(spark):
     assert "LeftAnti" in plan
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_bucketed_anti_join_steady_state_has_no_shuffle(spark):
+    """The J3 100 TB steady-state claim, demonstrated instead of argued
+    (operators/incremental.py docstring: source and sink both bucketed
+    by the key -> every incremental batch anti-joins bucket-to-bucket
+    with no exchange at all). Builds both sides bucketed, asserts the
+    LEFT ANTI plan is exchange-free, and checks the result equals the
+    plain-parquet anti-join row set exactly."""
+    from orders_currency_conversion_etl_spark.operators.incremental import unprocessed
+
+    orders = catalog.load_table(spark, SF, "orders").withColumn(
+        "order_id", F.col("o_orderkey")
+    )
+    sink = orders.filter(F.col("o_orderkey") % 10 >= 8).select("order_id")
+    expected = {r.order_id for r in unprocessed(orders, sink, key="order_id").collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_bucketed(orders, spark, "inc_src_bkt", os.path.join(d, "s"), "order_id", 8)
+        sinks.write_bucketed(sink, spark, "inc_sink_bkt", os.path.join(d, "k"), "order_id", 8)
+        try:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                out = spark.table("inc_src_bkt").join(
+                    spark.table("inc_sink_bkt"), on="order_id", how="left_anti"
+                )
+                plan = _plan(out)
+                assert "Exchange" not in plan, plan  # neither hash nor broadcast
+                got = {r.order_id for r in out.collect()}
+                assert got == expected and len(got) > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS inc_src_bkt")
+            spark.sql("DROP TABLE IF EXISTS inc_sink_bkt")
