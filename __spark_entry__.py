@@ -374,18 +374,21 @@ ROTATION_R9_REVALIDATE = [
     "multimodal_resize",
 ]
 
-#   r10 (this one): 12 anchors + 1 r10-new registration
+#   r10 (this one): 12 anchors + 2 r10-new registrations
 #       (multimodal_png_decode — the stdlib-zlib compressed-format
-#       decode, VERDICT r9 ask #3) + 37 staleness re-validations per
-#       VERDICT r9 ask #5: the ENTIRE remaining newest-green-row=r4
-#       cohort (24 — computed from CORRECTNESS_r01..r09; the 13
-#       alphabetically-first r4 names were already revalidated in r9)
-#       and the alphabetically-first 13 of the r5-only cohort (35
-#       total). Keeps the invariant "no registry entry's newest driver
-#       row is older than 5 rounds": after r10 the oldest cohort is
-#       r5 (22 names), next due r11. 12 + 1 + 24 + 13 = 50.
+#       decode, VERDICT r9 ask #3 — and multimodal_jpeg_decode, the
+#       baseline-JFIF tier that finishes the dependency-free codec
+#       stack) + 36 staleness re-validations per VERDICT r9 ask #5:
+#       the ENTIRE remaining newest-green-row=r4 cohort (24 — computed
+#       from CORRECTNESS_r01..r09; the 13 alphabetically-first r4
+#       names were already revalidated in r9) and the
+#       alphabetically-first 12 of the r5-only cohort (35 total).
+#       Keeps the invariant "no registry entry's newest driver row is
+#       older than 5 rounds": after r10 the oldest cohort is r5 (23
+#       names), ALL due r11. 12 + 2 + 24 + 12 = 50.
 ROTATION_R10_NEW = [
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
 ]
 
 ROTATION_R10_REVALIDATE = [
@@ -427,7 +430,6 @@ ROTATION_R10_REVALIDATE = [
     "event_transition_matrix",
     "events_anomaly_mad",
     "events_error_rate_hourly",
-    "events_sliding_stats",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R10_NEW + ROTATION_R10_REVALIDATE

@@ -7,20 +7,25 @@ At 100 TB the binary column rides the same parquet scan as everything
 else — column pruning means queries that don't touch payloads never
 read them, and ``maxPartitionBytes`` keeps per-task memory bounded.
 
-The container has no native image/audio codecs, so (r9, VERDICT r8
-ask #6) the module carries THREE decode tiers:
+The container has no native image/audio codecs, so the module carries
+FOUR decode tiers, each dependency-free down the list:
 
 - :func:`_feature_batches` — byte-level features (no decode at all);
   oracle-checkable because every feature is recomputable from the
   source text in SQL.
-- a pure-Python PPM (P6) codec (:func:`encode_ppm` /
+- a pure-Python PPM (P6) codec (r9: :func:`encode_ppm` /
   :func:`decode_ppm` / :func:`resize_rgb_nearest`) — a REAL pixel
   path with zero native dependencies: `multimodal_resize` decodes
   actual image bytes and runs a numpy nearest-neighbor resample
   unconditionally on this rig.
-- :func:`decode_image_batch` — PIL for compressed formats when
-  present; falls back to the pure PPM decoder for P6 payloads, and
-  raises NotImplementedError only for compressed bytes without PIL.
+- pure-Python COMPRESSED-format codecs (r10): PNG (stdlib-zlib
+  inflate, all five scanline unfilters, CRC-checked —
+  :func:`decode_png`) and baseline JPEG (Huffman + dequant + IDCT +
+  YCbCr, `jpeg_codec.py` — lossy, so its registered query checks a
+  quantization-derived tolerance instead of byte equality).
+- :func:`decode_image_batch` — routes PPM/PNG/JPEG through the codecs
+  above unconditionally; PIL only for anything else (WebP, subsampled
+  or progressive JPEG) when present, NotImplementedError otherwise.
 """
 
 from __future__ import annotations
@@ -529,6 +534,113 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pure-Python JPEG tier (r10): baseline JFIF decode/encode with zero
+# native deps (operators/jpeg_codec.py). JPEG is lossy, so the
+# registered query's contract is within-tolerance, not byte equality:
+# solid-color sources must decode within +-3 per channel (the bound
+# the quality-75 quant tables guarantee for DC-only blocks), and the
+# dims/mode columns stay exactly oracle-checkable.
+# --------------------------------------------------------------------------
+
+from .jpeg_codec import decode_jpeg, encode_jpeg  # noqa: E402  (re-export)
+
+_JPEG_TOL = 3
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Attach a REAL baseline JPEG per document — same solid-color /
+    md5-keyed convention as the PPM/PNG builders, but through an
+    actual DCT + Huffman encode executor-side."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    base = docs.select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("h"),
+        F.substring(F.md5(F.col("text")), 1, 3).alias("rgb3"),
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, encode_jpeg(w, h, rgb3.encode("ascii") * (w * h)))
+                for doc_id, w, h, rgb3 in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["rgb3"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return base.mapInPandas(_encode, schema=schema)
+
+
+JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("within_tol", T.BooleanType()),
+    ]
+)
+
+
+# Dims/mode are exact; the pixel check is a within-tolerance boolean
+# (the approx-aggregate pattern: the engine emits a value the oracle
+# can hash) because JPEG is lossy — byte equality is not a property
+# even a perfect decoder has. A broken Huffman/IDCT path flips
+# within_tol to false and fails the value hash.
+_JPEG_ORACLE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 11 AS INT) AS height,
+       'RGB' AS mode,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
+@query("multimodal_jpeg_decode", _JPEG_ORACLE)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 lossy-format decode with zero native deps (r10): synthesize a
+    real baseline JPEG per document executor-side (DCT, quality-scaled
+    Annex K quant tables, canonical Huffman), decode it through the
+    stdlib-only jpeg_codec, and assert the decoded pixels sit within
+    the quantization-derived tolerance of the known solid color.
+    Decode correctness is independently pinned by a hand-assembled
+    single-block spec vector in tests/test_llm_ops.py."""
+    import numpy as np
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    # One narrow projection feeds one mapInPandas stage — the expected
+    # color rides the same row as the pixels, so no join ever reunites
+    # them (a doc_id shuffle that would be pure waste at 100 TB).
+    base = docs.select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("h"),
+        F.substring(F.md5(F.col("text")), 1, 3).alias("rgb3"),
+    )
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, w0, h0, rgb3 in zip(pdf["doc_id"], pdf["w"], pdf["h"], pdf["rgb3"]):
+                color_bytes = rgb3.encode("ascii")
+                payload = encode_jpeg(w0, h0, color_bytes * (w0 * h0))
+                w, h, mode, pixels = decode_jpeg(payload)
+                a = np.frombuffer(pixels, dtype=np.uint8).astype(np.int32)
+                color = np.tile(
+                    np.frombuffer(color_bytes, dtype=np.uint8), w * h
+                ).astype(np.int32)
+                ok = bool(np.abs(a - color).max() <= _JPEG_TOL)
+                rows.append((doc_id, w, h, mode, ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode", "within_tol"]
+            )
+
+    return base.mapInPandas(_roundtrip, schema=JPEG_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # The compressed-format decode path (PIL when present, PPM fallback)
 # --------------------------------------------------------------------------
 
@@ -570,15 +682,18 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             elif payload.startswith(_PNG_SIG):
                 w, h, mode, _pixels = decode_png(payload)
                 rows.append((doc_id, w, h, mode))
+            elif payload.startswith(b"\xff\xd8"):
+                w, h, mode, _pixels = decode_jpeg(payload)
+                rows.append((doc_id, w, h, mode))
             elif _HAS_PIL:  # pragma: no cover - requires PIL
                 with Image.open(io.BytesIO(payload)) as im:
                     rows.append((doc_id, im.width, im.height, im.mode))
             else:
                 raise NotImplementedError(
-                    "decoding non-PPM/non-PNG image bytes requires PIL, not "
-                    "available in this environment; PPM and PNG decode via "
-                    "the pure-Python codecs, multimodal_features is the "
-                    "codec-free byte-level path"
+                    "decoding image bytes beyond PPM/PNG/baseline-JPEG "
+                    "requires PIL, not available in this environment; those "
+                    "three decode via the pure-Python codecs, and "
+                    "multimodal_features is the codec-free byte-level path"
                 )
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mode"])
 

@@ -551,3 +551,120 @@ def test_png_decode_images_routes_without_pil(spark):
         assert r.width == 4 + r.doc_id % 13
         assert r.height == 3 + r.doc_id % 11
         assert r.mode == "RGB"
+
+
+# --------------------------------------------------------------------------
+# JPEG codec (r10): baseline JFIF with zero native deps
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_zigzag_matches_published_order():
+    """An encoder/decoder PAIR round-trips under any coefficient
+    permutation, so the scan order must be pinned against the
+    published sequence, not inferred from self-consistency."""
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import _ZIGZAG
+
+    assert _ZIGZAG[:16] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    ]
+    assert _ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+
+
+def test_jpeg_decode_hand_assembled_spec_vector():
+    """Independent construction: a single-block grayscale stream built
+    byte-by-byte from the spec — unit quant table, a hand-built 1-code
+    Huffman table per class, a DC-only block of 64 — must decode to
+    the exactly computable constant 136 (64 * T00^2 = 64/8 = 8, +128).
+    This pins the marker parser, canonical Huffman assignment, EXTEND,
+    dequant, and IDCT against the spec rather than against encode_jpeg."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zig_ones = bytes([1] * 64)
+    dqt = seg(0xFFDB, bytes([0x00]) + zig_ones)  # tid 0, all-ones table
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: single 1-bit code '0' -> category 7
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([7]))
+    # AC table: single 1-bit code '0' -> EOB
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # Scan: DC code '0' + 7 bits of 64 (1000000) = 0x40;
+    # AC EOB code '0' + 7 pad bits of 1s = 0x7F.
+    scan = bytes([0x40, 0x7F])
+    payload = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+    w, h, mode, pixels = decode_jpeg(payload)
+    assert (w, h, mode) == (8, 8, "L")
+    assert pixels == bytes([136] * 64)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Lossy-but-bounded: solid colors within +-3 (DC-only blocks under
+    the quality-75 tables), a smooth gradient within +-8, and arbitrary
+    dims (padding trim) preserved exactly."""
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for color in [(0, 0, 0), (255, 255, 255), (97, 49, 102), (10, 200, 90)]:
+        w, h = 13, 9  # non-multiple-of-8 dims exercise pad + trim
+        rgb = bytes(color) * (w * h)
+        got_w, got_h, mode, pix = decode_jpeg(encode_jpeg(w, h, rgb))
+        assert (got_w, got_h, mode) == (w, h, "RGB")
+        a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+        e = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        assert np.abs(a - e).max() <= 3
+
+    w, h = 24, 16
+    rgb = bytes(int(255 * x / (w - 1)) for y in range(h) for x in range(w) for _ in range(3))
+    got_w, got_h, mode, pix = decode_jpeg(encode_jpeg(w, h, rgb))
+    a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    e = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+    assert np.abs(a - e).max() <= 8
+
+
+def test_jpeg_unsupported_streams_are_gated():
+    """Progressive (SOF2) and subsampled streams raise a named
+    NotImplementedError instead of silently mis-decoding."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof2 = b"\xff\xd8" + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2 + b"\xff\xd9")
+    subsampled = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(subsampled + b"\xff\xd9")
+    # and decode_image_batch routes JPEG magic through the codec
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import decode_jpeg as dj
+
+    p = encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
+    assert dj(p)[:3] == (8, 8, "RGB")
+
+
+def test_jpeg_decode_images_routes_without_pil(spark):
+    """decode_images on JPEG payloads runs unconditionally (no PIL) —
+    the compressed-format gate now covers only formats beyond
+    PPM/PNG/baseline-JPEG."""
+    docs = catalog.load_table(spark, SF, "documents").limit(40)
+    out = multimodal.decode_images(multimodal.with_jpeg_payload(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 3 + r.doc_id % 11
+        assert r.mode == "RGB"
