@@ -26,6 +26,10 @@ FOUR decode tiers, each dependency-free down the list:
 - :func:`decode_image_batch` — routes PPM/PNG/JPEG through the codecs
   above unconditionally; PIL only for anything else (WebP, subsampled
   or progressive JPEG) when present, NotImplementedError otherwise.
+
+Audio rides the same pattern (r10): :func:`decode_wav` /
+:func:`audio_features` parse RIFF/PCM — lossless, so byte-exact —
+through the identical Arrow-batched mapInPandas shape.
 """
 
 from __future__ import annotations
@@ -766,3 +770,129 @@ def sample_frames(docs_with_payload: DataFrame, frame_len: int = 16, stride: int
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return docs_with_payload.mapInPandas(_batches, schema=FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio tier (r10): WAV (RIFF PCM) — stdlib parse, no codec needed.
+# PCM is uncompressed, so unlike the PNG/JPEG tiers the whole path is
+# lossless and byte-exact. Feature extraction (duration, peak, RMS)
+# is vectorized numpy inside the same Arrow-batched mapInPandas shape
+# as every other decoder here.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: "list[int] | bytes", n_channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM."""
+    import struct
+
+    if isinstance(samples, (bytes, bytearray)):
+        data = bytes(samples)
+        if len(data) % (2 * n_channels):
+            raise ValueError("PCM byte length not a multiple of the frame size")
+    else:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse RIFF/WAVE -> (sample_rate, n_channels, n_frames, pcm bytes).
+
+    16-bit integer PCM only (format tag 1); compressed WAV (ADPCM,
+    float, mu-law) raises NotImplementedError naming the tag. Chunk
+    walk skips unknown chunks (LIST/INFO etc.) per the RIFF spec."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format tag {tag} / {bits}-bit unsupported (16-bit PCM only)"
+                )
+            fmt = (rate, nch)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    rate, nch = fmt
+    n_frames = len(data) // (2 * nch)
+    return rate, nch, n_frames, data
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("pcm_md5", T.StringType()),
+    ]
+)
+
+
+def audio_features(docs_with_payload: DataFrame) -> DataFrame:
+    """WAV decode + feature extraction, Arrow-batched executor-side:
+    the audio twin of decode_images. PCM is lossless, so pcm_md5 makes
+    the whole parse byte-exact-checkable."""
+    import hashlib
+
+    import numpy as np
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, n_frames, pcm = decode_wav(bytes(payload))
+                a = np.frombuffer(pcm, dtype="<i2")
+                peak = int(np.abs(a.astype(np.int32)).max()) if a.size else 0
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        n_frames,
+                        n_frames * 1000 // rate,
+                        peak,
+                        hashlib.md5(pcm).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_frames", "duration_ms", "peak", "pcm_md5"],
+            )
+
+    return docs_with_payload.mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def with_wav_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Attach a deterministic WAV per document: PCM bytes are the
+    utf-8 text repeated/truncated to an even length — SQL-recomputable
+    like every other payload builder here, and genuinely parsed back
+    through the RIFF chunk walk."""
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    base = docs.select("doc_id", F.col("text"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                raw = raw[: len(raw) - (len(raw) % 2)] or b"\x00\x00"
+                rows.append((doc_id, encode_wav(sample_rate, raw)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return base.mapInPandas(_encode, schema=schema)

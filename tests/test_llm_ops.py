@@ -668,3 +668,58 @@ def test_jpeg_decode_images_routes_without_pil(spark):
         assert r.width == 4 + r.doc_id % 13
         assert r.height == 3 + r.doc_id % 11
         assert r.mode == "RGB"
+
+
+# --------------------------------------------------------------------------
+# WAV audio tier (r10): RIFF/PCM parse — lossless, byte-exact
+# --------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    p = encode_wav(8000, samples)
+    rate, nch, n_frames, pcm = decode_wav(p)
+    assert (rate, nch, n_frames) == (8000, 1, len(samples))
+    assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+    # unknown chunks (LIST/INFO) must be skipped per the RIFF spec —
+    # splice one in between fmt and data by hand
+    fmt_end = p.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len -> padded
+    spliced = p[:fmt_end] + extra + p[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)[:3] == (8000, 1, len(samples))
+
+    # compressed formats are honestly gated
+    mulaw = bytearray(p)
+    mulaw[p.index(b"fmt ") + 8 : p.index(b"fmt ") + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mulaw))
+
+
+def test_wav_audio_features_spark(spark):
+    """WAV parse + features through the real mapInPandas plumbing:
+    PCM is the (even-truncated) utf-8 text, so every output column is
+    recomputable from the source row."""
+    import hashlib
+
+    from orders_currency_conversion_etl_spark.operators import multimodal
+
+    docs = catalog.load_table(spark, SF, "documents").limit(60)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    out = multimodal.audio_features(multimodal.with_wav_payload(docs)).collect()
+    assert len(out) == 60
+    for r in out:
+        raw = texts[r.doc_id].encode()
+        raw = raw[: len(raw) - (len(raw) % 2)] or b"\x00\x00"
+        assert r.sample_rate == 8000
+        assert r.n_frames == len(raw) // 2
+        assert r.duration_ms == r.n_frames * 1000 // 8000
+        assert r.pcm_md5 == hashlib.md5(raw).hexdigest()
