@@ -417,7 +417,7 @@ ROTATION_R10_REVALIDATE = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "window_top3_per_customer",
-    # (b) newest green row = r5, alphabetically first 13:
+    # (b) newest green row = r5, alphabetically first 12:
     "activity_streaks",
     "agg_bitwise_battery",
     "agg_boolean_battery",
@@ -432,7 +432,63 @@ ROTATION_R10_REVALIDATE = [
     "events_error_rate_hourly",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R10_NEW + ROTATION_R10_REVALIDATE
+#   r11 (this one): 12 anchors + 1 r11-new registration
+#       (multimodal_audio_decode — float32/mu-law WAV tiers, VERDICT
+#       r10 ask #5: the decode_wav NotImplementedError branch is now
+#       unreachable for those encodings) + 37 staleness
+#       re-validations: the ENTIRE r5-only cohort (23 — due this round
+#       by the invariant "no registry entry's newest driver row is
+#       older than 5 rounds"; r5 greens turn 6 rounds old at r11) and
+#       the alphabetically-first 14 of the r6-only cohort (37 names).
+#       Cohorts recomputed from CORRECTNESS_r01..r10 this session.
+#       12 + 1 + 23 + 14 = 50.
+ROTATION_R11_NEW = [
+    "multimodal_audio_decode",
+]
+
+ROTATION_R11_REVALIDATE = [
+    # (a) newest green row = r5, the full remaining cohort (23):
+    "events_sliding_stats",
+    "events_time_rollup_sets",
+    "fuzzy_match_adjacent_docs",
+    "histogram_value_bins",
+    "join_null_safe",
+    "join_skewed_fact_salted",
+    "monthly_revenue_yoy",
+    "pack_sequences_greedy",
+    "part_cooccurrence_topk",
+    "posexplode_leading_tokens",
+    "profile_columns",
+    "regression_price_drift",
+    "reorder_interval_by_priority",
+    "rfm_segmentation",
+    "sample_fixed_k_per_group",
+    "shipping_leadtime_histogram",
+    "source_vocab_jaccard",
+    "supplier_share_of_nation",
+    "text_corpus_stats",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "topk_nulls_last",
+    # (b) newest green row = r6, alphabetically first 14:
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "agg_distinct_by_status",
+    "agg_having_big_customers",
+    "agg_min_by_max_by",
+    "agg_pivot_status",
+    "agg_revenue_by_nation",
+    "agg_statistics",
+    "dedup_semantic_clustered",
+    "explode_part_types",
+    "filter_composite_predicates",
+    "heavy_hitters_mg",
+    "join_asof_forward_rates",
+]
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R11_NEW + ROTATION_R11_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

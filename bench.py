@@ -114,13 +114,19 @@ def _fresh_process_rerun(flagged: list[str], sf_dir: str) -> dict[str, float]:
     env["SPARK_GRAFT_AB_SF_DIR"] = sf_dir
     best: dict[str, float] = {}
     for _ in range(RERUN_PROCS):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(here, "scripts", "ab_drift.py"), here],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts", "ab_drift.py"), here],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            # One hung rep must not discard the fresh-process evidence
+            # already collected from earlier reps (r11, ADVICE fix).
+            print("rerun rep timed out after 600 s; continuing", file=sys.stderr)
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             rep = json.loads(line)["queries"]
@@ -141,7 +147,20 @@ def _auto_adjudicate(result: dict, sf_dir: str) -> None:
     if not os.path.exists(base_path):
         return
     with open(base_path) as f:
-        base = json.load(f)["parsed"]["queries"]
+        base_rec = json.load(f)["parsed"]
+    # The r1 baseline was recorded at sf0.1; a run at any other scale
+    # would flag essentially every query (10x data ~ 3-10x time) and
+    # burn up to RERUN_PROCS x 600 s of fresh-process reruns producing
+    # an adjudication block that compares different scales. (r11,
+    # ADVICE fix.)
+    if abs(result.get("sf", 0.1) - float(base_rec.get("sf", 0.1))) > 1e-9:
+        print(
+            f"auto-adjudication skipped: bench sf={result.get('sf')} != "
+            f"baseline sf={base_rec.get('sf')}",
+            file=sys.stderr,
+        )
+        return
+    base = base_rec["queries"]
     timings = result["queries"]
     flagged = sorted(
         n for n in timings if n in base and base[n] > 0 and timings[n] / base[n] > RERUN_RATIO

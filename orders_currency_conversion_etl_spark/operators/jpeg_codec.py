@@ -213,6 +213,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
+        # Drop the drained high bits: without this the Python bigint
+        # grows by 8 bits per emitted byte and every shift above turns
+        # O(stream length), making the whole entropy pass O(n^2).
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -358,6 +362,11 @@ class _BitReader:
         self._fill()
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
+        # Truncate consumed high bits so acc stays a machine-word-sized
+        # int (<= ~40 bits after _fill) instead of accreting every byte
+        # ever read — unmasked, each bits() call costs O(bytes so far)
+        # and a few-hundred-KB scan goes quadratic.
+        self.acc &= (1 << self.n) - 1
         return v
 
     def sync_restart(self) -> None:

@@ -23,13 +23,23 @@ FOUR decode tiers, each dependency-free down the list:
   :func:`decode_png`) and baseline JPEG (Huffman + dequant + IDCT +
   YCbCr, `jpeg_codec.py` — lossy, so its registered query checks a
   quantization-derived tolerance instead of byte equality).
-- :func:`decode_image_batch` — routes PPM/PNG/JPEG through the codecs
-  above unconditionally; PIL only for anything else (WebP, subsampled
-  or progressive JPEG) when present, NotImplementedError otherwise.
+- :func:`decode_image_batch` — dims/mode only, so it parses HEADERS
+  only (r11: IHDR / SOFn / P6 header — covers progressive and
+  subsampled JPEG too, zero pixel decode); PIL for anything else when
+  present, NotImplementedError otherwise.
+- :func:`decode_image_pixels` — full pixel decode, native-first: PIL
+  handles PNG/JPEG when installed (libpng/libjpeg are ~100x the pure
+  codecs — the right dispatch on a real cluster), the pure-Python
+  codecs are the dependency-free fallback. The two registered
+  ``*_decode`` queries stay pinned to the pure codecs on purpose:
+  they verify the codecs themselves.
 
-Audio rides the same pattern (r10): :func:`decode_wav` /
-:func:`audio_features` parse RIFF/PCM — lossless, so byte-exact —
-through the identical Arrow-batched mapInPandas shape.
+Audio rides the same pattern (r10, completed r11): :func:`decode_wav_ex`
+/ :func:`audio_features` parse RIFF with all three PCM encodings —
+16-bit integer (verbatim), IEEE float32 (exact ``k/32768``
+convention), G.711 mu-law (256-entry expand table) — through the
+identical Arrow-batched mapInPandas shape; the registered
+``multimodal_audio_decode`` round-trips each tier exactly.
 """
 
 from __future__ import annotations
@@ -513,9 +523,13 @@ FROM documents
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4 compressed-format decode with zero native deps (r10, VERDICT
     r9 ask #3): synthesize a real PNG per document executor-side (rows
-    cycle scanline filters 0-4), then :func:`decode_image_batch` routes
-    the bytes through the stdlib-zlib decoder — inflate, unfilter all
-    five filter types, emit decoded-pixel md5 for portable comparison.
+    cycle scanline filters 0-4), then decode through the stdlib-zlib
+    decoder — inflate, unfilter all five filter types, emit
+    decoded-pixel md5 for portable comparison. Pinned DIRECTLY to
+    :func:`decode_png` (not the :func:`decode_image_pixels` dispatch,
+    which prefers PIL when installed): this query's purpose is
+    verifying the pure codec itself, so it must keep exercising it
+    even on a Pillow-equipped cluster.
     Reference parity: the closest reference analogue is opaque-payload
     handling around its pandas intermediate
     (order_currency_conversion_dag.py:95-103); the decode tier itself
@@ -610,7 +624,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib-only jpeg_codec, and assert the decoded pixels sit within
     the quantization-derived tolerance of the known solid color.
     Decode correctness is independently pinned by a hand-assembled
-    single-block spec vector in tests/test_llm_ops.py."""
+    single-block spec vector in tests/test_llm_ops.py. Pinned DIRECTLY
+    to the pure codec (not :func:`decode_image_pixels`, which prefers
+    PIL when installed): the query's purpose is verifying the codec
+    itself, so the dispatch must never swap libjpeg in under it."""
     import numpy as np
 
     docs = catalog.load_table(spark, sf_dir, "documents")
@@ -666,14 +683,128 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
+#: IHDR colortype -> PIL-convention mode string (header-level fact, so
+#: the dims parser can report it for formats the full decoder gates).
+_PNG_CT_MODE = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+#: Every SOFn marker that opens a frame header (dims live at the same
+#: offsets in all of them) — C4/C8/CC are DHT/JPG/DAC, not frames.
+_JPEG_SOF_MARKERS = frozenset(
+    0xFFC0 + i for i in range(16) if i not in (4, 8, 12)
+)
+
+
+def ppm_dims(payload: bytes) -> tuple[int, int, str]:
+    """P6 header parse -> (w, h, mode). Never touches pixel bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 2)
+    if len(parts) < 3:
+        raise ValueError("truncated PPM header")
+    dims = parts[1].split()
+    return int(dims[0]), int(dims[1]), PPM_MODE
+
+
+def png_dims(payload: bytes) -> tuple[int, int, str]:
+    """IHDR-only parse -> (w, h, mode): reads 33 bytes, CRC-checks the
+    header chunk, never inflates IDAT. Reports dims/mode for ALL
+    colortypes — including palette/grayscale that :func:`decode_png`
+    honestly gates — because dims are a header fact, not a pixel one."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG) or len(payload) < 33:
+        raise ValueError("not a PNG payload")
+    if payload[12:16] != b"IHDR":  # IHDR must be first per spec
+        raise ValueError("PNG IHDR not first chunk")
+    body = payload[16:29]
+    if zlib.crc32(payload[12:29]) & 0xFFFFFFFF != struct.unpack(">I", payload[29:33])[0]:
+        raise ValueError("PNG IHDR CRC mismatch")
+    w, h, _bd, colortype, _c, _f, _i = struct.unpack(">IIBBBBB", body)
+    return w, h, _PNG_CT_MODE.get(colortype, f"CT{colortype}")
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int, str]:
+    """Marker-walk to the first SOFn -> (w, h, mode) with ZERO entropy
+    decode (r11, VERDICT r10 ask #1): dims sit at fixed offsets in
+    every SOF variant, so this handles progressive and subsampled
+    streams that the full baseline decoder gates — and costs O(header)
+    instead of the Huffman+IDCT pass :func:`decode_jpeg` pays."""
+    import struct
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker in (0xFFD9, 0xFFDA):  # EOI / SOS without a frame header
+            break
+        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            _prec, h, w, nc = struct.unpack(">BHHB", payload[pos + 4 : pos + 10])
+            mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(nc, f"NC{nc}")
+            return w, h, mode
+        pos += 2 + length
+    raise ValueError("JPEG frame header (SOFn) not found")
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Full pixel decode with native-first dispatch (r11, VERDICT r10
+    ask #1): when PIL is installed it handles PNG and JPEG — libpng /
+    libjpeg are ~100x the pure-Python codecs and also cover the
+    variants they gate (palette/interlaced PNG, progressive/subsampled
+    JPEG) — with the stdlib codecs as the dependency-free fallback if
+    PIL itself fails on a stream. Without PIL the pure codecs run, and
+    a NotImplementedError from them (a format variant they honestly
+    gate) propagates, naming PIL as the fix. PPM stays pure-Python
+    unconditionally: it is raw bytes behind a text header, and the
+    codec is already allocation-bounded.
+
+    The registered queries ``multimodal_png_decode`` /
+    ``multimodal_jpeg_decode`` deliberately do NOT route through this
+    dispatch — they call :func:`decode_png` / ``decode_jpeg`` directly
+    because their purpose is verifying the pure codecs themselves."""
+    import io
+
+    if payload.startswith(b"P6\n"):
+        w, h, rgb = decode_ppm(payload)
+        return w, h, PPM_MODE, rgb
+    is_png = payload.startswith(_PNG_SIG)
+    is_jpeg = payload.startswith(b"\xff\xd8")
+    if (is_png or is_jpeg) and _HAS_PIL:
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, im.mode, im.tobytes()
+        except Exception:  # corrupt-for-PIL: let the pure codec rule
+            pass
+    if is_png:
+        return decode_png(payload)
+    if is_jpeg:
+        return decode_jpeg(payload)
+    if _HAS_PIL:  # pragma: no cover - requires PIL
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, im.mode, im.tobytes()
+    raise NotImplementedError(
+        "decoding image bytes beyond PPM/PNG/baseline-JPEG requires PIL, "
+        "not available in this environment"
+    )
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Real image decode. P6 PPM and PNG payloads decode through the
-    pure-Python codecs unconditionally (PPM since r9, PNG since r10 —
-    VERDICT r9 ask #3 closed the compressed-format gap with the stdlib
-    zlib inflater); anything else (JPEG, WebP, ...) goes through PIL
-    when installed and raises NotImplementedError otherwise. The Spark
-    plumbing (binary in, typed struct out, Arrow batching) is identical
-    to :func:`_feature_batches` either way."""
+    """Dims/mode extraction. This path returns only (width, height,
+    mode) — all header facts — so as of r11 it parses HEADERS ONLY
+    (IHDR / first SOFn / P6 text header) and never pays inflate or
+    Huffman+IDCT for pixels it would throw away (VERDICT r10 ask #1:
+    at sf1 the old full-decode route spent ~28 s of pure-Python
+    entropy decode to report three integers). Header parsing also
+    widens coverage: progressive/subsampled JPEG and palette PNG get
+    correct dims with no PIL. Unknown formats go through PIL when
+    installed (``Image.open`` is itself header-lazy) and raise
+    NotImplementedError otherwise. The Spark plumbing (binary in,
+    typed struct out, Arrow batching) is identical to
+    :func:`_feature_batches`."""
     import io
 
     for pdf in batches:
@@ -681,29 +812,26 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
             if payload.startswith(b"P6\n"):
-                w, h, _ = decode_ppm(payload)
-                rows.append((doc_id, w, h, PPM_MODE))
+                rows.append((doc_id, *ppm_dims(payload)))
             elif payload.startswith(_PNG_SIG):
-                w, h, mode, _pixels = decode_png(payload)
-                rows.append((doc_id, w, h, mode))
+                rows.append((doc_id, *png_dims(payload)))
             elif payload.startswith(b"\xff\xd8"):
-                w, h, mode, _pixels = decode_jpeg(payload)
-                rows.append((doc_id, w, h, mode))
+                rows.append((doc_id, *jpeg_dims(payload)))
             elif _HAS_PIL:  # pragma: no cover - requires PIL
                 with Image.open(io.BytesIO(payload)) as im:
                     rows.append((doc_id, im.width, im.height, im.mode))
             else:
                 raise NotImplementedError(
-                    "decoding image bytes beyond PPM/PNG/baseline-JPEG "
-                    "requires PIL, not available in this environment; those "
-                    "three decode via the pure-Python codecs, and "
+                    "image bytes beyond PPM/PNG/JPEG require PIL, not "
+                    "available in this environment; those three parse "
+                    "header-only via the pure-Python dims parsers, and "
                     "multimodal_features is the codec-free byte-level path"
                 )
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mode"])
 
 
 def decode_images(docs_with_payload: DataFrame) -> DataFrame:
-    """mapInPandas wiring for the real decoder (raises without PIL)."""
+    """mapInPandas wiring for dims extraction (header-only parse)."""
     return docs_with_payload.mapInPandas(decode_image_batch, schema=IMAGE_SCHEMA)
 
 
@@ -781,29 +909,117 @@ def sample_frames(docs_with_payload: DataFrame, frame_len: int = 16, stride: int
 # --------------------------------------------------------------------------
 
 
-def encode_wav(sample_rate: int, samples: "list[int] | bytes", n_channels: int = 1) -> bytes:
-    """Minimal RIFF/WAVE writer: 16-bit little-endian PCM."""
+# --- G.711 mu-law (format tag 7): 256-entry expand table built from
+# the spec algorithm; compress is the classic bias-0x84 segment search.
+# encode(decode(code)) == code for every code except 0x7F, which
+# collides with 0xFF on +-0 (both decode to 0; compress emits 0xFF) —
+# the documented wart of the standard, pinned in tests.
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode_sample(code: int) -> int:
+    """One mu-law byte -> linear int16 per ITU-T G.711."""
+    code = ~code & 0xFF
+    sign = code & 0x80
+    exponent = (code >> 4) & 0x07
+    mantissa = code & 0x0F
+    mag = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+    return -mag if sign else mag
+
+
+def mulaw_encode_sample(sample: int) -> int:
+    """Linear int16 -> mu-law byte per ITU-T G.711."""
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    if sample > _MULAW_CLIP:
+        sample = _MULAW_CLIP
+    sample += _MULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (sample & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (sample >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+#: Expand table (numpy int16) so batch decode is one fancy-index, not
+#: a per-sample Python loop.
+def _mulaw_table():
+    import numpy as np
+
+    return np.array([mulaw_decode_sample(c) for c in range(256)], dtype=np.int16)
+
+
+_WAV_TAGS = {"pcm16": 1, "float32": 3, "mulaw": 7}
+_WAV_TAG_NAMES = {1: "pcm16", 3: "float32", 7: "mulaw"}
+
+
+def encode_wav(
+    sample_rate: int,
+    samples: "list[int] | bytes",
+    n_channels: int = 1,
+    fmt: str = "pcm16",
+) -> bytes:
+    """Minimal RIFF/WAVE writer. ``samples`` is int16 PCM (a list of
+    ints, or raw little-endian int16 bytes); ``fmt`` picks the stored
+    encoding: ``pcm16`` (tag 1, verbatim), ``float32`` (tag 3, IEEE
+    float ``k/32768`` — exactly representable for every int16 k, so
+    the round-trip is lossless), or ``mulaw`` (tag 7, G.711
+    compression — lossy in general, exact on table values)."""
     import struct
 
+    import numpy as np
+
+    if fmt not in _WAV_TAGS:
+        raise ValueError(f"unknown WAV fmt {fmt!r} (pcm16/float32/mulaw)")
     if isinstance(samples, (bytes, bytearray)):
-        data = bytes(samples)
-        if len(data) % (2 * n_channels):
-            raise ValueError("PCM byte length not a multiple of the frame size")
+        raw = bytes(samples)
+        if len(raw) % 2:
+            raise ValueError("PCM byte length not a multiple of int16")
+        pcm = np.frombuffer(raw, dtype="<i2")
     else:
-        data = b"".join(struct.pack("<h", s) for s in samples)
-    byte_rate = sample_rate * n_channels * 2
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
-    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+        pcm = np.array(samples, dtype="<i2")
+    if pcm.size % n_channels:
+        raise ValueError("sample count not a multiple of the channel count")
+    tag = _WAV_TAGS[fmt]
+    if fmt == "pcm16":
+        data, bits = pcm.tobytes(), 16
+    elif fmt == "float32":
+        data, bits = (pcm.astype(np.float32) / np.float32(32768.0)).astype("<f4").tobytes(), 32
+    else:
+        data = bytes(mulaw_encode_sample(int(s)) for s in pcm)
+        bits = 8
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt_body = struct.pack("<HHIIHH", tag, n_channels, sample_rate, byte_rate, block_align, bits)
+    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse RIFF/WAVE -> (sample_rate, n_channels, n_frames, pcm bytes).
+def decode_wav_ex(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Parse RIFF/WAVE -> (encoding, sample_rate, n_channels, n_frames,
+    int16 PCM bytes).
 
-    16-bit integer PCM only (format tag 1); compressed WAV (ADPCM,
-    float, mu-law) raises NotImplementedError naming the tag. Chunk
-    walk skips unknown chunks (LIST/INFO etc.) per the RIFF spec."""
+    Three tiers, all stdlib+numpy (r11, VERDICT r10 ask #5 — the old
+    NotImplementedError for float/mu-law is now unreachable):
+
+    - tag 1 / 16-bit: integer PCM, verbatim (lossless, byte-exact);
+    - tag 3 / 32-bit: IEEE-float PCM, converted by round(f * 32768)
+      with clipping — exact inverse of the ``k/32768`` convention
+      :func:`encode_wav` writes, since every such float is exactly
+      representable in binary32;
+    - tag 7 / 8-bit: G.711 mu-law, expanded through the 256-entry
+      table (one numpy fancy-index per payload, no per-sample loop).
+
+    Anything else (ADPCM, a-law, 24-bit PCM) still raises
+    NotImplementedError naming the tag. Chunk walk skips unknown
+    chunks (LIST/INFO etc.) per the RIFF spec."""
     import struct
+
+    import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -816,19 +1032,34 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             tag, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1 or bits != 16:
+            if (tag, bits) not in ((1, 16), (3, 32), (7, 8)):
                 raise NotImplementedError(
-                    f"WAV format tag {tag} / {bits}-bit unsupported (16-bit PCM only)"
+                    f"WAV format tag {tag} / {bits}-bit unsupported "
+                    "(16-bit PCM, 32-bit IEEE float, 8-bit mu-law)"
                 )
-            fmt = (rate, nch)
+            fmt = (tag, rate, nch)
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    rate, nch = fmt
-    n_frames = len(data) // (2 * nch)
-    return rate, nch, n_frames, data
+    tag, rate, nch = fmt
+    if tag == 1:
+        pcm = data
+    elif tag == 3:
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        pcm = np.clip(np.rint(f * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    else:
+        pcm = _mulaw_table()[np.frombuffer(data, dtype=np.uint8)].astype("<i2").tobytes()
+    n_frames = len(pcm) // (2 * nch)
+    return _WAV_TAG_NAMES[tag], rate, nch, n_frames, pcm
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Back-compat 4-tuple: (sample_rate, n_channels, n_frames, int16
+    PCM bytes) — float32/mu-law payloads come back expanded to int16."""
+    _enc, rate, nch, n_frames, pcm = decode_wav_ex(payload)
+    return rate, nch, n_frames, pcm
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -896,3 +1127,88 @@ def with_wav_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return base.mapInPandas(_encode, schema=schema)
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("encoding", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+# encoding / sample_rate / n_frames are exactly SQL-recomputable from
+# the text column; roundtrip_ok follows the JPEG within_tol pattern
+# (the engine emits a boolean the oracle can hash): a broken expand
+# table, float scale, or chunk walk flips it false and fails the
+# value hash. n_frames: one mu-law code per text byte; one int16 frame
+# per text byte PAIR for pcm16/float32 (with the 1-frame empty-text
+# fallback the payload builder guarantees).
+_AUDIO_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'pcm16' WHEN 1 THEN 'float32' ELSE 'mulaw'
+       END AS encoding,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN GREATEST(strlen(text), 1)
+                 ELSE GREATEST(strlen(text) // 2, 1) END AS INT) AS n_frames,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+@query("multimodal_audio_decode", _AUDIO_DECODE_ORACLE)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 audio tier, all three encodings (r11, VERDICT r10 ask #5):
+    per document, synthesize a WAV whose stored encoding cycles
+    pcm16 / IEEE-float32 / G.711 mu-law by doc_id, decode it back
+    through :func:`decode_wav_ex`, and verify the round trip EXACTLY —
+    int16 PCM byte-equality for pcm16/float32 (the ``k/32768`` float
+    convention is lossless by construction), re-compressed code-stream
+    byte-equality for mu-law (G.711 expand/compress is an exact
+    involution on code points; documents.text is printable ASCII so
+    the 0x7F/0xFF zero-collision never occurs in the stream).
+
+    One narrow projection feeds one mapInPandas stage — encode, decode
+    and verify all happen on the same executor row, so no shuffle and
+    no reunite join at any scale (the multimodal_jpeg_decode shape).
+    Reference parity: nearest analogue is opaque-payload handling
+    around the reference's pandas intermediate
+    (order_currency_conversion_dag.py:95-103); the audio tier itself is
+    north-star EXT surface."""
+    import numpy as np
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", (F.col("doc_id") % 3).cast("int").alias("enc_id"), "text")
+    table = _mulaw_table()
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, enc_id, text in zip(pdf["doc_id"], pdf["enc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if enc_id == 2:
+                    codes = raw or b"\xff"  # 0xff decodes to 0, re-encodes to 0xff
+                    source = table[np.frombuffer(codes, dtype=np.uint8)].astype("<i2").tobytes()
+                    fmt = "mulaw"
+                else:
+                    source = raw[: len(raw) - (len(raw) % 2)] or b"\x00\x00"
+                    fmt = "pcm16" if enc_id == 0 else "float32"
+                payload = encode_wav(8000, source, fmt=fmt)
+                enc, rate, _nch, n_frames, pcm = decode_wav_ex(payload)
+                if enc_id == 2:
+                    back = bytes(
+                        mulaw_encode_sample(int(s)) for s in np.frombuffer(pcm, dtype="<i2")
+                    )
+                    ok = back == codes
+                else:
+                    ok = pcm == source
+                rows.append((doc_id, enc, rate, n_frames, bool(ok)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "encoding", "sample_rate", "n_frames", "roundtrip_ok"]
+            )
+
+    return base.mapInPandas(_roundtrip, schema=AUDIO_DECODE_SCHEMA)

@@ -697,11 +697,21 @@ def test_wav_roundtrip_and_chunk_walk():
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
     assert decode_wav(spliced)[:3] == (8000, 1, len(samples))
 
-    # compressed formats are honestly gated
-    mulaw = bytearray(p)
-    mulaw[p.index(b"fmt ") + 8 : p.index(b"fmt ") + 10] = struct.pack("<H", 7)
+    # unsupported formats are honestly gated (r11: float32/mu-law now
+    # decode, so the gate covers ADPCM/a-law/mismatched tag-bits pairs)
+    adpcm = bytearray(p)
+    adpcm[p.index(b"fmt ") + 8 : p.index(b"fmt ") + 10] = struct.pack("<H", 2)
     with pytest.raises(NotImplementedError):
-        decode_wav(bytes(mulaw))
+        decode_wav(bytes(adpcm))
+    alaw = bytearray(p)
+    alaw[p.index(b"fmt ") + 8 : p.index(b"fmt ") + 10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(alaw))
+    # tag 7 with 16-bit sample size is a malformed combination, gated too
+    mulaw16 = bytearray(p)
+    mulaw16[p.index(b"fmt ") + 8 : p.index(b"fmt ") + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(mulaw16))
 
 
 def test_wav_audio_features_spark(spark):
@@ -723,3 +733,288 @@ def test_wav_audio_features_spark(spark):
         assert r.n_frames == len(raw) // 2
         assert r.duration_ms == r.n_frames * 1000 // 8000
         assert r.pcm_md5 == hashlib.md5(raw).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# WAV float32 / mu-law tiers (r11, VERDICT r10 ask #5)
+# --------------------------------------------------------------------------
+
+
+def test_mulaw_spec_pins():
+    """Hand-pinned ITU-T G.711 values, independent of the codec: the
+    expand table's extremes and the documented 0x7F/0xFF +-0 collision."""
+    from orders_currency_conversion_etl_spark.operators.multimodal import (
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    assert mulaw_decode_sample(0x00) == -32124  # max negative magnitude
+    assert mulaw_decode_sample(0x80) == 32124  # max positive magnitude
+    assert mulaw_decode_sample(0xFF) == 0  # +0
+    assert mulaw_decode_sample(0x7F) == 0  # -0 (collides with 0xFF)
+    # compress(expand(code)) == code for every code point EXCEPT 0x7F,
+    # whose zero expands back to the +0 code 0xFF — the standard's wart
+    bad = [c for c in range(256) if mulaw_encode_sample(mulaw_decode_sample(c)) != c]
+    assert bad == [0x7F]
+    # compress clips beyond the table's dynamic range
+    assert mulaw_encode_sample(32767) == mulaw_encode_sample(32635)
+    assert mulaw_encode_sample(-32768) == mulaw_encode_sample(-32635)
+
+
+def test_wav_float32_tier_exact():
+    """IEEE-float WAV (tag 3): the k/32768 convention is lossless for
+    every int16 k (<=16 significant bits fit binary32 exactly), so the
+    decode must return the source PCM byte-for-byte — including the
+    extremes."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators.multimodal import (
+        decode_wav_ex,
+        encode_wav,
+    )
+
+    pcm = np.array([-32768, 32767, 0, 1, -1, 12345, -12345], dtype="<i2").tobytes()
+    payload = encode_wav(16000, pcm, fmt="float32")
+    enc, rate, nch, n_frames, out = decode_wav_ex(payload)
+    assert (enc, rate, nch, n_frames) == ("float32", 16000, 1, 7)
+    assert out == pcm
+    # the stored stream really is 32-bit floats, not disguised ints
+    assert b"data" in payload
+    data_off = payload.index(b"data") + 8
+    f = np.frombuffer(payload[data_off:], dtype="<f4")
+    assert abs(float(f[1]) - 32767 / 32768) < 1e-9
+
+
+def test_wav_mulaw_tier_exact():
+    """mu-law WAV (tag 7): expand through the table, re-compress, and
+    the code stream must reproduce byte-for-byte (exact involution on
+    code points; no 0x7F in the stream)."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    codes = bytes(c for c in range(256) if c != 0x7F)
+    source = mm._mulaw_table()[np.frombuffer(codes, np.uint8)].astype("<i2").tobytes()
+    payload = mm.encode_wav(8000, source, fmt="mulaw")
+    enc, rate, nch, n_frames, pcm = mm.decode_wav_ex(payload)
+    assert (enc, rate, n_frames) == ("mulaw", 8000, 255)
+    assert pcm == source  # expansion is the table itself
+    back = bytes(mm.mulaw_encode_sample(int(s)) for s in np.frombuffer(pcm, "<i2"))
+    assert back == codes
+    # the stored stream is 1 byte per sample
+    data_off = payload.index(b"data") + 8
+    assert payload[data_off:] == codes
+
+
+def test_audio_decode_query_matches_formulas(spark):
+    """The registered multimodal_audio_decode query: encoding cycles by
+    doc_id % 3, n_frames matches the text-length formulas, and every
+    round trip verifies exactly."""
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.operators import multimodal
+
+    out = multimodal.multimodal_audio_decode(spark, SF).limit(0)  # schema only
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "encoding", "sample_rate", "n_frames", "roundtrip_ok",
+    ]
+    docs = catalog.load_table(spark, SF, "documents").limit(90)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    rows = (
+        multimodal.multimodal_audio_decode(spark, SF)
+        .filter(F.col("doc_id").isin(list(texts)))
+        .collect()
+    )
+    assert len(rows) == len(texts)
+    for r in rows:
+        n = len(texts[r.doc_id])
+        expect_enc = ("pcm16", "float32", "mulaw")[r.doc_id % 3]
+        assert r.encoding == expect_enc
+        assert r.sample_rate == 8000
+        assert r.n_frames == (max(n, 1) if r.doc_id % 3 == 2 else max(n // 2, 1))
+        assert r.roundtrip_ok is True
+
+
+# --------------------------------------------------------------------------
+# Header-only dims parsers + native-first pixel dispatch (r11,
+# VERDICT r10 ask #1)
+# --------------------------------------------------------------------------
+
+
+def test_dims_parsers_match_full_decoders():
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    ppm = mm.encode_ppm(4, 3, b"abc" * 12)
+    assert mm.ppm_dims(ppm) == mm.decode_ppm(ppm)[:2] + ("RGB",)
+    png = mm.encode_png(7, 5, bytes([1, 2, 3]) * 35)
+    assert mm.png_dims(png) == mm.decode_png(png)[:3]
+    jpg = mm.encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
+    assert mm.jpeg_dims(jpg) == mm.decode_jpeg(jpg)[:3]
+
+
+def test_dims_parsers_cover_formats_the_full_decoders_gate():
+    """Dims are header facts: progressive/subsampled JPEG and palette
+    PNG — all NotImplementedError in the full decoders — must still
+    report correct dims with zero pixel decode."""
+    import struct
+    import zlib
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # progressive (SOF2), 3 components
+    sof2 = b"\xff\xd8" + seg(
+        0xFFC2, struct.pack(">BHHB", 8, 31, 17, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(sof2 + b"\xff\xd9")
+    assert mm.jpeg_dims(sof2 + b"\xff\xd9") == (17, 31, "RGB")
+
+    # subsampled baseline (SOF0 with 2x2 luma factors)
+    sub = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 64, 48, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(sub + b"\xff\xd9")
+    assert mm.jpeg_dims(sub + b"\xff\xd9") == (48, 64, "RGB")
+
+    # grayscale progressive -> mode L
+    gray = b"\xff\xd8" + seg(0xFFC2, struct.pack(">BHHB", 8, 9, 7, 1) + bytes([1, 0x11, 0]))
+    assert mm.jpeg_dims(gray + b"\xff\xd9") == (7, 9, "L")
+
+    # palette PNG (colortype 3): decode_png gates it, png_dims reports it
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 3, 0, 0, 0)
+    pal_png = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(pal_png + b"")  # no IDAT either, but IHDR gates first
+    assert mm.png_dims(pal_png) == (11, 13, "P")
+
+    # corrupt IHDR CRC is still an error, not a silent wrong answer
+    bad = bytearray(pal_png)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        mm.png_dims(bytes(bad))
+
+
+def test_decode_image_batch_is_header_only(monkeypatch):
+    """The dims path must never pay pixel decode: poison the full
+    decoders and run the batch over all three formats."""
+    import pandas as pd
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    def _boom(*a, **k):
+        raise AssertionError("dims path called a full pixel decoder")
+
+    monkeypatch.setattr(mm, "decode_png", _boom)
+    monkeypatch.setattr(mm, "decode_jpeg", _boom)
+    monkeypatch.setattr(mm, "decode_ppm", _boom)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [
+                mm.encode_ppm(4, 3, b"abc" * 12),
+                mm.encode_png(7, 5, bytes([1, 2, 3]) * 35),
+                mm.encode_jpeg(8, 8, bytes([50, 60, 70]) * 64),
+            ],
+        }
+    )
+    out = pd.concat(list(mm.decode_image_batch(iter([pdf]))), ignore_index=True)
+    assert out["width"].tolist() == [4, 7, 8]
+    assert out["height"].tolist() == [3, 5, 8]
+    assert out["mode"].tolist() == ["RGB", "RGB", "RGB"]
+
+
+def test_decode_image_pixels_prefers_pil_when_present(monkeypatch):
+    """Dispatch order (r11, VERDICT r10 ask #1): with PIL installed,
+    PNG/JPEG pixels come from PIL (native codecs, ~100x at scale);
+    the pure codecs are the fallback when PIL fails or is absent."""
+    import io
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    png = mm.encode_png(7, 5, bytes([1, 2, 3]) * 35)
+    jpg = mm.encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
+
+    calls = []
+
+    class _FakeIm:
+        width, height, mode = 99, 98, "FAKE"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def tobytes(self):
+            return b"fake-pixels"
+
+    class _FakeImage:
+        @staticmethod
+        def open(bio: io.BytesIO):
+            calls.append(bio.getvalue()[:4])
+            return _FakeIm()
+
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+    monkeypatch.setattr(mm, "Image", _FakeImage, raising=False)
+
+    # PIL wins for PNG and JPEG when present
+    assert mm.decode_image_pixels(png) == (99, 98, "FAKE", b"fake-pixels")
+    assert mm.decode_image_pixels(jpg) == (99, 98, "FAKE", b"fake-pixels")
+    assert len(calls) == 2
+
+    # PPM never consults PIL — the pure codec is already byte-bounded
+    w, h, mode, rgb = mm.decode_image_pixels(mm.encode_ppm(4, 3, b"abc" * 12))
+    assert (w, h, mode) == (4, 3, "RGB") and len(calls) == 2
+
+    # a PIL failure falls back to the pure codec, not an error
+    class _BrokenImage:
+        @staticmethod
+        def open(bio):
+            raise OSError("fake libpng explosion")
+
+    monkeypatch.setattr(mm, "Image", _BrokenImage, raising=False)
+    assert mm.decode_image_pixels(png)[:3] == (7, 5, "RGB")
+
+    # without PIL the pure codecs run, and their honest gates propagate
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    assert mm.decode_image_pixels(jpg)[:3] == (8, 8, "RGB")
+    import struct
+
+    sof2 = b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0]) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(sof2)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_pixels(b"RIFFxxxxWEBP")  # unknown format, no PIL
+
+
+def test_jpeg_bit_accumulators_stay_bounded():
+    """r11 ADVICE fix: the entropy coder's Python-int accumulators must
+    not grow with stream length (unmasked they made the pass O(n^2))."""
+    from orders_currency_conversion_etl_spark.operators.jpeg_codec import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    w = _BitWriter()
+    for i in range(5000):
+        w.write(0x5A, 7)
+        assert w.acc.bit_length() <= w.n
+    out = w.flush()
+    assert len(out) >= 5000 * 7 // 8
+
+    r = _BitReader(bytes(range(256)) * 40, 0)
+    for _ in range(5000):
+        r.bits(7)
+        assert r.acc.bit_length() <= r.n <= 40
