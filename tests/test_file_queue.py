@@ -1,0 +1,212 @@
+"""Partitioned-offset file queue (r11): producer atomicity, consumer
+exactly-once across a mid-stream crash/restart with multiple source
+partitions, offset resume on late appends, and per-partition ordering."""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orders_currency_conversion_etl_spark.streaming.file_queue import (
+    next_offset,
+    queue_append,
+    queue_offsets,
+    read_queue_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+    ]
+)
+
+
+def _segment_df(spark, partition_id: int, seq: int, n: int = 10):
+    """n rows with globally unique ids: (partition, seq) baked in so the
+    consumer-side assertions can attribute every row."""
+    base = (partition_id * 1000 + seq) * 100
+    return spark.range(base, base + n).select(
+        F.col("id"),
+        F.concat(F.lit(f"p{partition_id}s{seq}r"), F.col("id")).alias("payload"),
+    )
+
+
+def test_producer_offsets_and_atomic_publish(spark):
+    with tempfile.TemporaryDirectory() as q:
+        assert queue_offsets(q) == {}
+        assert queue_append(_segment_df(spark, 0, 0), q, 0) == 0
+        assert queue_append(_segment_df(spark, 0, 1), q, 0) == 1
+        assert queue_append(_segment_df(spark, 1, 0), q, 1) == 0
+        assert queue_offsets(q) == {0: 2, 1: 1}
+        assert next_offset(q, 7) == 0  # empty partition
+        # only fully renamed segments are visible — no temp dirs linger
+        for d in os.listdir(q):
+            files = os.listdir(os.path.join(q, d))
+            assert all(re.fullmatch(r"seq=\d{8}\.parquet", f) for f in files), files
+
+
+def test_queue_exactly_once_across_crash_restart(spark):
+    """The VERDICT r10 'done' bar: exactly-once effect across a
+    mid-stream crash with >= 2 source partitions. The stream checkpoint
+    is the consumer-group offset store; an idempotent batch=N sink
+    turns replay into exactly-once."""
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        marker = os.path.join(work, "crashed_once")
+
+        expected = []
+        for part in range(3):  # 3 partitions, 3 segments each
+            for seq in range(3):
+                seg = _segment_df(spark, part, seq)
+                queue_append(seg, q_dir, part)
+                expected += [(r.id, r.payload, part) for r in seg.collect()]
+        assert queue_offsets(q_dir) == {0: 3, 1: 3, 2: 3}
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+        CRASH_BATCH = 2
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == CRASH_BATCH and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("injected")
+                raise RuntimeError("injected queue-consumer crash")
+            sink(batch_df, batch_id)
+
+        stream = read_queue_stream(spark, q_dir, SCHEMA)
+        q1 = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 180
+        while q1.isActive and time.time() < deadline:
+            time.sleep(0.3)
+        assert not q1.isActive, "stream never hit the injected crash"
+        assert "injected" in str(q1.exception())
+
+        # restart from the same checkpoint: the failed offset replays
+        # under the same batch_id, everything after follows, nothing
+        # before repeats
+        q2 = (
+            read_queue_stream(spark, q_dir, SCHEMA)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        got = [
+            (r.id, r.payload, r.partition)
+            for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+        ]
+        assert sorted(got) == sorted(expected)  # zero dup, zero missing
+        assert len(set(got)) == len(expected)
+        assert os.path.exists(marker)  # the crash really happened
+        # one segment per micro-batch -> 9 batch dirs, ids 0..8
+        batches = sorted(os.listdir(out))
+        assert len(batches) == 9
+
+
+def test_queue_resumes_from_committed_offsets(spark):
+    """Late appends: a second run against the same checkpoint consumes
+    ONLY segments published after the first drain (offset resume), and
+    new partitions appearing mid-lifetime are picked up."""
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        for part in (0, 1):
+            queue_append(_segment_df(spark, part, 0), q_dir, part)
+
+        def run():
+            rows_before = set()
+            if os.path.isdir(out):
+                rows_before = {
+                    r.id for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+                }
+            q = (
+                read_queue_stream(spark, q_dir, SCHEMA)
+                .writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, bid: df.write.mode("overwrite").parquet(
+                        os.path.join(out, f"batch={bid}")
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows_after = {
+                r.id for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+            }
+            return rows_after - rows_before
+
+        first = run()
+        assert len(first) == 20  # 2 segments x 10 rows
+
+        # publish more: a new offset on partition 0 AND a brand-new partition 2
+        queue_append(_segment_df(spark, 0, 1), q_dir, 0)
+        queue_append(_segment_df(spark, 2, 0), q_dir, 2)
+        second = run()
+        assert len(second) == 20  # only the new segments
+        assert {r // 100 for r in second} == {1, 2000}  # p0s1 and p2s0 bases
+
+
+def test_queue_partition_column_and_per_partition_order(spark):
+    """The directory key surfaces as a real `partition` column, and
+    within each partition offsets are consumed in seq order (the queue
+    ordering contract; cross-partition order is unspecified)."""
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        ckpt = os.path.join(work, "ckpt")
+        for part in (0, 1):
+            for seq in range(4):
+                queue_append(_segment_df(spark, part, seq, n=3), q_dir, part)
+
+        consumed: list[tuple[int, int, int]] = []  # (batch_id, partition, seq)
+
+        def sink(batch_df, batch_id):
+            rows = batch_df.select("partition", "file_path").distinct().collect()
+            for r in rows:
+                seq = int(re.search(r"seq=(\d+)\.parquet", r.file_path).group(1))
+                consumed.append((batch_id, r.partition, seq))
+
+        # _metadata must be projected on the file-source stream itself
+        # (inside foreachBatch the frame is already detached from the scan)
+        q = (
+            read_queue_stream(spark, q_dir, SCHEMA)
+            .select("*", F.col("_metadata.file_path").alias("file_path"))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        assert len(consumed) == 8
+        assert {p for _, p, _ in consumed} == {0, 1}
+        by_part: dict[int, list[int]] = {}
+        for bid, part, seq in sorted(consumed):
+            by_part.setdefault(part, []).append(seq)
+        for part, seqs in by_part.items():
+            assert seqs == sorted(seqs), f"partition {part} consumed out of order: {seqs}"
+            assert seqs == [0, 1, 2, 3]

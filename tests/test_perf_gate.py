@@ -125,3 +125,68 @@ def test_bench_auto_adjudication_noop_when_clean(monkeypatch):
     result = {"queries": {q: t for q, t in base.items()}, "value": 1.0}
     bench._auto_adjudicate(result, "/root/testdata/sf0.1")
     assert not calls and "auto_adjudication" not in result
+
+
+# --------------------------------------------------------------------------
+# Extras gate (r11, VERDICT r10 ask #3): queries tracked only in
+# BENCH_EXTRAS_r*.json — the decode tier above all — sit outside the
+# headline bench, so a codec regression could previously hide in the
+# unbenched tail. Gate each (query, sf) against its committed
+# round-of-introduction baseline with the same 2x standard.
+# --------------------------------------------------------------------------
+
+#: (query, sf_label) -> committed adjudication clearing a >GATE delta.
+EXTRAS_WAIVERS: dict[tuple[str, str], str] = {}
+
+
+def _extras_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
+    """Normalize both committed BENCH_EXTRAS formats into
+    (query, sf) -> [(round, sec), ...] sorted by round.
+
+    r05/r06: {"queries": {name: sec}, "sf_dir": ".../sf0.1"}
+    r10+:    {"timings": {"name@sf0.1": sec, ...}}"""
+    series: dict[tuple[str, str], list[tuple[int, float]]] = {}
+    for path in glob.glob(os.path.join(_ROOT, "BENCH_EXTRAS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            rec = json.load(f)
+        if "timings" in rec:
+            items = [(k.rsplit("@", 1), v) for k, v in rec["timings"].items()]
+            entries = [((name, sf), sec) for (name, sf), sec in items]
+        else:
+            sf = "sf" + os.path.basename(rec["sf_dir"].rstrip("/")).replace("sf", "")
+            entries = [((name, sf), sec) for name, sec in rec["queries"].items()]
+        for key, sec in entries:
+            series.setdefault(key, []).append((rnd, sec))
+    return {k: sorted(v) for k, v in series.items()}
+
+
+def test_extras_within_2x_of_introduction_baseline():
+    series = _extras_series()
+    assert series, "no BENCH_EXTRAS_r*.json committed"
+    violations = []
+    for (name, sf), points in series.items():
+        if len(points) < 2:
+            continue  # introduced this round: the baseline IS this point
+        (r0, base_sec), (rn, cur_sec) = points[0], points[-1]
+        if base_sec <= 0:
+            continue
+        ratio = cur_sec / base_sec
+        if ratio > GATE and (name, sf) not in EXTRAS_WAIVERS:
+            violations.append(
+                f"{name}@{sf}: {cur_sec:.3f}s (r{rn}) vs {base_sec:.3f}s (r{r0}) = {ratio:.2f}x"
+            )
+    assert not violations, (
+        f"extras exceed the {GATE}x introduction-baseline gate on: "
+        + "; ".join(violations)
+        + " — adjudicate with scripts/ab_drift.py and either fix the "
+        "regression or add an EXTRAS_WAIVERS entry citing the committed "
+        "DRIFT_AB artifact"
+    )
+
+
+def test_extras_waivers_cite_committed_adjudications():
+    for key, citation in EXTRAS_WAIVERS.items():
+        m = re.search(r"DRIFT_AB_r\d+\w*\.json", citation)
+        assert m, f"waiver for {key} must cite a DRIFT_AB artifact"
+        assert os.path.exists(os.path.join(_ROOT, m.group(0)))

@@ -564,3 +564,42 @@ def test_bucketed_anti_join_steady_state_has_no_shuffle(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS inc_src_bkt")
             spark.sql("DROP TABLE IF EXISTS inc_sink_bkt")
+
+
+def test_scan_spread_is_noop_when_scan_already_parallel(spark, tmp_path):
+    """Pin the load_table_parallel no-op-at-scale claim (r11, VERDICT
+    r10 ask #7): the round-robin spread exists only for tiny scans.
+    When the input already carries >= defaultParallelism partitions —
+    always true at 100 TB, where maxPartitionBytes yields thousands of
+    tasks — the RoundRobin exchange must be ABSENT from the plan."""
+    from orders_currency_conversion_etl_spark.sources import catalog as cat
+
+    target = spark.sparkContext.defaultParallelism
+    # stage a many-file copy of documents under the table layout so the
+    # REAL entry point runs its guard against it
+    cat.load_table(spark, SF, "documents").repartition(target + 4).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # tiny fixture files get bin-packed below target by openCostInBytes;
+    # pin scan partitioning to one-per-file so the scan genuinely
+    # arrives "already parallel" (at 100 TB maxPartitionBytes does this
+    # for free — thousands of tasks)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4096")
+        many = cat.load_table_parallel(spark, str(tmp_path), "documents")
+        assert many.rdd.getNumPartitions() >= target
+        plan_many = many._jdf.queryExecution().optimizedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan_many
+        assert "Repartition" not in plan_many
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    # and the small-scan case DOES spread (the guard's other branch)
+    small = cat.load_table_parallel(spark, SF, "documents")
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert small.rdd.getNumPartitions() >= target
+    assert "Repartition" in plan_small or "RoundRobinPartitioning" in plan_small
