@@ -210,3 +210,57 @@ def test_queue_partition_column_and_per_partition_order(spark):
         for part, seqs in by_part.items():
             assert seqs == sorted(seqs), f"partition {part} consumed out of order: {seqs}"
             assert seqs == [0, 1, 2, 3]
+
+
+def test_flagship_conversion_through_queue(spark):
+    """The queue source drives the reference's core pipeline: orders
+    published as queue segments across 2 partitions, consumed through
+    convert_stream (the same stream-static broadcast join the file
+    staging uses), must produce exactly the batch flagship's rows."""
+    from orders_currency_conversion_etl_spark.plans.registry import (
+        CONVERSION_TIME,
+        QUERIES,
+        boundary_cast,
+    )
+    from orders_currency_conversion_etl_spark.sources import catalog
+    from orders_currency_conversion_etl_spark.streaming.orders_stream import (
+        convert_stream,
+        dual_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        out = os.path.join(work, "out")
+        orders = catalog.load_table(spark, sf, "orders")
+        # split the fact across 2 queue partitions, 2 segments each
+        for part in (0, 1):
+            half = orders.filter(F.col("o_orderkey") % 2 == part)
+            for seq in (0, 1):
+                quarter = (F.col("o_orderkey") % 4).cast("int")
+                queue_append(half.filter((quarter - quarter % 2) / 2 == seq), q_dir, part)
+
+        schema = spark.read.parquet(os.path.join(q_dir, "partition=0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(q_dir, "partition=*"))
+        )
+        q = (
+            convert_stream(stream, spark, CONVERSION_TIME)
+            .writeStream.outputMode("append")
+            .foreachBatch(dual_sink(out))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        streamed = boundary_cast(
+            spark.read.parquet(os.path.join(out, "orders_eur", "batch=*"))
+        )
+        batch = QUERIES["flagship_conversion"](spark, sf)
+        s = sorted(tuple(r) for r in streamed.collect())
+        b = sorted(tuple(r) for r in batch.collect())
+        assert len(s) == len(b) > 0
+        assert s == b

@@ -120,3 +120,63 @@ def test_incremental_idempotency(spark, batch):
     sink = first.select("order_id")
     second = unprocessed(src, sink, key="order_id")
     assert second.count() == 0
+
+
+# --------------------------------------------------------------------------
+# r11 codec properties (driver-side, no Spark): header parsers agree
+# with the encoders for arbitrary dims; audio tiers hold their exact /
+# bounded-error contracts over the whole input domain.
+# --------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_dims_parsers_agree_with_encoders(w, h, seed):
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    rgb = bytes(np.random.default_rng(seed).integers(0, 256, w * h * 3, dtype=np.uint8))
+    assert mm.ppm_dims(mm.encode_ppm(w, h, rgb)) == (w, h, "RGB")
+    assert mm.png_dims(mm.encode_png(w, h, rgb)) == (w, h, "RGB")
+    assert mm.jpeg_dims(mm.encode_jpeg(w, h, rgb)) == (w, h, "RGB")
+    # and the full decoders report the same dims
+    assert mm.decode_png(mm.encode_png(w, h, rgb))[:2] == (w, h)
+    assert mm.decode_jpeg(mm.encode_jpeg(w, h, rgb))[:2] == (w, h)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_wav_float32_roundtrip_exact_for_all_int16(samples):
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    pcm = np.array(samples, dtype="<i2").tobytes()
+    assert mm.decode_wav_ex(mm.encode_wav(8000, pcm, fmt="float32"))[4] == pcm
+
+
+@given(st.integers(min_value=-32768, max_value=32767))
+@settings(max_examples=200, deadline=None)
+def test_mulaw_quantization_error_bounded(s):
+    """G.711 compress/expand: sign preserved, error bounded by one
+    mantissa step of the active segment (< 8<<e <= 1024), clip region
+    maps to the table extreme."""
+    from orders_currency_conversion_etl_spark.operators.multimodal import (
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+    )
+
+    dec = mulaw_decode_sample(mulaw_encode_sample(s))
+    clipped = max(-32635, min(32635, s))
+    assert abs(dec - clipped) < 1024
+    if clipped > 0:
+        assert dec >= 0
+    elif clipped < 0:
+        assert dec <= 0
+    # idempotent fixpoint: a decoded value re-encodes to the same code
+    assert mulaw_decode_sample(mulaw_encode_sample(dec)) == dec
