@@ -97,6 +97,45 @@ def queue_append(df: DataFrame, queue_dir: str, partition_id: int) -> int:
     return offset
 
 
+def read_queue_batch(
+    spark: SparkSession,
+    queue_dir: str,
+    schema: T.StructType,
+    partitions: "list[int] | None" = None,
+    from_offsets: "dict[int, int] | None" = None,
+) -> DataFrame:
+    """Batch backfill read — the ``startingOffsets`` analogue: replay a
+    slice of the queue without a checkpoint, e.g. to rebuild a
+    downstream table or audit a partition.
+
+    - ``partitions``: restrict to these queue partitions. The filter
+      lands on the directory-key column, so Spark PRUNES the other
+      partition directories at plan time (asserted in
+      tests/test_file_queue.py) — at 100 TB a one-partition backfill
+      lists one prefix, not the queue.
+    - ``from_offsets``: {partition: first offset to include}; offsets
+      below it are dropped via the segment path (``_metadata`` column —
+      evaluated at the scan, no extra pass). Partitions absent from the
+      map replay from 0.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", queue_dir)
+        .parquet(os.path.join(queue_dir, "partition=*"))
+    )
+    if partitions is not None:
+        df = df.filter(F.col("partition").isin([int(p) for p in partitions]))
+    if from_offsets:
+        seq = F.regexp_extract(F.col("_metadata.file_path"), r"seq=(\d+)\.parquet$", 1).cast("int")
+        start = F.create_map(
+            *[F.lit(x) for kv in from_offsets.items() for x in kv]
+        )
+        df = df.filter(seq >= F.coalesce(start[F.col("partition")], F.lit(0)))
+    return df
+
+
 def read_queue_stream(
     spark: SparkSession,
     queue_dir: str,

@@ -264,3 +264,45 @@ def test_flagship_conversion_through_queue(spark):
         b = sorted(tuple(r) for r in batch.collect())
         assert len(s) == len(b) > 0
         assert s == b
+
+
+def test_queue_batch_backfill_prunes_partitions_and_offsets(spark):
+    """read_queue_batch: the partition filter must PRUNE directories at
+    plan time (PartitionFilters on the directory-key column), and
+    from_offsets drops earlier segments via the scan's metadata column."""
+    from orders_currency_conversion_etl_spark.streaming.file_queue import (
+        read_queue_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        for part in range(3):
+            for seq in range(3):
+                queue_append(_segment_df(spark, part, seq, n=4), q_dir, part)
+
+        # full replay
+        assert read_queue_batch(spark, q_dir, SCHEMA).count() == 36
+
+        # one-partition backfill: correct rows AND a pruned scan
+        one = read_queue_batch(spark, q_dir, SCHEMA, partitions=[1])
+        rows = one.collect()
+        assert len(rows) == 12 and all(r.partition == 1 for r in rows)
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "partition" in m.group(1), plan[:800]
+
+        # offset slice: partition 0 from seq 2, partition 1 from seq 1,
+        # partition 2 absent -> replays from 0
+        sliced = read_queue_batch(
+            spark, q_dir, SCHEMA, from_offsets={0: 2, 1: 1}
+        )
+        got = {(r.partition, r.id) for r in sliced.collect()}
+        assert len([x for x in got if x[0] == 0]) == 4   # seq 2 only
+        assert len([x for x in got if x[0] == 1]) == 8   # seqs 1,2
+        assert len([x for x in got if x[0] == 2]) == 12  # all
+        # ids confirm WHICH segments survived, not just how many
+        assert {i for p, i in got if p == 0} == set(range(200, 204))
+
+        # compose both: partition 1 from offset 2
+        both = read_queue_batch(spark, q_dir, SCHEMA, partitions=[1], from_offsets={1: 2})
+        assert {r.id for r in both.collect()} == set(range(100200, 100204))
