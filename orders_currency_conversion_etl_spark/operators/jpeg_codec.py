@@ -152,8 +152,24 @@ def _dct_matrix() -> np.ndarray:
 _T = _dct_matrix()
 
 
-def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+# Table-build memoization (r11): every image carries the same four
+# Annex K Huffman specs and (per quality) the same two quant tables, so
+# rebuilding them per call dominated tiny-image encode/decode — ~35% of
+# encode and ~45% of decode in the registry's solid-color workload.
+# Keys are the raw byte content (counts/symbols are all < 256), capped
+# defensively for adversarial streams carrying many distinct tables.
+_TABLE_CACHE_CAP = 64
+_CODES_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+_DECODE_CACHE: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
+_QSCALE_CACHE: dict[tuple[bytes, int], np.ndarray] = {}
+
+
+def _canonical_codes(bits: "list[int]", vals: "list[int]") -> dict[int, tuple[int, int]]:
     """value -> (code, length) per the canonical JPEG code assignment."""
+    key = (bytes(bits), bytes(vals))
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -163,20 +179,40 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    if len(_CODES_CACHE) >= _TABLE_CACHE_CAP:
+        _CODES_CACHE.clear()
+    _CODES_CACHE[key] = out
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+def _decode_table(bits: "list[int]", vals: "list[int]") -> dict[tuple[int, int], int]:
     """(length, code) -> value, for bit-serial decoding."""
+    key = (bytes(bits), bytes(vals))
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     enc = _canonical_codes(bits, vals)
-    return {(length, code): v for v, (code, length) in enc.items()}
+    out = {(length, code): v for v, (code, length) in enc.items()}
+    if len(_DECODE_CACHE) >= _TABLE_CACHE_CAP:
+        _DECODE_CACHE.clear()
+    _DECODE_CACHE[key] = out
+    return out
 
 
 def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    key = (base.tobytes(), quality)
+    hit = _QSCALE_CACHE.get(key)
+    if hit is not None:
+        return hit
     q = max(1, min(100, quality))
     s = 5000 // q if q < 50 else 200 - 2 * q
     out = (base * s + 50) // 100
-    return np.clip(out, 1, 255).astype(np.int32)
+    out = np.clip(out, 1, 255).astype(np.int32)
+    out.setflags(write=False)  # shared across calls — must stay immutable
+    if len(_QSCALE_CACHE) >= _TABLE_CACHE_CAP:
+        _QSCALE_CACHE.clear()
+    _QSCALE_CACHE[key] = out
+    return out
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -249,7 +285,15 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
 
     def pad(comp: np.ndarray) -> np.ndarray:
-        return np.pad(comp, ((0, ph - height), (0, pw - width)), mode="edge")
+        # hand-rolled edge pad: np.pad's Python-side setup cost (~60 us)
+        # dominated tiny-image encode (r11 profile)
+        if ph == height and pw == width:
+            return comp
+        out = np.empty((ph, pw), dtype=comp.dtype)
+        out[:height, :width] = comp
+        out[height:, :width] = comp[height - 1 :, :]
+        out[:, width:] = out[:, width - 1 : width]
+        return out
 
     planes = [(pad(y), qy, dc_l, ac_l), (pad(cb), qc, dc_c, ac_c), (pad(cr), qc, dc_c, ac_c)]
 
@@ -295,7 +339,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     def dqt(tid: int, qt: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(qt[r, c]) for r, c in _ZIGZAG))
+        return seg(0xFFDB, bytes([tid]) + qt[_ZROWS, _ZCOLS].astype(np.uint8).tobytes())
 
     def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
         bits, vals = spec
