@@ -953,6 +953,24 @@ def _mulaw_table():
     return np.array([mulaw_decode_sample(c) for c in range(256)], dtype=np.int16)
 
 
+def mulaw_encode_array(samples) -> "np.ndarray":
+    """Vectorized G.711 compress (r11): whole int16 arrays, no
+    per-sample Python. The segment search (scalar: walk a mask from
+    bit 14 down) is exactly ``bit_length(mag) - 8`` clipped to [0, 7];
+    ``np.frexp`` gives bit_length exactly (no float-log rounding
+    hazards). Pinned equal to the scalar encoder over the ENTIRE int16
+    domain in tests."""
+    import numpy as np
+
+    s = np.asarray(samples).astype(np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), _MULAW_CLIP) + _MULAW_BIAS
+    _, exp = np.frexp(mag.astype(np.float64))  # mag = m * 2**exp, 0.5 <= m < 1
+    e = np.clip(exp - 8, 0, 7)
+    m = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
 _WAV_TAGS = {"pcm16": 1, "float32": 3, "mulaw": 7}
 _WAV_TAG_NAMES = {1: "pcm16", 3: "float32", 7: "mulaw"}
 
@@ -990,7 +1008,7 @@ def encode_wav(
     elif fmt == "float32":
         data, bits = (pcm.astype(np.float32) / np.float32(32768.0)).astype("<f4").tobytes(), 32
     else:
-        data = bytes(mulaw_encode_sample(int(s)) for s in pcm)
+        data = mulaw_encode_array(pcm).tobytes()
         bits = 8
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
@@ -1200,9 +1218,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = encode_wav(8000, source, fmt=fmt)
                 enc, rate, _nch, n_frames, pcm = decode_wav_ex(payload)
                 if enc_id == 2:
-                    back = bytes(
-                        mulaw_encode_sample(int(s)) for s in np.frombuffer(pcm, dtype="<i2")
-                    )
+                    back = mulaw_encode_array(np.frombuffer(pcm, dtype="<i2")).tobytes()
                     ok = back == codes
                 else:
                     ok = pcm == source

@@ -1018,3 +1018,17 @@ def test_jpeg_bit_accumulators_stay_bounded():
     for _ in range(5000):
         r.bits(7)
         assert r.acc.bit_length() <= r.n <= 40
+
+
+def test_mulaw_vectorized_compress_matches_scalar_exhaustively():
+    """mulaw_encode_array (the no-per-sample-Python path used by the
+    payload builder and the round-trip verify leg) must equal the
+    scalar spec encoder over the ENTIRE int16 domain."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    all16 = np.arange(-32768, 32768, dtype=np.int32)
+    vec = mm.mulaw_encode_array(all16)
+    scal = np.array([mm.mulaw_encode_sample(int(s)) for s in all16], dtype=np.uint8)
+    assert (vec == scal).all()
