@@ -435,15 +435,22 @@ ROTATION_R10_REVALIDATE = [
 #   r11 (this one): 12 anchors + 1 r11-new registration
 #       (multimodal_audio_decode — float32/mu-law WAV tiers, VERDICT
 #       r10 ask #5: the decode_wav NotImplementedError branch is now
-#       unreachable for those encodings) + 37 staleness
-#       re-validations: the ENTIRE r5-only cohort (23 — due this round
-#       by the invariant "no registry entry's newest driver row is
-#       older than 5 rounds"; r5 greens turn 6 rounds old at r11) and
-#       the alphabetically-first 14 of the r6-only cohort (37 names).
+#       unreachable for those encodings) + the 2 r10 pure-codec
+#       queries (VERDICT r10 ask #1's done-criterion names them: both
+#       must be green in CORRECTNESS_r11 after the r11 dispatch rework
+#       and the entropy-coder accumulator/memoization changes touched
+#       their code path) + 35 staleness re-validations: the ENTIRE
+#       r5-only cohort (23 — due this round by the invariant "no
+#       registry entry's newest driver row is older than 5 rounds";
+#       r5 greens turn 6 rounds old at r11) and the
+#       alphabetically-first 12 of the r6-only cohort (35 names).
 #       Cohorts recomputed from CORRECTNESS_r01..r10 this session.
-#       12 + 1 + 23 + 14 = 50.
+#       12 + 1 + 2 + 23 + 12 = 50.
 ROTATION_R11_NEW = [
     "multimodal_audio_decode",
+    # r10-new, re-windowed: their codec path changed this round
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
 ]
 
 ROTATION_R11_REVALIDATE = [
@@ -471,7 +478,7 @@ ROTATION_R11_REVALIDATE = [
     "text_redact_pii",
     "text_repetition_filter",
     "topk_nulls_last",
-    # (b) newest green row = r6, alphabetically first 14:
+    # (b) newest green row = r6, alphabetically first 12:
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_collect_sorted",
@@ -484,8 +491,6 @@ ROTATION_R11_REVALIDATE = [
     "dedup_semantic_clustered",
     "explode_part_types",
     "filter_composite_predicates",
-    "heavy_hitters_mg",
-    "join_asof_forward_rates",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R11_NEW + ROTATION_R11_REVALIDATE
