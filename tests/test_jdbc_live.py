@@ -301,3 +301,54 @@ def test_reference_ddl_types_roundtrip_exact(spark, tmp_path):
     g = got[0]
     assert isinstance(g[3], decimal.Decimal) and g[3].as_tuple().exponent == -2
     assert isinstance(g[6], decimal.Decimal) and g[6].as_tuple().exponent == -6
+
+
+def test_postgres_dialect_ddl_matches_reference_types(spark):
+    """Strengthen the closed-by-proxy Postgres gap (r11): without a
+    live Postgres, pin the DDL column types Spark's OWN PostgresDialect
+    (the code path a real cluster would execute) emits for the
+    reference's orders_eur schema, next to the reference DDL they must
+    interoperate with (init/postgres-2/init.sql:1-11).
+
+    - DECIMAL(12,2)/(16,6) map verbatim — exact decimal transit both
+      directions, the property test_reference_ddl_types_roundtrip_exact
+      proves against Derby.
+    - TIMESTAMP maps verbatim.
+    - StringType maps to TEXT unless createTableColumnTypes overrides —
+      which is exactly why jdbc_idempotent_sink writes explicit values
+      and why the UUID column is declared VARCHAR(36) in our sink DDL
+      (a string UUID round-trips bit-identically; Postgres would also
+      accept it into a native UUID column on insert)."""
+    jvm = spark._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://host/db")
+    assert dialect.getClass().getName().endswith("PostgresDialect")
+    DT = jvm.org.apache.spark.sql.types.DataType
+
+    def pg_type(simple: str) -> str:
+        dt = DT.fromJson(f'"{simple}"')
+        opt = dialect.getJDBCType(dt)
+        if opt.isDefined():
+            return opt.get().databaseTypeDefinition()
+        common = jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(dt)
+        assert common.isDefined(), f"no JDBC mapping for {simple}"
+        return common.get().databaseTypeDefinition()
+
+    # reference orders_eur columns -> what Spark would CREATE on Postgres.
+    # NUMERIC is Postgres's exact alias for DECIMAL (same type OID), so
+    # the reference's DECIMAL(12,2) columns and Spark's emitted DDL are
+    # the identical exact type.
+    assert pg_type("decimal(12,2)") == "NUMERIC(12,2)"   # original_amount / amount_eur
+    assert pg_type("decimal(16,6)") == "NUMERIC(16,6)"   # exchange_rate
+    # Spark's TimestampType carries instant semantics, so the dialect
+    # maps it to TIMESTAMP WITH TIME ZONE; the reference's plain
+    # TIMESTAMP (without time zone) is what Spark's timestamp_ntz maps
+    # to. Appends into the reference's EXISTING plain-TIMESTAMP columns
+    # transit java.sql.Timestamp wall clocks, and this repo pins every
+    # session to UTC (session.py), so the instant/wall-clock
+    # distinction cannot produce a value difference on either type.
+    assert pg_type("timestamp") == "TIMESTAMP WITH TIME ZONE"
+    assert pg_type("timestamp_ntz") == "TIMESTAMP"       # the reference DDL's type
+    assert pg_type("string") == "TEXT"                   # customer_email / currency (VARCHAR in ref DDL:
+    # interoperable — TEXT and VARCHAR(n) compare equal in Postgres; writes
+    # into a pre-created VARCHAR(255) column are unaffected because the
+    # sink appends to the reference's existing tables, never re-creates)
