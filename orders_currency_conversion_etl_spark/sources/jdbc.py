@@ -57,8 +57,15 @@ DEFAULT_BATCH_SIZE = 1000  # reference: commit_every/chunksize=1000
 #:   CURRENT_TIMESTAMP): the sink always writes explicit values, never
 #:   relying on backend defaults, so default-expression dialect
 #:   differences cannot be observed.
-#: Residual untested surface: Postgres-specific reserved words and its
-#: `TIMESTAMP WITH TIME ZONE` (unused by the reference DDL). Gap
+#: Additionally pinned r11: Spark's OWN PostgresDialect (the code path
+#: a real cluster executes) is exercised through the JVM gateway and
+#: its emitted DDL type per orders_eur column is asserted against the
+#: reference DDL — NUMERIC(12,2)/(16,6) (Postgres's exact alias for
+#: DECIMAL), TIMESTAMP WITH TIME ZONE for instant-semantics timestamps
+#: vs plain TIMESTAMP for timestamp_ntz (the reference's type), TEXT
+#: for strings (tests/test_jdbc_live.py::
+#: test_postgres_dialect_ddl_matches_reference_types).
+#: Residual untested surface: Postgres-specific reserved words. Gap
 #: status: CLOSED-BY-PROXY, same grade as the PIL/protobuf env gates.
 POSTGRES_DIALECT_NOTES = "see module docstring block above"
 
