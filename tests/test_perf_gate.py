@@ -190,3 +190,24 @@ def test_extras_waivers_cite_committed_adjudications():
         m = re.search(r"DRIFT_AB_r\d+\w*\.json", citation)
         assert m, f"waiver for {key} must cite a DRIFT_AB artifact"
         assert os.path.exists(os.path.join(_ROOT, m.group(0)))
+
+
+def test_bench_auto_adjudication_skips_on_sf_mismatch(monkeypatch):
+    """r11 ADVICE fix: a bench run at a different scale than the r1
+    baseline must not adjudicate — every query would flag (10x data)
+    and the reruns would burn up to 30 min comparing different scales."""
+    import bench
+
+    calls = []
+    monkeypatch.setattr(
+        bench, "_fresh_process_rerun", lambda flagged, sf_dir: calls.append(flagged) or {}
+    )
+    with open(os.path.join(_ROOT, "BENCH_r01.json")) as f:
+        base = json.load(f)["parsed"]["queries"]
+    result = {
+        "queries": {q: t * 5 for q, t in base.items()},  # everything 5x "slower"
+        "value": 1.0,
+        "sf": 1.0,  # but at sf1, not the baseline's sf0.1
+    }
+    bench._auto_adjudicate(result, "/root/repo/.localdata/sf1")
+    assert not calls and "auto_adjudication" not in result
