@@ -10,7 +10,11 @@ Same protocol as BENCH_EXTRAS_r10 (warm min-of-2 per (query, sf)):
   (full pixel decode through the pure codecs on this PIL-less rig) over
   the SAME synthesized payloads — the delta is exactly the entropy
   decode the dims path no longer pays;
-- `incremental_unprocessed_at_scale` to keep the r10 series going.
+- `incremental_unprocessed_at_scale` to keep the r10 series going;
+- `queue_convert_drain` — the r11 queue source's end-to-end number:
+  stage sf0.1 orders into 4 partitions x 8 segments, drain through the
+  flagship conversion join under availableNow, exactness asserted
+  against the batch twin over the same staged segments.
 
 Run from the repo root on a QUIET rig: python scripts/bench_extras_r11.py
 """
@@ -87,10 +91,68 @@ def _time(fn, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _queue_drain_seconds(spark, sf_dir: str) -> float:
+    """Stage orders into the file queue (4 partitions x 8 segments) and
+    time an availableNow drain through the flagship conversion join —
+    the queue source's end-to-end throughput number."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.plans.registry import CONVERSION_TIME
+    from orders_currency_conversion_etl_spark.streaming.file_queue import queue_append
+    from orders_currency_conversion_etl_spark.streaming.orders_stream import convert_stream
+
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        orders = catalog.load_table(spark, sf_dir, "orders")
+        for part in range(4):
+            sub = orders.filter(F.col("o_orderkey") % 4 == part)
+            for seq in range(8):
+                eighth = ((F.col("o_orderkey") - F.col("o_orderkey") % 4) / 4 % 8).cast("int")
+                queue_append(sub.filter(eighth == seq), q_dir, part)
+        schema = spark.read.parquet(os.path.join(q_dir, "partition=0")).schema
+        counts = []
+        t0 = _time.perf_counter()
+        q = (
+            convert_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(os.path.join(q_dir, "partition=*")),
+                spark,
+                CONVERSION_TIME,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: counts.append(df.count()))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = _time.perf_counter() - t0
+        # exactness: the drained total must equal the batch twin over
+        # the same staged segments (the conversion projection filters
+        # rows, so orders.count() is not the right target)
+        from orders_currency_conversion_etl_spark.operators.convert import (
+            convert_orders,
+            orders_src_from_tpch,
+        )
+        from orders_currency_conversion_etl_spark.sources.rates import rates_df
+
+        staged = spark.read.schema(schema).parquet(os.path.join(q_dir, "partition=*"))
+        batch_n = convert_orders(
+            orders_src_from_tpch(staged), rates_df(spark), CONVERSION_TIME
+        ).count()
+        assert sum(counts) == batch_n, (sum(counts), batch_n)
+        return round(sec, 3)
+
+
 def main() -> None:
     spark = get_spark("bench-extras-r11")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    timings["queue_convert_drain@sf0.1"] = _queue_drain_seconds(spark, "/root/testdata/sf0.1")
     for sf_label, sf_dir in SFS:
         if not os.path.isdir(sf_dir):
             print(f"skip {sf_label}: {sf_dir} missing", file=sys.stderr)
