@@ -52,6 +52,7 @@ from orders_currency_conversion_etl_spark.functions import pandas_fn as _pandas_
 from orders_currency_conversion_etl_spark.streaming import attribution as _attribution  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import dedup_stream as _dedup_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
+from orders_currency_conversion_etl_spark.streaming import file_queue as _file_queue  # noqa: F401
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -445,9 +446,12 @@ ROTATION_R10_REVALIDATE = [
 #       r5 greens turn 6 rounds old at r11) and the
 #       alphabetically-first 12 of the r6-only cohort (35 names).
 #       Cohorts recomputed from CORRECTNESS_r01..r10 this session.
-#       12 + 1 + 2 + 23 + 12 = 50.
+#       A second r11 registration (flagship_queue_drain — the flagship
+#       executed through the new queue source, flagship oracle) takes
+#       one more slot. 12 + 2 + 2 + 23 + 11 = 50.
 ROTATION_R11_NEW = [
     "multimodal_audio_decode",
+    "flagship_queue_drain",
     # r10-new, re-windowed: their codec path changed this round
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
@@ -478,7 +482,7 @@ ROTATION_R11_REVALIDATE = [
     "text_redact_pii",
     "text_repetition_filter",
     "topk_nulls_last",
-    # (b) newest green row = r6, alphabetically first 12:
+    # (b) newest green row = r6, alphabetically first 11:
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_collect_sorted",
@@ -490,7 +494,6 @@ ROTATION_R11_REVALIDATE = [
     "agg_statistics",
     "dedup_semantic_clustered",
     "explode_part_types",
-    "filter_composite_predicates",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R11_NEW + ROTATION_R11_REVALIDATE

@@ -45,6 +45,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..plans.registry import CONVERSION_TIME, _FLAGSHIP_ORACLE, query
+
 _SEQ_RE = re.compile(r"seq=(\d{8})\.parquet$")
 
 
@@ -153,3 +155,59 @@ def read_queue_stream(
         .option("basePath", queue_dir)
         .parquet(os.path.join(queue_dir, "partition=*"))
     )
+
+
+@query("flagship_queue_drain", _FLAGSHIP_ORACLE)
+def flagship_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship conversion executed THROUGH the queue source (r11):
+    orders published as 2 partitions x 2 segments, drained availableNow
+    through the same stream-static broadcast join the batch flagship
+    compiles to, accumulated via an idempotent batch=N sink, read back.
+    The oracle is the flagship's own SQL — the streaming execution must
+    produce exactly those rows, which makes the queue source itself
+    driver-verifiable instead of pytest-only.
+
+    Eager by design (the drain runs inside the call, like the
+    materialized-graph builders); output lands in a fresh mkdtemp the
+    returned DataFrame reads lazily, left for OS tmp cleanup. At 100 TB
+    the identical topology runs continuously with a processingTime
+    trigger and the checkpoint as the consumer-group offset store
+    (tests/test_file_queue.py pins crash/restart exactly-once).
+    Reference parity: dags/order_currency_conversion_dag.py:14 re-runs
+    this hourly from cron; the queue form is the push-based EXT shape."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import catalog
+    from .orders_stream import convert_stream
+
+    work = tempfile.mkdtemp(prefix="spark_graft_queue_drain_")
+    q_dir = os.path.join(work, "queue")
+    out = os.path.join(work, "out")
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    for part in (0, 1):
+        sub = orders.filter(F.col("o_orderkey") % 2 == part)
+        half = ((F.col("o_orderkey") - F.col("o_orderkey") % 2) / 2 % 2).cast("int")
+        for seq in (0, 1):
+            queue_append(sub.filter(half == seq), q_dir, part)
+    schema = spark.read.parquet(os.path.join(q_dir, "partition=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(os.path.join(q_dir, "partition=*"))
+    )
+    q = (
+        convert_stream(stream, spark, CONVERSION_TIME)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={bid}")
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "batch=*"))
