@@ -735,18 +735,33 @@ def jpeg_dims(payload: bytes) -> tuple[int, int, str]:
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    while pos + 4 <= len(payload):
+    n = len(payload)
+    while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
-        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        # spec allows any number of 0xFF fill bytes before the marker code
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = 0xFF00 | payload[pos]
+        pos += 1
         if marker in (0xFFD9, 0xFFDA):  # EOI / SOS without a frame header
             break
-        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            continue  # TEM / RSTn: standalone markers, no length field
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment length")
+        length = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if length < 2 or pos + length > n:
+            raise ValueError("truncated JPEG segment body")
         if marker in _JPEG_SOF_MARKERS:
-            _prec, h, w, nc = struct.unpack(">BHHB", payload[pos + 4 : pos + 10])
+            if length < 8:
+                raise ValueError("truncated JPEG SOF header")
+            _prec, h, w, nc = struct.unpack(">BHHB", payload[pos + 2 : pos + 8])
             mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(nc, f"NC{nc}")
             return w, h, mode
-        pos += 2 + length
+        pos += length
     raise ValueError("JPEG frame header (SOFn) not found")
 
 
@@ -805,29 +820,45 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     NotImplementedError otherwise. The Spark plumbing (binary in,
     typed struct out, Arrow batching) is identical to
     :func:`_feature_batches`."""
-    import io
-
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            payload = bytes(payload)
-            if payload.startswith(b"P6\n"):
-                rows.append((doc_id, *ppm_dims(payload)))
-            elif payload.startswith(_PNG_SIG):
-                rows.append((doc_id, *png_dims(payload)))
-            elif payload.startswith(b"\xff\xd8"):
-                rows.append((doc_id, *jpeg_dims(payload)))
-            elif _HAS_PIL:  # pragma: no cover - requires PIL
-                with Image.open(io.BytesIO(payload)) as im:
-                    rows.append((doc_id, im.width, im.height, im.mode))
-            else:
-                raise NotImplementedError(
-                    "image bytes beyond PPM/PNG/JPEG require PIL, not "
-                    "available in this environment; those three parse "
-                    "header-only via the pure-Python dims parsers, and "
-                    "multimodal_features is the codec-free byte-level path"
-                )
+            rows.append((doc_id, *image_dims(bytes(payload))))
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mode"])
+
+
+def image_dims(payload: bytes) -> tuple[int, int, str]:
+    """Header-only dims dispatch with PIL as the rescue path (r12
+    ADVICE fix): a spec-exotic external payload the strict pure parser
+    rejects (e.g. APPn padding the walk mishandles) still resolves via
+    ``Image.open`` when PIL is installed — PIL is itself header-lazy,
+    so the rescue stays O(header). Without PIL the parser's ValueError
+    propagates with the original diagnostic."""
+    import io
+
+    if payload.startswith(b"P6\n"):
+        parser = ppm_dims
+    elif payload.startswith(_PNG_SIG):
+        parser = png_dims
+    elif payload.startswith(b"\xff\xd8"):
+        parser = jpeg_dims
+    elif _HAS_PIL:  # pragma: no cover - requires PIL
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, im.mode
+    else:
+        raise NotImplementedError(
+            "image bytes beyond PPM/PNG/JPEG require PIL, not "
+            "available in this environment; those three parse "
+            "header-only via the pure-Python dims parsers, and "
+            "multimodal_features is the codec-free byte-level path"
+        )
+    try:
+        return parser(payload)
+    except ValueError:
+        if _HAS_PIL:  # pragma: no cover - requires PIL
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, im.mode
+        raise
 
 
 def decode_images(docs_with_payload: DataFrame) -> DataFrame:
@@ -1187,8 +1218,9 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     int16 PCM byte-equality for pcm16/float32 (the ``k/32768`` float
     convention is lossless by construction), re-compressed code-stream
     byte-equality for mu-law (G.711 expand/compress is an exact
-    involution on code points; documents.text is printable ASCII so
-    the 0x7F/0xFF zero-collision never occurs in the stream).
+    involution on code points once 0x7F — the one code that re-encodes
+    differently, the 0x7F/0xFF zero-collision — is remapped out of the
+    synthesized stream, making the check fixture-independent).
 
     One narrow projection feeds one mapInPandas stage — encode, decode
     and verify all happen on the same executor row, so no shuffle and
@@ -1209,7 +1241,13 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, enc_id, text in zip(pdf["doc_id"], pdf["enc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 if enc_id == 2:
-                    codes = raw or b"\xff"  # 0xff decodes to 0, re-encodes to 0xff
+                    # 0x7f and 0xff both decode to 0 but re-encode to
+                    # 0xff (the G.711 zero-collision) — remap 0x7f in
+                    # the synthesized code stream so the exact-involution
+                    # check never depends on the fixture's byte content
+                    # (r12 ADVICE fix; previously held only because
+                    # documents.text is printable ASCII).
+                    codes = (raw or b"\xff").replace(b"\x7f", b"\xff")
                     source = table[np.frombuffer(codes, dtype=np.uint8)].astype("<i2").tobytes()
                     fmt = "mulaw"
                 else:

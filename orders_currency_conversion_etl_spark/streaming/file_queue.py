@@ -14,9 +14,10 @@ Layout (one directory per partition, sequence-numbered segment files)::
 - **Producer** (:func:`queue_append`): one producer per partition (the
   Kafka contract — partition-append is single-writer); the next offset
   is 1 + the highest committed segment, and the write is
-  temp-file-then-atomic-rename so a torn producer crash can never
-  publish a half-written segment (readers only ever see fully renamed
-  files, the same guarantee a broker's commit gives).
+  temp-file-then-atomic-hard-link so a torn producer crash can never
+  publish a half-written segment (readers only ever see fully linked
+  files, the same guarantee a broker's commit gives) and a duplicate
+  offset fails loudly instead of overwriting (EEXIST).
 - **Consumer** (:func:`read_queue_stream`): Structured Streaming's file
   source over the queue root. The checkpoint's file log IS the
   consumer-group offset store: each segment is consumed exactly once
@@ -84,7 +85,12 @@ def queue_append(df: DataFrame, queue_dir: str, partition_id: int) -> int:
     the directory mid-write never sees the segment.
 
     The DataFrame is written via its own plan (executor-side, any
-    size); the rename is a driver-side metadata operation."""
+    size); the publish is a driver-side metadata operation. The link
+    is no-replace (``os.link`` fails with EEXIST): two producers racing
+    on one partition both read the same next_offset, and the loser now
+    fails LOUDLY instead of silently overwriting the winner's segment
+    (r12 ADVICE fix — a single-writer contract violation must be an
+    error, not data loss)."""
     pdir = queue_partition_dir(queue_dir, partition_id)
     os.makedirs(pdir, exist_ok=True)
     offset = next_offset(queue_dir, partition_id)
@@ -92,10 +98,18 @@ def queue_append(df: DataFrame, queue_dir: str, partition_id: int) -> int:
     # one file per segment: a segment is the atomic unit of consumption
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part), os.path.join(pdir, f"seq={offset:08d}.parquet"))
-    for leftover in os.listdir(tmp):
-        os.remove(os.path.join(tmp, leftover))
-    os.rmdir(tmp)
+    target = os.path.join(pdir, f"seq={offset:08d}.parquet")
+    try:
+        os.link(os.path.join(tmp, part), target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"queue partition {partition_id} offset {offset} already "
+            f"committed — single-producer-per-partition contract violated"
+        ) from None
+    finally:
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
     return offset
 
 

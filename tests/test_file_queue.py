@@ -306,3 +306,25 @@ def test_queue_batch_backfill_prunes_partitions_and_offsets(spark):
         # compose both: partition 1 from offset 2
         both = read_queue_batch(spark, q_dir, SCHEMA, partitions=[1], from_offsets={1: 2})
         assert {r.id for r in both.collect()} == set(range(100200, 100204))
+
+
+def test_queue_append_duplicate_offset_fails_loudly(spark, monkeypatch):
+    """r12 ADVICE fix: two producers racing on one partition both read
+    the same next_offset; the loser must error (EEXIST via the
+    no-replace hard link), never silently overwrite the winner's
+    committed segment."""
+    import orders_currency_conversion_etl_spark.streaming.file_queue as fq
+
+    with tempfile.TemporaryDirectory() as q:
+        queue_append(_segment_df(spark, 0, 0), q, 0)
+        seg = os.path.join(q, "partition=0", "seq=00000000.parquet")
+        winner_ids = sorted(r.id for r in spark.read.parquet(seg).collect())
+
+        # simulate the race: the loser computed the same offset
+        monkeypatch.setattr(fq, "next_offset", lambda *a: 0)
+        with pytest.raises(RuntimeError, match="single-producer"):
+            fq.queue_append(_segment_df(spark, 0, 1), q, 0)
+
+        # winner's segment intact; loser's temp dir cleaned up
+        assert sorted(r.id for r in spark.read.parquet(seg).collect()) == winner_ids
+        assert os.listdir(os.path.join(q, "partition=0")) == ["seq=00000000.parquet"]

@@ -903,6 +903,78 @@ def test_dims_parsers_cover_formats_the_full_decoders_gate():
         mm.png_dims(bytes(bad))
 
 
+def test_jpeg_dims_fill_bytes_and_standalone_markers():
+    """r12 ADVICE fix: spec-valid JPEGs may pad any marker with extra
+    0xFF fill bytes, and TEM (0xFF01) / RSTn (0xFFD0-D7) carry no
+    length field; truncation must raise ValueError, never struct.error."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 9, 7, 3) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    # fills before APP0, a TEM, an RST4, more fills before SOF
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff"          # fill run (merges into the next marker)
+        + b"\x01"              # ... which is TEM, standalone
+        + seg(0xFFE0, b"JFIF\x00")
+        + b"\xff\xd4"          # RST4, standalone
+        + b"\xff\xff"          # fill run before SOF
+        + sof[1:]              # SOF's own 0xFF merges with the fill run
+        + b"\xff\xd9"
+    )
+    assert mm.jpeg_dims(padded) == (7, 9, "RGB")
+
+    # truncated length field / segment body / SOF: ValueError, not struct.error
+    with pytest.raises(ValueError):
+        mm.jpeg_dims(b"\xff\xd8\xff\xe0\x00")
+    with pytest.raises(ValueError):
+        mm.jpeg_dims(b"\xff\xd8\xff\xc0\x00\x11\x08")
+    with pytest.raises(ValueError):
+        mm.jpeg_dims(b"\xff\xd8" + seg(0xFFC0, struct.pack(">H", 9)))
+
+
+def test_image_dims_rescues_strict_parse_failures_via_pil(monkeypatch):
+    """r12 ADVICE fix: when the strict pure parser rejects a payload
+    and PIL is present, image_dims falls back to PIL instead of
+    propagating; without PIL the original ValueError survives."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    jpg = mm.encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
+
+    monkeypatch.setattr(mm, "jpeg_dims", lambda p: (_ for _ in ()).throw(ValueError("strict")))
+    if mm._HAS_PIL:  # pragma: no cover - container has no PIL
+        assert mm.image_dims(jpg)[:2] == (8, 8)
+    else:
+        with pytest.raises(ValueError, match="strict"):
+            mm.image_dims(jpg)
+
+
+def test_mulaw_roundtrip_is_fixture_independent():
+    """r12 ADVICE fix: 0x7F and 0xFF both expand to 0 but re-encode to
+    0xFF (the G.711 zero-collision). The audio query remaps 0x7F out of
+    the synthesized code stream, so roundtrip_ok holds for ANY byte
+    content — including the 0x7F a regenerated fixture could emit."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    table = mm._mulaw_table()
+    assert table[0x7F] == 0 and table[0xFF] == 0  # the collision is real
+    # the builder's remap restores exact involution on any stream
+    raw = bytes(range(256))
+    codes = raw.replace(b"\x7f", b"\xff")
+    pcm = table[np.frombuffer(codes, dtype=np.uint8)].astype("<i2")
+    back = mm.mulaw_encode_array(pcm).tobytes()
+    assert back == codes
+
+
 def test_decode_image_batch_is_header_only(monkeypatch):
     """The dims path must never pay pixel decode: poison the full
     decoders and run the batch over all three formats."""

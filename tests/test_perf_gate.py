@@ -161,23 +161,29 @@ def _extras_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
     return {k: sorted(v) for k, v in series.items()}
 
 
-def test_extras_within_2x_of_introduction_baseline():
+def test_extras_within_2x_of_best_round():
+    """Latest vs the MINIMUM over all prior rounds (r12, VERDICT r11
+    ask #7 / ADVICE): first-vs-last let a slow creep (1.4x then 1.4x)
+    pass each round, and a later unrelated improvement could mask an
+    intermediate regression. min-as-baseline catches both — any round
+    that ever ran fast becomes the standard."""
     series = _extras_series()
     assert series, "no BENCH_EXTRAS_r*.json committed"
     violations = []
     for (name, sf), points in series.items():
         if len(points) < 2:
             continue  # introduced this round: the baseline IS this point
-        (r0, base_sec), (rn, cur_sec) = points[0], points[-1]
+        rn, cur_sec = points[-1]
+        r0, base_sec = min(points[:-1], key=lambda p: p[1])
         if base_sec <= 0:
             continue
         ratio = cur_sec / base_sec
         if ratio > GATE and (name, sf) not in EXTRAS_WAIVERS:
             violations.append(
-                f"{name}@{sf}: {cur_sec:.3f}s (r{rn}) vs {base_sec:.3f}s (r{r0}) = {ratio:.2f}x"
+                f"{name}@{sf}: {cur_sec:.3f}s (r{rn}) vs best {base_sec:.3f}s (r{r0}) = {ratio:.2f}x"
             )
     assert not violations, (
-        f"extras exceed the {GATE}x introduction-baseline gate on: "
+        f"extras exceed the {GATE}x best-prior-round gate on: "
         + "; ".join(violations)
         + " — adjudicate with scripts/ab_drift.py and either fix the "
         "regression or add an EXTRAS_WAIVERS entry citing the committed "
