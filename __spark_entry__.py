@@ -496,7 +496,66 @@ ROTATION_R11_REVALIDATE = [
     "explode_part_types",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R11_NEW + ROTATION_R11_REVALIDATE
+#   r12 (this one): 12 anchors + 2 r12-new registrations
+#       (queue_backfill_slice — read_queue_batch's offset-sliced
+#       backfill, VERDICT r11 ask #6 — and queue_roundtrip_convert —
+#       exactly-once queue -> convert -> queue through the new
+#       batch-id-keyed idempotent queue sink, VERDICT r11 ask #4) + 36
+#       staleness re-validations per VERDICT r11 ask #1: the ENTIRE
+#       r6-only cohort (26 names, turning 6 rounds old this round —
+#       due by the invariant "no registry entry's newest driver row is
+#       older than 5 rounds") and the alphabetically-first 10 of the
+#       r8-only cohort (38 names; VERDICT asked for 12 but the two new
+#       registrations take those slots — the remaining 28 r8 names turn
+#       5 rounds old at r13 and are due then). Cohorts recomputed from
+#       CORRECTNESS_r01..r11 this session. 12 + 2 + 26 + 10 = 50.
+ROTATION_R12_NEW = [
+    "queue_backfill_slice",
+    "queue_roundtrip_convert",
+]
+
+ROTATION_R12_REVALIDATE = [
+    # (a) newest green row = r6, the full cohort (26):
+    "filter_composite_predicates",
+    "heavy_hitters_mg",
+    "join_asof_forward_rates",
+    "join_fact_to_fact_revenue",
+    "knn_ivf",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "layout_hilbert_stats",
+    "layout_zorder_stats",
+    "mix_sources_token_budget",
+    "pagerank_parts_materialized",
+    "regex_functions",
+    "sample_seeded",
+    "scalar_subquery_revenue_share",
+    "scd2_pointintime_lookup",
+    "sessionize_gap_summary",
+    "split_leakage_safe",
+    "subquery_above_customer_avg",
+    "text_vocab_encode",
+    "timeseries_gapfill_ffill",
+    "tpch_q9_product_profit",
+    "union_by_name_missing_cols",
+    "unpivot_status_counts",
+    "window_cume_nth",
+    "window_lag_delta",
+    "window_lead_first",
+    # (b) newest green row = r8, alphabetically first 10:
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_hll_rolling_accuracy",
+    "agg_percentiles",
+    "agg_rollup_region_nation",
+    "attribution_windowed_stats",
+    "case_bucket_totalprice",
+    "cast_matrix",
+    "cohort_retention_weekly",
+    "dedup_cross_source_matrix",
+]
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R12_NEW + ROTATION_R12_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

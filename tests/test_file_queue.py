@@ -328,3 +328,194 @@ def test_queue_append_duplicate_offset_fails_loudly(spark, monkeypatch):
         # winner's segment intact; loser's temp dir cleaned up
         assert sorted(r.id for r in spark.read.parquet(seg).collect()) == winner_ids
         assert os.listdir(os.path.join(q, "partition=0")) == ["seq=00000000.parquet"]
+
+
+def test_min_watermarks_across_consumer_groups():
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+
+    assert fq.min_watermarks() == {}
+    assert fq.min_watermarks({0: 3, 1: 2}) == {0: 3, 1: 2}
+    # slower group pins the watermark; a partition missing from any
+    # group's map pins that partition to 0
+    assert fq.min_watermarks({0: 3, 1: 2}, {0: 1, 1: 5, 2: 4}) == {0: 1, 1: 2, 2: 0}
+
+
+def test_queue_retention_after_committed_offsets(spark):
+    """r12 (VERDICT r11 ask #3): checkpoint-high-watermark-driven GC.
+    A consumer crashes mid-queue; checkpoint_committed_offsets reads
+    its committed position; queue_retain deletes exactly the segments
+    below it; the retained suffix replays IDENTICALLY via
+    read_queue_batch(from_offsets=...), and the restarted consumer
+    group still finishes the queue exactly-once."""
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        marker = os.path.join(work, "crashed_once")
+
+        expected = []
+        seg_rows = {}
+        for part in (0, 1):
+            for seq in range(3):
+                seg = _segment_df(spark, part, seq)
+                queue_append(seg, q_dir, part)
+                rows = [(r.id, r.payload, part) for r in seg.collect()]
+                seg_rows[(part, seq)] = rows
+                expected += rows
+
+        def crashing_sink(batch_df, batch_id):
+            if batch_id == 3 and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("injected")
+                raise RuntimeError("injected queue-consumer crash")
+            batch_df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+        q1 = (
+            read_queue_stream(spark, q_dir, SCHEMA)
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 180
+        while q1.isActive and time.time() < deadline:
+            time.sleep(0.3)
+        assert not q1.isActive, "stream never hit the injected crash"
+
+        # committed position: 3 batches x 1 segment committed
+        w = fq.checkpoint_committed_offsets(ckpt)
+        assert sum(w.values()) == 3
+        committed = sorted(
+            (r.id, r.payload, r.partition)
+            for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+        )
+        below = sorted(
+            row for (p, s), rows in seg_rows.items() if s < w.get(p, 0) for row in rows
+        )
+        assert committed == below  # the watermark names exactly the committed segments
+
+        # replay-equivalence across GC
+        before = sorted(
+            (r.partition, r.id)
+            for r in fq.read_queue_batch(spark, q_dir, SCHEMA, from_offsets=w).collect()
+        )
+        deleted = fq.queue_retain(q_dir, w)
+        assert sorted((p, s) for p, seqs in deleted.items() for s in seqs) == sorted(
+            (p, s) for p in w for s in range(w[p])
+        )
+        after = sorted(
+            (r.partition, r.id)
+            for r in fq.read_queue_batch(spark, q_dir, SCHEMA, from_offsets=w).collect()
+        )
+        assert after == before
+
+        # idempotent retry: a second GC at the same watermark is a no-op
+        assert fq.queue_retain(q_dir, w) == {}
+
+        # the consumer group finishes the remaining segments exactly once
+        q2 = (
+            read_queue_stream(spark, q_dir, SCHEMA)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    os.path.join(out, f"batch={bid}")
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        got = [
+            (r.id, r.payload, r.partition)
+            for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+        ]
+        assert sorted(got) == sorted(expected)
+        assert len(set(got)) == len(expected)
+
+
+def test_queue_publish_batch_idempotent_and_gapped(spark):
+    """r12 (VERDICT r11 ask #4): batch-id-keyed segments — a replayed
+    publish overwrites exactly its own segment; batches with no rows
+    for a partition leave offset gaps consumers ignore."""
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+
+    with tempfile.TemporaryDirectory() as q:
+        df = spark.range(0, 21).select(
+            F.col("id"), (F.col("id") % 3).cast("int").alias("partition")
+        )
+        assert fq.queue_publish_batch(df, q, 0) == [0, 1, 2]
+        # replayed micro-batch: same batch id -> same segments, no growth
+        assert fq.queue_publish_batch(df, q, 0) == [0, 1, 2]
+        assert queue_offsets(q) == {0: 1, 1: 1, 2: 1}
+
+        # batch 1 only has rows for partition 1 -> gaps elsewhere
+        df2 = spark.range(100, 104).select(
+            F.col("id"), F.lit(1).cast("int").alias("partition")
+        )
+        assert fq.queue_publish_batch(df2, q, 1) == [1]
+        assert queue_offsets(q) == {0: 1, 1: 2, 2: 1}
+
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("partition", T.IntegerType())]
+        )
+        rows = [(r.id, r.partition) for r in fq.read_queue_batch(spark, q, schema).collect()]
+        assert len(rows) == 25 and len(set(rows)) == 25  # 21 + 4, no dupes
+
+
+def test_queue_to_queue_crash_restart_exactly_once(spark):
+    """r12 (VERDICT r11 ask #4 done-bar): queue -> transform -> queue
+    with a crash AFTER a successful publish but BEFORE the checkpoint
+    commit — the replayed batch republishes under its original batch_id
+    and overwrites itself, so the downstream queue holds exactly the
+    input rows."""
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+
+    with tempfile.TemporaryDirectory() as work:
+        in_q = os.path.join(work, "in")
+        out_q = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        marker = os.path.join(work, "crashed_once")
+
+        expected = []
+        for part in (0, 1):
+            for seq in (0, 1):
+                seg = _segment_df(spark, part, seq)
+                queue_append(seg, in_q, part)
+                expected += [(r.id, r.payload, part) for r in seg.collect()]
+
+        def crashing_publish(batch_df, batch_id):
+            fq.queue_publish_batch(batch_df, out_q, batch_id)  # publish SUCCEEDS
+            if batch_id == 1 and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("injected")
+                raise RuntimeError("crash after publish, before commit")
+
+        q1 = (
+            read_queue_stream(spark, in_q, SCHEMA)
+            .writeStream.outputMode("append")
+            .foreachBatch(crashing_publish)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 180
+        while q1.isActive and time.time() < deadline:
+            time.sleep(0.3)
+        assert not q1.isActive, "stream never hit the injected crash"
+        assert os.path.exists(marker)
+
+        q2 = fq.queue_publish_stream(
+            read_queue_stream(spark, in_q, SCHEMA), out_q, ckpt
+        )
+        q2.awaitTermination()
+
+        got = [
+            (r.id, r.payload, r.partition)
+            for r in fq.read_queue_batch(spark, out_q, SCHEMA).collect()
+        ]
+        assert sorted(got) == sorted(expected)  # batch 1 published twice, stored once
+        assert len(set(got)) == len(expected)
