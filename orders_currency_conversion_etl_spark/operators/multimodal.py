@@ -765,6 +765,71 @@ def jpeg_dims(payload: bytes) -> tuple[int, int, str]:
     raise ValueError("JPEG frame header (SOFn) not found")
 
 
+def webp_dims(payload: bytes) -> tuple[int, int, str]:
+    """RIFF-walk to the first VP8 / VP8L / VP8X chunk -> (w, h, mode),
+    header bytes only (r12, VERDICT r11 ask #8): covers lossy (VP8
+    frame tag + sync code), lossless (VP8L 14-bit packed dims +
+    alpha bit) and extended (VP8X 24-bit canvas) containers. Like
+    png_dims/jpeg_dims this is a dims fact-extractor — there is no
+    pure-Python WebP pixel decoder here (PIL covers pixels where
+    installed), but a PIL-less rig can at least MEASURE WebP corpora."""
+    import struct
+
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("truncated/invalid VP8 frame header")
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h, "RGB"
+        if tag == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("truncated/invalid VP8L header")
+            w = (body[1] | ((body[2] & 0x3F) << 8)) + 1
+            h = ((body[2] >> 6) | (body[3] << 2) | ((body[4] & 0x0F) << 10)) + 1
+            return w, h, "RGBA" if (body[4] >> 4) & 1 else "RGB"
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X header")
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return w, h, "RGBA" if body[0] & 0x10 else "RGB"
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    raise ValueError("WebP dims chunk (VP8/VP8L/VP8X) not found")
+
+
+def ogg_audio_info(payload: bytes) -> tuple[str, int, int]:
+    """First-page parse of an OGG container -> (codec, channels,
+    sample_rate) with zero packet decode (r12, VERDICT r11 ask #8):
+    reads the Vorbis or Opus identification header from page 0's
+    segment-table-delimited payload — the audio analogue of the
+    header-only image dims parsers."""
+    import struct
+
+    if len(payload) < 27 or payload[:4] != b"OggS" or payload[4] != 0:
+        raise ValueError("not an OGG payload")
+    nsegs = payload[26]
+    if len(payload) < 27 + nsegs:
+        raise ValueError("truncated OGG page header")
+    body_len = sum(payload[27 : 27 + nsegs])
+    body = payload[27 + nsegs : 27 + nsegs + body_len]
+    if body.startswith(b"\x01vorbis"):
+        if len(body) < 16:
+            raise ValueError("truncated Vorbis identification header")
+        return "vorbis", body[11], struct.unpack("<I", body[12:16])[0]
+    if body.startswith(b"OpusHead"):
+        if len(body) < 16:
+            raise ValueError("truncated Opus identification header")
+        return "opus", body[9], struct.unpack("<I", body[12:16])[0]
+    raise ValueError("unsupported OGG codec (expected Vorbis or Opus)")
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Full pixel decode with native-first dispatch (r11, VERDICT r10
     ask #1): when PIL is installed it handles PNG and JPEG — libpng /
@@ -842,6 +907,8 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
         parser = png_dims
     elif payload.startswith(b"\xff\xd8"):
         parser = jpeg_dims
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        parser = webp_dims
     elif _HAS_PIL:  # pragma: no cover - requires PIL
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, im.mode

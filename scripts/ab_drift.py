@@ -45,11 +45,17 @@ from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 # creep is measured against r1 code, not the previous round):
 # dedup_minhash_lsh / knn_lsh_bucketed (~1.11x r8, 1.03-1.08x r10),
 # multimodal_features (2.32x driver record adjudicated noise at 1.06x,
-# DRIFT_AB_r10), text_token_stats (1.13x "real" in r10 — watch).
+# DRIFT_AB_r10), text_token_stats (1.13x "real" in r10, deep-paired to
+# noise in r11 — only deep pairings are evidentiary for it).
+# r12 additions (VERDICT r11 ask #2): the two r10->r11 sub-second
+# record movers without a paired verdict —
+# tpch_q18_large_volume_customers (+30%) and cohort_retention_weekly
+# (+36%, 1.16x vs r1).
 QUERIES = os.environ.get(
     "SPARK_GRAFT_AB_QUERIES",
     "agg_pricing_summary,pagerank_parts,flagship_conversion,curation_pipeline_lsh,"
-    "dedup_minhash_lsh,knn_lsh_bucketed,multimodal_features,text_token_stats",
+    "dedup_minhash_lsh,knn_lsh_bucketed,multimodal_features,text_token_stats,"
+    "tpch_q18_large_volume_customers,cohort_retention_weekly",
 ).split(",")
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_AB_SF_DIR", os.path.join("/root/repo", ".localdata", "sf1")

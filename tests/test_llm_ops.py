@@ -1104,3 +1104,82 @@ def test_mulaw_vectorized_compress_matches_scalar_exhaustively():
     vec = mm.mulaw_encode_array(all16)
     scal = np.array([mm.mulaw_encode_sample(int(s)) for s in all16], dtype=np.uint8)
     assert (vec == scal).all()
+
+
+def test_webp_dims_all_three_container_forms():
+    """r12 (VERDICT r11 ask #8): header-only WebP dims for lossy VP8,
+    lossless VP8L (14-bit packed dims + alpha bit) and extended VP8X
+    (24-bit canvas), via the image_dims dispatch."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    def riff(tag, body):
+        chunk = tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8 (lossy): 3-byte frame tag, sync code, 14-bit w/h little-endian
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480))
+    assert mm.webp_dims(vp8) == (640, 480, "RGB")
+    assert mm.image_dims(vp8) == (640, 480, "RGB")
+
+    # VP8L (lossless): 0x2f then w-1 (14 bits), h-1 (14 bits), alpha bit
+    def vp8l(w, h, alpha):
+        b1 = (w - 1) & 0xFF
+        b2 = ((w - 1) >> 8) | (((h - 1) & 0x03) << 6)
+        b3 = ((h - 1) >> 2) & 0xFF
+        b4 = ((h - 1) >> 10) | (0x10 if alpha else 0)
+        return riff(b"VP8L", bytes([0x2F, b1, b2, b3, b4]))
+
+    assert mm.webp_dims(vp8l(17, 9, False)) == (17, 9, "RGB")
+    assert mm.webp_dims(vp8l(16383, 16383, True)) == (16383, 16383, "RGBA")
+
+    # VP8X (extended): flags byte (0x10 = alpha), 24-bit canvas-1
+    def vp8x(w, h, flags):
+        return riff(
+            b"VP8X",
+            bytes([flags, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little"),
+        )
+
+    assert mm.webp_dims(vp8x(100, 50, 0x00)) == (100, 50, "RGB")
+    assert mm.webp_dims(vp8x(100000, 2, 0x10)) == (100000, 2, "RGBA")
+
+    # dims chunk behind an unknown leading chunk still found (RIFF walk)
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    vp8_body = vp8[12:]
+    walked = b"RIFF" + struct.pack("<I", 4 + len(iccp) + len(vp8_body)) + b"WEBP" + iccp + vp8_body
+    assert mm.webp_dims(walked) == (640, 480, "RGB")
+
+    for bad in [b"RIFF", b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8,
+                riff(b"VP8 ", b"\x00\x00\x00bad"), riff(b"ALPH", b"\x00")]:
+        with pytest.raises(ValueError):
+            mm.webp_dims(bad)
+
+
+def test_ogg_audio_info_vorbis_and_opus():
+    """r12 (VERDICT r11 ask #8): first-page OGG parse for the Vorbis
+    and Opus identification headers, zero packet decode."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    def ogg_page(packet):
+        # version 0, header type 2 (BOS), granule/serial/seq/crc zeroed,
+        # one-segment table
+        assert len(packet) < 255
+        return (
+            b"OggS" + b"\x00\x02" + b"\x00" * 20 + bytes([1, len(packet)]) + packet
+        )
+
+    vorbis = b"\x01vorbis" + struct.pack("<I", 0) + bytes([2]) + struct.pack("<I", 44100)
+    assert mm.ogg_audio_info(ogg_page(vorbis)) == ("vorbis", 2, 44100)
+
+    opus = b"OpusHead" + bytes([1, 6]) + struct.pack("<H", 312) + struct.pack("<I", 48000)
+    assert mm.ogg_audio_info(ogg_page(opus)) == ("opus", 6, 48000)
+
+    for bad in [b"OggS", b"RIFF" + b"\x00" * 30, ogg_page(b"\x03vorbis123456789"),
+                ogg_page(b"\x01vorbis\x00")]:
+        with pytest.raises(ValueError):
+            mm.ogg_audio_info(bad)
