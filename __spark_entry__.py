@@ -496,22 +496,27 @@ ROTATION_R11_REVALIDATE = [
     "explode_part_types",
 ]
 
-#   r12 (this one): 12 anchors + 2 r12-new registrations
+#   r12 (this one): 12 anchors + 4 r12-new registrations
 #       (queue_backfill_slice — read_queue_batch's offset-sliced
-#       backfill, VERDICT r11 ask #6 — and queue_roundtrip_convert —
+#       backfill, VERDICT r11 ask #6; queue_roundtrip_convert —
 #       exactly-once queue -> convert -> queue through the new
-#       batch-id-keyed idempotent queue sink, VERDICT r11 ask #4) + 36
-#       staleness re-validations per VERDICT r11 ask #1: the ENTIRE
-#       r6-only cohort (26 names, turning 6 rounds old this round —
-#       due by the invariant "no registry entry's newest driver row is
-#       older than 5 rounds") and the alphabetically-first 10 of the
-#       r8-only cohort (38 names; VERDICT asked for 12 but the two new
-#       registrations take those slots — the remaining 28 r8 names turn
-#       5 rounds old at r13 and are due then). Cohorts recomputed from
-#       CORRECTNESS_r01..r11 this session. 12 + 2 + 26 + 10 = 50.
+#       batch-id-keyed idempotent queue sink, VERDICT r11 ask #4;
+#       multimodal_webp_dims and multimodal_ogg_info — the header-only
+#       WebP/OGG parsers of VERDICT r11 ask #8, oracled the
+#       multimodal_audio_decode way) + 34 staleness re-validations per
+#       VERDICT r11 ask #1: the ENTIRE r6-only cohort (26 names,
+#       turning 6 rounds old this round — due by the invariant "no
+#       registry entry's newest driver row is older than 5 rounds")
+#       and the alphabetically-first 8 of the r8-only cohort (38
+#       names; VERDICT asked for 12 but the four new registrations
+#       take those slots — the remaining 30 r8 names turn 5 rounds old
+#       at r13 and are due then). Cohorts recomputed from
+#       CORRECTNESS_r01..r11 this session. 12 + 4 + 26 + 8 = 50.
 ROTATION_R12_NEW = [
     "queue_backfill_slice",
     "queue_roundtrip_convert",
+    "multimodal_webp_dims",
+    "multimodal_ogg_info",
 ]
 
 ROTATION_R12_REVALIDATE = [
@@ -542,7 +547,10 @@ ROTATION_R12_REVALIDATE = [
     "window_cume_nth",
     "window_lag_delta",
     "window_lead_first",
-    # (b) newest green row = r8, alphabetically first 10:
+    # (b) newest green row = r8, alphabetically first 8 (plus
+    # cohort_retention_weekly pulled forward out of alphabetical order:
+    # it is also a VERDICT r11 ask #2 bench creeper, so it gets a hard
+    # driver row the same round its timing is adjudicated):
     "agg_cube_status_priority",
     "agg_grouping_sets",
     "agg_hll_rolling_accuracy",
@@ -550,9 +558,7 @@ ROTATION_R12_REVALIDATE = [
     "agg_rollup_region_nation",
     "attribution_windowed_stats",
     "case_bucket_totalprice",
-    "cast_matrix",
     "cohort_retention_weekly",
-    "dedup_cross_source_matrix",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R12_NEW + ROTATION_R12_REVALIDATE

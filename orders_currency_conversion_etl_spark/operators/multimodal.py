@@ -1333,3 +1333,156 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return base.mapInPandas(_roundtrip, schema=AUDIO_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Container-header tier (r12, VERDICT r11 ask #8): WebP dims and OGG
+# audio identification, driver-oracled the multimodal_audio_decode way —
+# synthesize the container deterministically from the documents table,
+# parse it back with the header-only parser, verify every field against
+# SQL-recomputable arithmetic.
+# --------------------------------------------------------------------------
+
+WEBP_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+# width/height from the text length, container cycling the three WebP
+# forms, alpha on a doc_id stripe that intersects VP8L and VP8X evenly
+# (VP8 lossy has no alpha channel — always RGB).
+_WEBP_DIMS_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' ELSE 'VP8X'
+       END AS container,
+       CAST(1 + strlen(text) % 640 AS INT) AS width,
+       CAST(1 + (strlen(text) // 7) % 480 AS INT) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 'RGB'
+            WHEN doc_id % 9 < 3 THEN 'RGBA' ELSE 'RGB'
+       END AS mode
+FROM documents
+"""
+
+
+def encode_webp_header(form: int, w: int, h: int, alpha: bool) -> bytes:
+    """Minimal spec-shaped WebP container carrying only the chunk
+    :func:`webp_dims` reads: VP8 frame tag + sync code (form 0), VP8L
+    14-bit packed dims (form 1), VP8X 24-bit canvas (form 2)."""
+    import struct
+
+    if form == 0:
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        tag = b"VP8 "
+    elif form == 1:
+        b1 = (w - 1) & 0xFF
+        b2 = ((w - 1) >> 8) | (((h - 1) & 0x03) << 6)
+        b3 = ((h - 1) >> 2) & 0xFF
+        b4 = ((h - 1) >> 10) | (0x10 if alpha else 0)
+        body = bytes([0x2F, b1, b2, b3, b4])
+        tag = b"VP8L"
+    else:
+        body = bytes([0x10 if alpha else 0, 0, 0, 0]) + (w - 1).to_bytes(
+            3, "little"
+        ) + (h - 1).to_bytes(3, "little")
+        tag = b"VP8X"
+    chunk = tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@query("multimodal_webp_dims", _WEBP_DIMS_ORACLE)
+def multimodal_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only WebP dims across all three container forms (r12):
+    per document, synthesize a VP8 / VP8L / VP8X container whose dims
+    derive from the text length (alpha flagged on a deterministic
+    doc_id stripe), then parse it back through the :func:`image_dims`
+    dispatch — so the RIFF walk, the 14-bit VP8L bit-unpacking, the
+    24-bit VP8X canvas read AND the dispatch's signature routing are
+    all under the value hash. Same one-stage mapInPandas shape as
+    multimodal_audio_decode: synthesis and parse share the executor
+    row, no shuffle at any scale."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = {0: "VP8", 1: "VP8L", 2: "VP8X"}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text.encode("utf-8"))
+                w, h = 1 + n % 640, 1 + (n // 7) % 480
+                form = int(doc_id) % 3
+                alpha = int(doc_id) % 9 < 3
+                got_w, got_h, mode = image_dims(encode_webp_header(form, w, h, alpha))
+                rows.append((doc_id, names[form], got_w, got_h, mode))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "container", "width", "height", "mode"]
+            )
+
+    return base.mapInPandas(_roundtrip, schema=WEBP_DIMS_SCHEMA)
+
+
+OGG_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+_OGG_INFO_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CAST(1 + doc_id % 8 AS INT) AS channels,
+       CAST(8000 * (1 + doc_id % 6) AS INT) AS sample_rate
+FROM documents
+"""
+
+
+def encode_ogg_id_page(codec: str, channels: int, sample_rate: int) -> bytes:
+    """First OGG page (BOS) holding a Vorbis or Opus identification
+    header — the bytes :func:`ogg_audio_info` reads."""
+    import struct
+
+    if codec == "vorbis":
+        packet = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", sample_rate)
+        )
+    else:
+        packet = (
+            b"OpusHead" + bytes([1, channels]) + struct.pack("<H", 312)
+            + struct.pack("<I", sample_rate)
+        )
+    return b"OggS" + b"\x00\x02" + b"\x00" * 20 + bytes([1, len(packet)]) + packet
+
+
+@query("multimodal_ogg_info", _OGG_INFO_ORACLE)
+def multimodal_ogg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG identification-header parse, driver-oracled (r12): per
+    document, build a first page carrying a Vorbis (even doc_id) or
+    Opus (odd) identification header with arithmetic-derived channel
+    count and sample rate, parse it back through
+    :func:`ogg_audio_info`, and emit the recovered fields — segment
+    table walk, codec magic routing and little-endian field reads all
+    under the value hash. One mapInPandas stage, no shuffle."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                codec = "vorbis" if int(doc_id) % 2 == 0 else "opus"
+                page = encode_ogg_id_page(codec, 1 + int(doc_id) % 8, 8000 * (1 + int(doc_id) % 6))
+                got_codec, ch, rate = ogg_audio_info(page)
+                rows.append((doc_id, got_codec, ch, rate))
+            yield pd.DataFrame(rows, columns=["doc_id", "codec", "channels", "sample_rate"])
+
+    return base.mapInPandas(_roundtrip, schema=OGG_INFO_SCHEMA)
