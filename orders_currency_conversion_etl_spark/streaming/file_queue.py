@@ -55,13 +55,27 @@ def queue_partition_dir(queue_dir: str, partition_id: int) -> str:
     return os.path.join(queue_dir, f"partition={partition_id}")
 
 
+def _low_watermark(pdir: str) -> int:
+    """Log-start floor persisted by :func:`queue_retain` — without it a
+    fully GC'd partition would hand offset 0 back to the producer and
+    corrupt offset arithmetic everywhere (Kafka persists logStartOffset
+    for exactly this reason). Dot-named so the streaming file source
+    and parquet directory reads never see it."""
+    try:
+        with open(os.path.join(pdir, ".lowwater")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
 def next_offset(queue_dir: str, partition_id: int) -> int:
-    """1 + highest committed segment in the partition (0 when empty)."""
+    """1 + highest committed segment in the partition; never below the
+    retention floor (0 for an empty, never-retained partition)."""
     pdir = queue_partition_dir(queue_dir, partition_id)
     if not os.path.isdir(pdir):
         return 0
     seqs = [int(m.group(1)) for f in os.listdir(pdir) if (m := _SEQ_RE.search(f))]
-    return max(seqs) + 1 if seqs else 0
+    return max(max(seqs) + 1 if seqs else 0, _low_watermark(pdir))
 
 
 def queue_offsets(queue_dir: str) -> dict[int, int]:
@@ -257,7 +271,47 @@ def queue_retain(queue_dir: str, watermarks: dict[int, int]) -> dict[int, list[i
             if m and int(m.group(1)) < int(low):
                 os.remove(os.path.join(pdir, f))
                 deleted.setdefault(int(p), []).append(int(m.group(1)))
+        if int(p) in deleted:
+            # persist the log-start floor so a fully GC'd partition
+            # keeps handing out monotonic offsets (atomic replace;
+            # monotonic max against any earlier floor)
+            floor = max(_low_watermark(pdir), deleted[int(p)][-1] + 1)
+            tmp = os.path.join(pdir, f".lowwater.tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(floor))
+            os.replace(tmp, os.path.join(pdir, ".lowwater"))
     return deleted
+
+
+def queue_lag(queue_dir: str, checkpoint_dir: str) -> dict[int, dict[str, int]]:
+    """Consumer-group lag, the Kafka monitoring primitive: per
+    partition, the producer high-watermark (``end``), the group's
+    committed offset (``committed``) and their difference (``lag`` =
+    segments published but not yet consumed in a committed batch).
+    Partitions the group has never touched report committed=0."""
+    ends = queue_offsets(queue_dir)
+    committed = checkpoint_committed_offsets(checkpoint_dir)
+    return {
+        p: {
+            "end": end,
+            "committed": committed.get(p, 0),
+            "lag": end - committed.get(p, 0),
+        }
+        for p, end in sorted(ends.items())
+    }
+
+
+def queue_gc(queue_dir: str, *checkpoint_dirs: str) -> dict[int, list[int]]:
+    """One-call retention for N consumer groups: delete every segment
+    that EVERY group's checkpoint has committed past (the Kafka
+    ``log.retention`` contract keyed on consumer progress instead of
+    time). Returns {partition: [deleted offsets]}."""
+    if not checkpoint_dirs:
+        return {}
+    return queue_retain(
+        queue_dir,
+        min_watermarks(*(checkpoint_committed_offsets(c) for c in checkpoint_dirs)),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -571,3 +571,61 @@ def test_queue_drain_microbatch_plan_is_zero_shuffle_broadcast(spark):
             assert not re.search(
                 r"Exchange (hash|range)partitioning", plan
             ), plan[:1200]
+
+
+def test_queue_lag_and_one_call_gc(spark):
+    """r12: queue_lag composes producer high-watermarks with a group's
+    committed offsets; queue_gc is the one-call N-group retention —
+    only segments EVERY group committed past are deleted."""
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+
+    with tempfile.TemporaryDirectory() as work:
+        q_dir = os.path.join(work, "queue")
+        out = os.path.join(work, "out")
+        fast, slow = os.path.join(work, "ckpt_fast"), os.path.join(work, "ckpt_slow")
+        for part in (0, 1):
+            for seq in range(3):
+                queue_append(_segment_df(spark, part, seq), q_dir, part)
+
+        def run(ckpt, max_files):
+            q = (
+                read_queue_stream(spark, q_dir, SCHEMA)
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: df.count())
+                .option("checkpointLocation", ckpt)
+                .option("maxFilesPerTrigger", max_files)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(fast, 6)  # fast group drains everything
+        lag_fast = fq.queue_lag(q_dir, fast)
+        assert lag_fast == {
+            0: {"end": 3, "committed": 3, "lag": 0},
+            1: {"end": 3, "committed": 3, "lag": 0},
+        }
+
+        # slow group: never started -> full lag, and GC over BOTH groups
+        # must delete nothing (min watermark is 0 everywhere)
+        lag_slow = fq.queue_lag(q_dir, slow)
+        assert all(v["lag"] == v["end"] for v in lag_slow.values())
+        assert fq.queue_gc(q_dir, fast, slow) == {}
+        assert fq.queue_gc(q_dir) == {}  # no groups -> no deletion
+
+        # once the slow group catches up, GC reclaims everything
+        run(slow, 6)
+        deleted = fq.queue_gc(q_dir, fast, slow)
+        assert deleted == {0: [0, 1, 2], 1: [0, 1, 2]}
+        # producer continuity: the persisted log-start floor keeps
+        # next_offset monotonic even when GC emptied the partition
+        # (without it a new append would reuse offset 0 and corrupt
+        # offset arithmetic everywhere)
+        assert queue_offsets(q_dir) == {0: 3, 1: 3}
+        assert queue_append(_segment_df(spark, 0, 3), q_dir, 0) == 3
+        assert fq.queue_lag(q_dir, fast) == {
+            0: {"end": 4, "committed": 3, "lag": 1},
+            1: {"end": 3, "committed": 3, "lag": 0},
+        }
+        # GC retry at the same watermarks: nothing left below them
+        assert fq.queue_gc(q_dir, fast, slow) == {}
