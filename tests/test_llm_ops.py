@@ -1183,3 +1183,37 @@ def test_ogg_audio_info_vorbis_and_opus():
                 ogg_page(b"\x01vorbis\x00")]:
         with pytest.raises(ValueError):
             mm.ogg_audio_info(bad)
+
+
+def test_gif_and_bmp_dims_header_only():
+    """r12: GIF logical-screen and BMP info-header dims through the
+    image_dims dispatch — header bytes only, PIL-free."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert mm.gif_dims(gif) == (320, 200, "P")
+    assert mm.image_dims(gif) == (320, 200, "P")
+    assert mm.gif_dims(b"GIF87a" + struct.pack("<HH", 1, 1) + b"\x00") == (1, 1, "P")
+
+    def bmp(w, h, bpp, hdr=40):
+        info = struct.pack("<IiiHH", hdr, w, h, 1, bpp) + b"\x00" * (hdr - 16)
+        return b"BM" + struct.pack("<IHHI", 14 + len(info), 0, 0, 14 + len(info)) + info
+
+    assert mm.bmp_dims(bmp(640, 480, 24)) == (640, 480, "RGB")
+    assert mm.bmp_dims(bmp(10, -20, 32)) == (10, 20, "RGBA")  # top-down rows
+    assert mm.bmp_dims(bmp(7, 9, 8)) == (7, 9, "P")
+    assert mm.image_dims(bmp(640, 480, 24)) == (640, 480, "RGB")
+
+    # BITMAPCOREHEADER: 16-bit dims at the same offset
+    core = struct.pack("<IHHHH", 12, 33, 44, 1, 24)
+    payload = b"BM" + struct.pack("<IHHI", 14 + len(core), 0, 0, 14 + len(core)) + core + b"\x00" * 8
+    assert mm.bmp_dims(payload) == (33, 44, "RGB")
+
+    with pytest.raises(ValueError):
+        mm.image_dims(b"GIF89a\x01")  # valid magic, truncated descriptor
+    with pytest.raises(ValueError):
+        mm.image_dims(b"BMshort")  # truncated info header
+    with pytest.raises(ValueError):
+        mm.gif_dims(b"GIF88a" + b"\x00" * 10)  # bad version magic
