@@ -127,6 +127,26 @@ def queue_append(df: DataFrame, queue_dir: str, partition_id: int) -> int:
     return offset
 
 
+def _segment_paths(spark: SparkSession, queue_dir: str) -> "list[tuple[int, int, str]]":
+    """Every committed segment as (partition, seq, path), listed through
+    the Hadoop FileSystem API — the same listing machinery the file
+    stream source uses, so it works on any supported scheme (local,
+    HDFS, object stores), not just os.listdir-able paths."""
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(queue_dir, "partition=*", "seq=*.parquet")
+    )
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    out: list[tuple[int, int, str]] = []
+    for st in statuses or []:
+        p = st.getPath().toString()
+        m = re.search(r"partition=(\d+)/seq=(\d+)\.parquet$", p)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), p))
+    return out
+
+
 def read_queue_batch(
     spark: SparkSession,
     queue_dir: str,
@@ -138,32 +158,34 @@ def read_queue_batch(
     slice of the queue without a checkpoint, e.g. to rebuild a
     downstream table or audit a partition.
 
-    - ``partitions``: restrict to these queue partitions. The filter
-      lands on the directory-key column, so Spark PRUNES the other
-      partition directories at plan time (asserted in
-      tests/test_file_queue.py) — at 100 TB a one-partition backfill
-      lists one prefix, not the queue.
-    - ``from_offsets``: {partition: first offset to include}; offsets
-      below it are dropped via the segment path (``_metadata`` column —
-      evaluated at the scan, no extra pass). Partitions absent from the
-      map replay from 0.
-    """
-    from pyspark.sql import functions as F
+    Both slicing knobs prune FILES at plan time: the segment list is
+    resolved driver-side through the Hadoop FS glob (one listing — the
+    cost any read of the queue pays anyway) and only the selected
+    segments reach the scan, asserted on the scan's numFiles metric in
+    tests/test_file_queue.py. The r11 implementation filtered rows via
+    the ``_metadata.file_path`` column instead, which read EVERY
+    segment and discarded rows post-scan — at 100 TB an offset-sliced
+    backfill would have scanned the whole queue (measured: numFiles
+    stayed at the full count under the metadata filter).
 
-    df = (
+    - ``partitions``: restrict to these queue partitions.
+    - ``from_offsets``: {partition: first offset to include};
+      partitions absent from the map replay from 0.
+    """
+    paths = _segment_paths(spark, queue_dir)
+    if partitions is not None:
+        keep = {int(p) for p in partitions}
+        paths = [t for t in paths if t[0] in keep]
+    if from_offsets:
+        floors = {int(k): int(v) for k, v in from_offsets.items()}
+        paths = [t for t in paths if t[1] >= floors.get(t[0], 0)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return (
         spark.read.schema(schema)
         .option("basePath", queue_dir)
-        .parquet(os.path.join(queue_dir, "partition=*"))
+        .parquet(*[p for _, _, p in paths])
     )
-    if partitions is not None:
-        df = df.filter(F.col("partition").isin([int(p) for p in partitions]))
-    if from_offsets:
-        seq = F.regexp_extract(F.col("_metadata.file_path"), r"seq=(\d+)\.parquet$", 1).cast("int")
-        start = F.create_map(
-            *[F.lit(x) for kv in from_offsets.items() for x in kv]
-        )
-        df = df.filter(seq >= F.coalesce(start[F.col("partition")], F.lit(0)))
-    return df
 
 
 def read_queue_stream(

@@ -266,10 +266,17 @@ def test_flagship_conversion_through_queue(spark):
         assert s == b
 
 
-def test_queue_batch_backfill_prunes_partitions_and_offsets(spark):
-    """read_queue_batch: the partition filter must PRUNE directories at
-    plan time (PartitionFilters on the directory-key column), and
-    from_offsets drops earlier segments via the scan's metadata column."""
+def _scan_num_files(df) -> int:
+    """Files the plan's scan references — pruning happens at relation
+    construction now, so inputFiles IS the exact scanned set."""
+    return len(df.inputFiles())
+
+
+def test_queue_batch_backfill_prunes_files_at_plan_time(spark):
+    """read_queue_batch must prune FILES, not rows: both the partition
+    restriction and the offset floors select segments before the scan
+    (asserted on the scan's numFiles metric — the r11 metadata-column
+    filter read every segment and discarded rows post-scan)."""
     from orders_currency_conversion_etl_spark.streaming.file_queue import (
         read_queue_batch,
     )
@@ -280,19 +287,19 @@ def test_queue_batch_backfill_prunes_partitions_and_offsets(spark):
             for seq in range(3):
                 queue_append(_segment_df(spark, part, seq, n=4), q_dir, part)
 
-        # full replay
-        assert read_queue_batch(spark, q_dir, SCHEMA).count() == 36
+        # full replay: all 9 segments
+        full = read_queue_batch(spark, q_dir, SCHEMA)
+        assert full.count() == 36
+        assert _scan_num_files(full) == 9
 
-        # one-partition backfill: correct rows AND a pruned scan
+        # one-partition backfill: correct rows AND exactly 3 files read
         one = read_queue_batch(spark, q_dir, SCHEMA, partitions=[1])
         rows = one.collect()
         assert len(rows) == 12 and all(r.partition == 1 for r in rows)
-        plan = one._jdf.queryExecution().executedPlan().toString()
-        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-        assert m and "partition" in m.group(1), plan[:800]
+        assert _scan_num_files(one) == 3
 
         # offset slice: partition 0 from seq 2, partition 1 from seq 1,
-        # partition 2 absent -> replays from 0
+        # partition 2 absent -> replays from 0; 1 + 2 + 3 files
         sliced = read_queue_batch(
             spark, q_dir, SCHEMA, from_offsets={0: 2, 1: 1}
         )
@@ -302,10 +309,16 @@ def test_queue_batch_backfill_prunes_partitions_and_offsets(spark):
         assert len([x for x in got if x[0] == 2]) == 12  # all
         # ids confirm WHICH segments survived, not just how many
         assert {i for p, i in got if p == 0} == set(range(200, 204))
+        assert _scan_num_files(sliced) == 6
 
-        # compose both: partition 1 from offset 2
+        # compose both: partition 1 from offset 2 -> a single file
         both = read_queue_batch(spark, q_dir, SCHEMA, partitions=[1], from_offsets={1: 2})
         assert {r.id for r in both.collect()} == set(range(100200, 100204))
+        assert _scan_num_files(both) == 1
+
+        # empty selection: valid empty frame with the right schema
+        none = read_queue_batch(spark, q_dir, SCHEMA, partitions=[9])
+        assert none.count() == 0 and none.schema == SCHEMA
 
 
 def test_queue_append_duplicate_offset_fails_loudly(spark, monkeypatch):
