@@ -503,20 +503,25 @@ ROTATION_R11_REVALIDATE = [
 #       batch-id-keyed idempotent queue sink, VERDICT r11 ask #4;
 #       multimodal_webp_dims and multimodal_ogg_info — the header-only
 #       WebP/OGG parsers of VERDICT r11 ask #8, oracled the
-#       multimodal_audio_decode way) + 34 staleness re-validations per
-#       VERDICT r11 ask #1: the ENTIRE r6-only cohort (26 names,
-#       turning 6 rounds old this round — due by the invariant "no
-#       registry entry's newest driver row is older than 5 rounds")
-#       and the alphabetically-first 8 of the r8-only cohort (38
-#       names; VERDICT asked for 12 but the four new registrations
-#       take those slots — the remaining 30 r8 names turn 5 rounds old
-#       at r13 and are due then). Cohorts recomputed from
-#       CORRECTNESS_r01..r11 this session. 12 + 4 + 26 + 8 = 50.
+#       multimodal_audio_decode way; queue_dedup_drain — stateful
+#       streaming dedup through the queue) + 33 staleness
+#       re-validations per VERDICT r11 ask #1: the ENTIRE r6-only
+#       cohort (26 names, turning 6 rounds old this round — due by the
+#       invariant "no registry entry's newest driver row is older than
+#       5 rounds") and the alphabetically-first 6 + the creeper of the
+#       r8-only cohort (38 names; VERDICT asked for 12 but the five
+#       new registrations take those slots — the remaining 31 r8 names
+#       turn 5 rounds old at r13 and are due then). Cohorts recomputed
+#       from CORRECTNESS_r01..r11 this session. 12 + 5 + 26 + 7 = 50.
 ROTATION_R12_NEW = [
     "queue_backfill_slice",
     "queue_roundtrip_convert",
     "multimodal_webp_dims",
     "multimodal_ogg_info",
+    # fifth r12 registration (takes one more r8 slot; that cohort is
+    # due r13): stateful streaming dedup over the queue — cross-batch
+    # dropDuplicates state, set-semantics oracle
+    "queue_dedup_drain",
 ]
 
 ROTATION_R12_REVALIDATE = [
@@ -547,7 +552,7 @@ ROTATION_R12_REVALIDATE = [
     "window_cume_nth",
     "window_lag_delta",
     "window_lead_first",
-    # (b) newest green row = r8, alphabetically first 8 (plus
+    # (b) newest green row = r8, alphabetically first 6 (plus
     # cohort_retention_weekly pulled forward out of alphabetical order:
     # it is also a VERDICT r11 ask #2 bench creeper, so it gets a hard
     # driver row the same round its timing is adjudicated):
@@ -557,7 +562,6 @@ ROTATION_R12_REVALIDATE = [
     "agg_percentiles",
     "agg_rollup_region_nation",
     "attribution_windowed_stats",
-    "case_bucket_totalprice",
     "cohort_retention_weekly",
 ]
 

@@ -575,3 +575,72 @@ def queue_roundtrip_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [T.StructField("partition", T.IntegerType())]
     )
     return read_queue_batch(spark, out_q, out_schema)
+
+
+# Set semantics make the streaming/batch equivalence exact and order-
+# independent: whichever segment order the consumer sees, the distinct
+# content-hash set equals the batch DISTINCT.
+_QUEUE_DEDUP_ORACLE = """
+SELECT DISTINCT md5(text) AS content_md5 FROM documents
+"""
+
+
+@query("queue_dedup_drain", _QUEUE_DEDUP_ORACLE)
+def queue_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact dedup as a STATEFUL streaming consumer of the queue
+    (r12): documents are published 2 partitions x 2 segments, and the
+    drain runs streaming ``dropDuplicates`` on the content hash — the
+    state store carries the seen-hash set ACROSS micro-batches, so a
+    duplicate whose copies land in different segments (or different
+    queue partitions) is still emitted exactly once. The accumulated
+    output must equal the batch ``SELECT DISTINCT md5(text)`` — which
+    only holds if the cross-batch state, the queue delivery, and the
+    idempotent sink are all correct. The sf0.1-and-above documents
+    fixtures contain byte-identical duplicate texts (sf0.1: 4992
+    distinct of 5000), so the sweep/bench scales exercise real state
+    hits; a constructed fixture with duplicates forced across queue
+    partitions pins the cross-batch drop in tests/test_file_queue.py.
+
+    Scale posture: the seen-hash state is the dedup answer itself, so
+    its size is the corpus's distinct count — the same state any
+    incremental exact dedup carries; for time-bounded retention use
+    ``dropDuplicatesWithinWatermark`` (streaming/dedup_stream.py, the
+    plan-asserted watermarked variant). Eager drain in a fresh
+    mkdtemp, lazily read result (the flagship_queue_drain pattern).
+    Reference parity: the reference has no dedup and no queue — EXT
+    north-star surface (BASELINE.json:6)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import catalog
+
+    work = tempfile.mkdtemp(prefix="spark_graft_queue_dedup_")
+    q_dir = os.path.join(work, "queue")
+    out = os.path.join(work, "out")
+    docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = ((F.col("doc_id") - F.col("doc_id") % 2) / 2 % 2).cast("int")
+    for part in (0, 1):
+        sub = docs.filter(F.col("doc_id") % 2 == part)
+        for seq in (0, 1):
+            queue_append(sub.filter(half == seq), q_dir, part)
+
+    schema = spark.read.parquet(queue_partition_dir(q_dir, 0)).schema
+    deduped = (
+        read_queue_stream(spark, q_dir, schema, max_segments_per_trigger=2)
+        .select(F.md5("text").alias("content_md5"))
+        .dropDuplicates(["content_md5"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={bid}")
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "batch=*"))

@@ -642,3 +642,51 @@ def test_queue_lag_and_one_call_gc(spark):
         }
         # GC retry at the same watermarks: nothing left below them
         assert fq.queue_gc(q_dir, fast, slow) == {}
+
+
+def test_queue_dedup_drain_state_spans_batches(spark, tmp_path):
+    """r12: streaming dropDuplicates over the queue must drop a
+    duplicate whose copies arrive in DIFFERENT micro-batches and
+    different queue partitions — the cross-batch state-store path,
+    forced with a constructed corpus (the sf0.01 fixture has no exact
+    dups; sf0.1+ do)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orders_currency_conversion_etl_spark.plans import registry
+
+    # doc_ids chosen so copies of "dup-A" land in (partition 0, seq 0),
+    # (partition 1, seq 0) and (partition 0, seq 1): 3 copies, and
+    # "dup-B" twice within one partition across seqs
+    texts = {
+        0: "dup-A", 1: "dup-A", 2: "dup-A",       # parts 0,1,0 / seqs 0,0,1
+        3: "dup-B", 5: "dup-B",                    # part 1 seq 0, part 1 seq 1... 
+        4: "only-4", 6: "only-6", 7: "only-7",
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": [texts[k] for k in sorted(texts)],
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pa.array([len(texts[k]) for k in sorted(texts)], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    out = registry.QUERIES["queue_dedup_drain"](spark, str(tmp_path))
+    hashes = [r.content_md5 for r in out.collect()]
+    assert len(hashes) == len(set(hashes)) == 5  # A, B, three singletons
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        oracle = {r[0] for r in con.execute(registry.ORACLES["queue_dedup_drain"]).fetchall()}
+    finally:
+        con.close()
+    assert set(hashes) == oracle
