@@ -505,11 +505,12 @@ def queue_backfill_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``startingOffsets`` analogue, now driver-verified end-to-end
     (r12): orders are published 2 partitions x 2 segments, then the
     backfill replays ``from_offsets={0: 1}`` — partition 0's first
-    segment is skipped via the scan's ``_metadata.file_path`` (no extra
-    pass), partition 1 replays whole. The oracle recomputes the exact
-    surviving key set from the publish arithmetic, so a broken offset
-    filter, partition recovery, or listing order fails the value hash.
-    Plan-level partition pruning for the same path is asserted in
+    segment never reaches the scan (the offset floor prunes the FILE
+    list at plan time), partition 1 replays whole. The oracle
+    recomputes the exact surviving key set from the publish
+    arithmetic, so a broken offset filter, partition recovery, or
+    listing order fails the value hash. File-level pruning for the
+    same path is asserted on the scanned file set in
     tests/test_file_queue.py. Eager publish into a fresh mkdtemp (the
     materialized-builder pattern); the returned DataFrame reads
     lazily. Reference parity: the reference re-reads its whole orders
