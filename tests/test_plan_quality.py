@@ -603,3 +603,15 @@ def test_scan_spread_is_noop_when_scan_already_parallel(spark, tmp_path):
     plan_small = small._jdf.queryExecution().optimizedPlan().toString()
     assert small.rdd.getNumPartitions() >= target
     assert "Repartition" in plan_small or "RoundRobinPartitioning" in plan_small
+
+
+def test_container_header_queries_are_single_stage_no_shuffle(spark):
+    """r12: multimodal_webp_dims / multimodal_ogg_info synthesize and
+    parse on the same executor row — one narrow scan into one
+    mapInPandas stage, zero exchanges at any scale."""
+    from orders_currency_conversion_etl_spark.operators import multimodal  # noqa: F401
+
+    for name in ("multimodal_webp_dims", "multimodal_ogg_info"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan[:600])
+        assert "MapInPandas" in plan, (name, plan[:600])
