@@ -414,6 +414,23 @@ def queue_publish_stream(
     return writer.start()
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose whole tree is removed at interpreter exit (r12):
+    the eager builder queries return LAZY readers over files in here,
+    so the earliest safe deletion point for the read side is process
+    exit — atexit keeps long-lived sessions (sweeps, pytest, the
+    driver) from accumulating gigabytes of drained queues in /tmp.
+    Inputs the returned DataFrame no longer reads (staged queues,
+    checkpoints) are deleted eagerly by the callers instead."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 @query("flagship_queue_drain", _FLAGSHIP_ORACLE)
 def flagship_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship conversion executed THROUGH the queue source (r11):
@@ -432,14 +449,14 @@ def flagship_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_file_queue.py pins crash/restart exactly-once).
     Reference parity: dags/order_currency_conversion_dag.py:14 re-runs
     this hourly from cron; the queue form is the push-based EXT shape."""
-    import tempfile
+    import shutil
 
     from pyspark.sql import functions as F
 
     from ..sources import catalog
     from .orders_stream import convert_stream
 
-    work = tempfile.mkdtemp(prefix="spark_graft_queue_drain_")
+    work = _scratch_dir("spark_graft_queue_drain_")
     q_dir = os.path.join(work, "queue")
     out = os.path.join(work, "out")
     orders = catalog.load_table(spark, sf_dir, "orders")
@@ -467,6 +484,10 @@ def flagship_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the result reads only out/batch=*; the staged queue and the
+    # checkpoint are dead weight from here
+    shutil.rmtree(q_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     return spark.read.parquet(os.path.join(out, "batch=*"))
 
 
@@ -516,9 +537,7 @@ def queue_backfill_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily. Reference parity: the reference re-reads its whole orders
     table per cron run (dags/order_currency_conversion_dag.py:61-67);
     the offset slice is the EXT incremental-replay shape."""
-    import tempfile
-
-    work = tempfile.mkdtemp(prefix="spark_graft_queue_slice_")
+    work = _scratch_dir("spark_graft_queue_slice_")
     q_dir = os.path.join(work, "queue")
     _publish_orders_queue(
         spark, sf_dir, q_dir, cols=["o_orderkey", "o_custkey", "o_totalprice"]
@@ -551,13 +570,13 @@ def queue_roundtrip_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash to match. Crash/restart of the same pipeline is pinned in
     tests/test_file_queue.py. Eager drain in a fresh mkdtemp, lazily
     read result (the flagship_queue_drain pattern)."""
-    import tempfile
+    import shutil
 
     from pyspark.sql import functions as F
 
     from .orders_stream import convert_stream
 
-    work = tempfile.mkdtemp(prefix="spark_graft_queue_rt_")
+    work = _scratch_dir("spark_graft_queue_rt_")
     in_q = os.path.join(work, "in_queue")
     out_q = os.path.join(work, "out_queue")
     _publish_orders_queue(spark, sf_dir, in_q)
@@ -570,6 +589,9 @@ def queue_roundtrip_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("partition", (F.col("order_id").cast("bigint") % 2).cast("int"))
     q = queue_publish_stream(converted, out_q, os.path.join(work, "ckpt"))
     q.awaitTermination()
+    # the result reads only the output queue
+    shutil.rmtree(in_q, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
 
     out_schema = T.StructType(
         [f for f in converted.schema.fields if f.name != "partition"]
@@ -610,13 +632,13 @@ def queue_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     mkdtemp, lazily read result (the flagship_queue_drain pattern).
     Reference parity: the reference has no dedup and no queue — EXT
     north-star surface (BASELINE.json:6)."""
-    import tempfile
+    import shutil
 
     from pyspark.sql import functions as F
 
     from ..sources import catalog
 
-    work = tempfile.mkdtemp(prefix="spark_graft_queue_dedup_")
+    work = _scratch_dir("spark_graft_queue_dedup_")
     q_dir = os.path.join(work, "queue")
     out = os.path.join(work, "out")
     docs = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -644,4 +666,7 @@ def queue_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the result reads only out/batch=*
+    shutil.rmtree(q_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     return spark.read.parquet(os.path.join(out, "batch=*"))
