@@ -161,7 +161,7 @@ def read_queue_batch(
     Both slicing knobs prune FILES at plan time: the segment list is
     resolved driver-side through the Hadoop FS glob (one listing — the
     cost any read of the queue pays anyway) and only the selected
-    segments reach the scan, asserted on the scan's numFiles metric in
+    segments reach the scan, asserted on the scanned file set in
     tests/test_file_queue.py. The r11 implementation filtered rows via
     the ``_metadata.file_path`` column instead, which read EVERY
     segment and discarded rows post-scan — at 100 TB an offset-sliced
@@ -443,7 +443,8 @@ def flagship_queue_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eager by design (the drain runs inside the call, like the
     materialized-graph builders); output lands in a fresh mkdtemp the
-    returned DataFrame reads lazily, left for OS tmp cleanup. At 100 TB
+    returned DataFrame reads lazily; the scratch tree is removed at
+    interpreter exit and the staged queue eagerly. At 100 TB
     the identical topology runs continuously with a processingTime
     trigger and the checkpoint as the consumer-group offset store
     (tests/test_file_queue.py pins crash/restart exactly-once).
