@@ -37,6 +37,7 @@ from orders_currency_conversion_etl_spark.plans import reports  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import behavior  # noqa: F401
 from orders_currency_conversion_etl_spark.plans import graph  # noqa: F401
 from orders_currency_conversion_etl_spark.operators import (  # noqa: F401
+    archive as _archive,
     curation as _curation,
     dedup as _dedup,
     layout as _layout,
@@ -496,7 +497,7 @@ ROTATION_R11_REVALIDATE = [
     "explode_part_types",
 ]
 
-#   r12 (this one): 12 anchors + 4 r12-new registrations
+#   r12: 12 anchors + 5 r12-new registrations
 #       (queue_backfill_slice — read_queue_batch's offset-sliced
 #       backfill, VERDICT r11 ask #6; queue_roundtrip_convert —
 #       exactly-once queue -> convert -> queue through the new
@@ -565,7 +566,69 @@ ROTATION_R12_REVALIDATE = [
     "cohort_retention_weekly",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R12_NEW + ROTATION_R12_REVALIDATE
+#   r13 (this one): 12 anchors + 4 r13-new registrations
+#       (queue_lag_report — per-partition end/committed/lag
+#       observability, VERDICT r12 ask #7; queue_compacted_drain —
+#       latest-value-per-key segment compaction then replay, the Kafka
+#       compacted-topic contract, VERDICT r12 ask #2;
+#       multimodal_mp4_dims — stdlib ISO-BMFF box walk to
+#       moov/trak/tkhd + mvhd, VERDICT r12 ask #3;
+#       archive_zip_members — stdlib ZIP central-directory
+#       enumeration, header-only, VERDICT r12 ask #8) + 34 staleness
+#       re-validations per VERDICT r12 ask #1: the ENTIRE r8-only
+#       cohort (31 names — they turn 5 rounds old this round and are
+#       due by the invariant "no registry entry's newest driver row is
+#       older than 5 rounds") and the alphabetically-first 3 of the
+#       r9-only cohort (38 names). Cohorts recomputed from
+#       CORRECTNESS_r01..r12 this session (histogram r8:31 / r9:38 /
+#       r10:36 / r11:38 / r12:50). 12 + 4 + 31 + 3 = 50.
+ROTATION_R13_NEW = [
+    "queue_lag_report",
+    "queue_compacted_drain",
+    "multimodal_mp4_dims",
+    "archive_zip_members",
+]
+
+ROTATION_R13_REVALIDATE = [
+    # (a) newest green row = r8, the full cohort (31):
+    "case_bucket_totalprice",
+    "cast_matrix",
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_incremental_lsh",
+    "dedup_longest_substring",
+    "dedup_stream_first_delivery",
+    "dq_expectations_orders",
+    "filter_empty_shortcircuit",
+    "funnel_user_conversion",
+    "grouped_zscore_pandas",
+    "higher_order_array_funcs",
+    "hll_segment_overlap",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_counts",
+    "join_interval_attribution",
+    "join_salted_skew",
+    "knn_ivf_materialized",
+    "knn_lsh_multiprobe",
+    "map_column_access",
+    "null_handling_functions",
+    "quantile_sketch_accuracy",
+    "quantile_sketch_rolling",
+    "set_except_segments",
+    "set_intersect_segments",
+    "string_functions",
+    "text_bpe_token_count",
+    "triangles_parts_materialized",
+    "window_ntile_percent_rank",
+    "window_range_frame",
+    # (b) newest green row = r9, alphabetically first 3:
+    "agg_mode_median",
+    "curation_pipeline_lsh",
+    "date_functions",
+]
+
+PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,189 @@
+"""Archive-container enumeration (r13, VERDICT r12 ask #8): ZIP
+central-directory walk, header-only — the commonest raw form of
+web-scale text dumps (Common-Crawl-style corpus drops, wiki exports)
+arrives as archives, and a curation pipeline's FIRST pass is "what's
+in here" without extracting anything.
+
+Pattern: the archive bytes live in an opaque ``binary`` column (the
+multimodal posture, operators/multimodal.py); enumeration runs as an
+Arrow-batched ``mapInPandas`` and reads ONLY the end-of-central-
+directory record plus the central directory itself — for a 1 GiB
+member-heavy zip that is a few KiB of trailing bytes, so at 100 TB the
+enumeration cost is O(members), never O(payload). On an object store
+the EOCD-first layout is exactly why zip listing works with two ranged
+GETs; here payloads are already column values so the walk is in-memory.
+
+The PARSER is an original struct walk (PKWARE APPNOTE layout: EOCD
+``PK\\x05\\x06``, central file header ``PK\\x01\\x02``); the registered
+query's FIXTURE is built with stdlib ``zipfile`` — building with the
+library and parsing with the independent walk keeps the verification
+honest (the WAV/mu-law pattern, operators/multimodal.py).
+
+Reference parity: none — the reference is tabular-only
+(BASELINE.json:6); EXT north-star surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..plans.registry import query
+from ..sources import catalog
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDH_SIG = b"PK\x01\x02"
+
+
+def zip_members(payload: bytes) -> list[dict]:
+    """Central-directory walk -> one dict per member:
+    ``{name, compressed_size, uncompressed_size, method, offset}``.
+    Reads the EOCD record (scanned backward through the maximal
+    65 557-byte comment tail, per APPNOTE 4.3.16) and the central
+    directory only — local headers and member data are never touched.
+    The EOCD entry count must match the walked count (a truncated or
+    spliced directory fails loudly). ZIP64 archives are honestly
+    gated: the 0xFFFF/0xFFFFFFFF sentinel values raise
+    NotImplementedError naming the gap."""
+    tail_start = max(0, len(payload) - (22 + 65535))
+    eocd = payload.rfind(_EOCD_SIG, tail_start)
+    if eocd < 0 or eocd + 22 > len(payload):
+        raise ValueError("not a ZIP payload (no end-of-central-directory record)")
+    n_total, cd_size, cd_off = struct.unpack("<HII", payload[eocd + 10 : eocd + 20])
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+        raise NotImplementedError("ZIP64 archives not supported (EOCD64 locator walk)")
+    pos, end = cd_off, cd_off + cd_size
+    if end > len(payload):
+        raise ValueError("ZIP central directory overruns the payload")
+    members: list[dict] = []
+    while pos + 4 <= end and payload[pos : pos + 4] == _CDH_SIG:
+        if pos + 46 > end:
+            raise ValueError("truncated ZIP central file header")
+        # APPNOTE 4.3.12 central file header, fields after the sig:
+        # made-by, needed, flags, method, time, date, crc, csize,
+        # usize, name/extra/comment lens, disk, internal, external,
+        # local-header offset.
+        (
+            _made,
+            _need,
+            _flags,
+            method,
+            _time,
+            _date,
+            _crc,
+            csize,
+            usize,
+            name_len,
+            extra_len,
+            comment_len,
+            _disk,
+            _internal,
+            _external,
+            local_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            raise NotImplementedError("ZIP64 member sizes not supported")
+        name = payload[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
+        members.append(
+            {
+                "name": name,
+                "compressed_size": csize,
+                "uncompressed_size": usize,
+                "method": method,
+                "offset": local_off,
+            }
+        )
+        pos += 46 + name_len + extra_len + comment_len
+    if len(members) != n_total:
+        raise ValueError(
+            f"ZIP central directory walked {len(members)} entries, "
+            f"EOCD declares {n_total}"
+        )
+    return members
+
+
+def build_zip(members: "list[tuple[str, bytes]]") -> bytes:
+    """Deterministic stdlib-zipfile archive: fixed DOS timestamp
+    (1980-01-01), ZIP_STORED, members in argument order — so the same
+    inputs always produce byte-identical archives (the fixture half;
+    :func:`zip_members` is the independent parse half)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in members:
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()
+
+
+ZIP_MEMBERS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("members", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+    ]
+)
+
+# One manifest member (the doc_id rendered as text) plus one member per
+# 64-byte chunk of the utf-8 text — every reported number recomputes
+# from the text length in SQL.
+_ZIP_MEMBERS_ORACLE = """
+SELECT doc_id,
+       CAST(1 + (strlen(text) + 63) // 64 AS INT) AS members,
+       CAST(strlen(text) + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT)
+           AS total_bytes,
+       'manifest.txt' AS first_name,
+       CASE WHEN strlen(text) = 0 THEN 'manifest.txt'
+            ELSE 'part' || lpad(CAST((strlen(text) - 1) // 64 AS VARCHAR), 4, '0')
+                 || '.txt'
+       END AS last_name
+FROM documents
+"""
+
+
+@query("archive_zip_members", _ZIP_MEMBERS_ORACLE)
+def archive_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP enumeration, driver-oracled (r13, VERDICT r12 ask #8): per
+    document, pack the text into a deterministic stdlib-built archive
+    (a manifest member plus 64-byte chunk members), then enumerate it
+    back through the independent central-directory walk and report
+    member count, total uncompressed bytes and the first/last member
+    names — EOCD location, count cross-check, per-entry field reads
+    and name decoding all under the value hash. One mapInPandas stage:
+    build and parse share the executor row, no shuffle at any scale
+    (the multimodal_webp_dims shape)."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                parts = [("manifest.txt", str(int(doc_id)).encode())] + [
+                    (f"part{i:04d}.txt", raw[i * 64 : (i + 1) * 64])
+                    for i in range((len(raw) + 63) // 64)
+                ]
+                listed = zip_members(build_zip(parts))
+                rows.append(
+                    (
+                        doc_id,
+                        len(listed),
+                        sum(m["uncompressed_size"] for m in listed),
+                        listed[0]["name"],
+                        listed[-1]["name"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "members", "total_bytes", "first_name", "last_name"],
+            )
+
+    return base.mapInPandas(_roundtrip, schema=ZIP_MEMBERS_SCHEMA)

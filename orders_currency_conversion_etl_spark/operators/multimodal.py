@@ -823,15 +823,23 @@ def bmp_dims(payload: bytes) -> tuple[int, int, str]:
     1 bilevel), matching the PIL naming the other parsers use."""
     import struct
 
-    if payload[:2] != b"BM" or len(payload) < 30:
+    if payload[:2] != b"BM" or len(payload) < 18:
         raise ValueError("not a BMP payload")
     hdr_size = struct.unpack("<I", payload[14:18])[0]
-    if hdr_size < 40:  # BITMAPCOREHEADER (12) uses 16-bit dims
+    if hdr_size == 12:  # BITMAPCOREHEADER: 16-bit dims, ends at byte 26
         if len(payload) < 26:
             raise ValueError("truncated BMP core header")
         w, h = struct.unpack("<HH", payload[18:22])
         bpp = struct.unpack("<H", payload[24:26])[0]
     else:
+        # Every other defined header (OS/2 2.x 16/64, BITMAPINFOHEADER
+        # 40, V4/V5 108/124) shares the INFOHEADER's first 16 bytes:
+        # 32-bit signed dims at 18, bpp at 28 (r13, bmp ADVICE fix —
+        # the old `< 40` gate misparsed 16/64-byte OS/2 headers through
+        # the 16-bit core branch, and the blanket 30-byte minimum
+        # rejected valid 26-29 byte core-header files).
+        if len(payload) < 30:
+            raise ValueError("truncated BMP info header")
         w, h = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
     mode = {24: "RGB", 32: "RGBA", 8: "P", 1: "1"}.get(bpp, f"BPP{bpp}")
@@ -959,10 +967,17 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
         )
     try:
         return parser(payload)
-    except ValueError:
+    except ValueError as strict_err:
         if _HAS_PIL:  # pragma: no cover - requires PIL
-            with Image.open(io.BytesIO(payload)) as im:
-                return im.width, im.height, im.mode
+            # If PIL ALSO rejects the payload it raises its own
+            # UnidentifiedImageError — re-raise the strict parser's
+            # ValueError instead so callers see one exception type
+            # regardless of whether PIL is installed (r13 ADVICE fix).
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    return im.width, im.height, im.mode
+            except Exception:
+                raise strict_err from None
         raise
 
 
@@ -1524,3 +1539,196 @@ def multimodal_ogg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "codec", "channels", "sample_rate"])
 
     return base.mapInPandas(_roundtrip, schema=OGG_INFO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF header dims (r13, VERDICT r12 ask #3): the dominant
+# video container joins the header-only family. A stdlib box walk to
+# moov/trak/tkhd (dims) and moov/mvhd (duration) — zero sample decode,
+# O(header) like the image parsers.
+# --------------------------------------------------------------------------
+
+
+def _bmff_boxes(buf: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO-BMFF boxes in
+    buf[pos:end], handling 32-bit sizes, size==1 (64-bit largesize
+    follows the type) and size==0 (box extends to the end)."""
+    import struct
+
+    while pos + 8 <= end:
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize box")
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("ISO-BMFF box overruns its container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_dims(payload: bytes) -> tuple[str, int, int, int]:
+    """ISO-BMFF header walk -> (brand, width, height, duration_ms):
+    ``ftyp`` major brand, first ``trak/tkhd`` with a nonzero canvas
+    (tkhd stores 16.16 fixed-point dims; audio tracks carry 0x0 and
+    are skipped), and ``mvhd`` duration rescaled to milliseconds via
+    its timescale. Both version-0 (32-bit times) and version-1
+    (64-bit) layouts of mvhd/tkhd are parsed; no mdat byte is ever
+    touched. Reference parity: none — the reference is tabular-only
+    (BASELINE.json:6); EXT north-star surface."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    brand = payload[8:12].decode("latin-1")
+    width = height = -1
+    duration_ms = -1
+    for btype, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _bmff_boxes(payload, b0, b1):
+            if ctype == b"mvhd" and duration_ms < 0:
+                ver = payload[c0]
+                if ver == 1:
+                    ts = struct.unpack(">I", payload[c0 + 20 : c0 + 24])[0]
+                    dur = struct.unpack(">Q", payload[c0 + 24 : c0 + 32])[0]
+                else:
+                    ts = struct.unpack(">I", payload[c0 + 12 : c0 + 16])[0]
+                    dur = struct.unpack(">I", payload[c0 + 16 : c0 + 20])[0]
+                if ts == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_ms = dur * 1000 // ts
+            elif ctype == b"trak" and width < 0:
+                for ttype, t0, t1 in _bmff_boxes(payload, c0, c1):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = payload[t0]
+                    off = t0 + (88 if ver == 1 else 76)
+                    if off + 8 > t1:
+                        raise ValueError("truncated tkhd box")
+                    w_fp, h_fp = struct.unpack(">II", payload[off : off + 8])
+                    if w_fp and h_fp:
+                        width, height = w_fp >> 16, h_fp >> 16
+    if width < 0 or duration_ms < 0:
+        raise ValueError("ISO-BMFF moov/tkhd video dims or mvhd not found")
+    return brand, width, height, duration_ms
+
+
+def video_dims(payload: bytes) -> tuple[str, int, int, int]:
+    """Container-sniffing dispatch for video payloads — the
+    :func:`image_dims` analogue. MP4/MOV (ftyp at byte 4) routes to
+    :func:`mp4_dims`; MKV/WebM (EBML) and AVI (RIFF) are honestly
+    gated until a stdlib walk exists for them."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return mp4_dims(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError("MKV/WebM EBML walk not implemented (MP4/MOV only)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        raise NotImplementedError("AVI RIFF walk not implemented (MP4/MOV only)")
+    raise ValueError("unrecognized video container (expected ISO-BMFF ftyp)")
+
+
+def encode_mp4_header(
+    brand: str, w: int, h: int, duration: int, timescale: int, version: int,
+    large_moov: bool = False,
+) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd + audio trak + video
+    trak) carrying exactly the fields :func:`mp4_dims` reads. The
+    leading ZERO-dims audio trak forces the parser to skip non-video
+    tracks; ``large_moov`` wraps moov in the size==1/largesize form."""
+    import struct
+
+    def box(btype: bytes, body: bytes, large: bool = False) -> bytes:
+        if large:
+            return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom")
+    if version == 1:
+        mvhd_body = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration) + b"\x00" * 80
+        )
+        tkhd_head = b"\x01\x00\x00\x00" + b"\x00" * 84
+    else:
+        mvhd_body = (
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration) + b"\x00" * 80
+        )
+        tkhd_head = b"\x00" * 4 + b"\x00" * 72
+    audio_trak = box(b"trak", box(b"tkhd", tkhd_head + struct.pack(">II", 0, 0)))
+    video_trak = box(
+        b"trak", box(b"tkhd", tkhd_head + struct.pack(">II", w << 16, h << 16))
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + audio_trak + video_trak, large_moov)
+    return ftyp + moov
+
+
+MP4_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+# duration = k * timescale with k = 1 + bytes % 120, so duration_ms is
+# exactly 1000k whatever the timescale stripe; odd doc_ids use the
+# version-1 64-bit layout and every third doc wraps moov in
+# size==1/largesize — all three variants under one value hash.
+_MP4_DIMS_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1'
+       END AS brand,
+       CAST(1 + strlen(text) % 640 AS INT) AS width,
+       CAST(1 + (strlen(text) // 7) % 480 AS INT) AS height,
+       CAST(1000 * (1 + strlen(text) % 120) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_mp4_dims", _MP4_DIMS_ORACLE)
+def multimodal_mp4_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only MP4 dims + duration (r13, VERDICT r12 ask #3): per
+    document, synthesize an ISO-BMFF container (brand cycling
+    isom/mp42/avc1, dims from the text length, duration an exact
+    multiple of a varying timescale, version-0 and version-1 layouts
+    on alternating doc_ids, largesize moov on a third stripe, and a
+    zero-dims AUDIO trak ahead of the video trak) and parse it back
+    through the :func:`video_dims` dispatch — box walk, largesize
+    handling, track skipping, 16.16 fixed-point dims and the
+    timescale division all under the value hash. One mapInPandas
+    stage, synthesis and parse share the executor row, no shuffle at
+    any scale (the multimodal_webp_dims shape)."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        brands = {0: "isom", 1: "mp42", 2: "avc1"}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(text.encode("utf-8"))
+                w, h = 1 + n % 640, 1 + (n // 7) % 480
+                ts = 500 * (1 + d % 4)
+                payload = encode_mp4_header(
+                    brands[d % 3], w, h,
+                    duration=(1 + n % 120) * ts, timescale=ts,
+                    version=d % 2, large_moov=(d % 3 == 2),
+                )
+                brand, got_w, got_h, dur_ms = video_dims(payload)
+                rows.append((doc_id, brand, got_w, got_h, dur_ms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "brand", "width", "height", "duration_ms"]
+            )
+
+    return base.mapInPandas(_roundtrip, schema=MP4_DIMS_SCHEMA)
