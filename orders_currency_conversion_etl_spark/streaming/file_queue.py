@@ -599,21 +599,25 @@ def queue_publish_batch(
             .mode("overwrite")
             .parquet(tmp)
         )
+        # Validate EVERY directory before publishing ANY segment: a
+        # null or non-integer partition value lands in
+        # partition=__HIVE_DEFAULT_PARTITION__ — silently skipping it
+        # would DROP those rows (the tmp dir is deleted below), and
+        # raising mid-loop would leave a half-published batch. Fail
+        # loudly with nothing committed.
+        dirs = [
+            d for d in sorted(os.listdir(tmp)) if os.path.isdir(os.path.join(tmp, d))
+        ]
+        bad = [d for d in dirs if not re.fullmatch(r"partition=\d+", d)]
+        if bad:
+            raise ValueError(
+                f"queue_publish_batch: partition column {partition_col!r} "
+                f"produced non-integer directories {bad!r} (null or non-digit "
+                "partition values are not publishable queue partitions)"
+            )
         published: list[int] = []
-        for d in sorted(os.listdir(tmp)):
-            if not os.path.isdir(os.path.join(tmp, d)):
-                continue  # _SUCCESS / .crc markers
+        for d in dirs:
             m = re.fullmatch(r"partition=(\d+)", d)
-            if not m:
-                # A null or non-integer partition value lands in
-                # partition=__HIVE_DEFAULT_PARTITION__ — silently
-                # skipping it would DROP those rows from the queue
-                # (the tmp dir is deleted below). Fail loudly instead.
-                raise ValueError(
-                    f"queue_publish_batch: partition column {partition_col!r} "
-                    f"produced non-integer directory {d!r} (null or non-digit "
-                    "partition values are not publishable queue partitions)"
-                )
             files = [f for f in os.listdir(os.path.join(tmp, d)) if f.endswith(".parquet")]
             assert len(files) == 1, f"expected one file per queue partition, got {files}"
             pdir = queue_partition_dir(queue_dir, int(m.group(1)))
