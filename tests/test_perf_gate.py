@@ -144,8 +144,21 @@ def _extras_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
     (query, sf) -> [(round, sec), ...] sorted by round.
 
     r05/r06: {"queries": {name: sec}, "sf_dir": ".../sf0.1"}
-    r10+:    {"timings": {"name@sf0.1": sec, ...}}"""
+    r10+:    {"timings": {"name@sf0.1": sec, ...}}
+
+    Rounds consolidated into BENCH_EXTRAS_HISTORY.json (r13, VERDICT
+    r12 ask #6) contribute their per-(query, sf) MINIMUM as one
+    synthetic point at the round it was recorded — min(history ∪
+    recent) == min(all rounds), so the gate's baseline is unchanged
+    while the committed series stays O(recent rounds)."""
     series: dict[tuple[str, str], list[tuple[int, float]]] = {}
+    hist_path = os.path.join(_ROOT, "BENCH_EXTRAS_HISTORY.json")
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            hist = json.load(f)
+        for key, rec in hist["minima"].items():
+            name, sf = key.rsplit("@", 1)
+            series.setdefault((name, sf), []).append((rec["round"], rec["sec"]))
     for path in glob.glob(os.path.join(_ROOT, "BENCH_EXTRAS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
