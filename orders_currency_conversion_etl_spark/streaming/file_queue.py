@@ -529,18 +529,19 @@ def queue_compact(
                 rewritten[(int(pm.group(1)), int(sm.group(1)))] = os.path.join(
                     sdir, files[0]
                 )
-        kept = {
-            (r["partition"], r["__seq"]): r["n"]
-            for r in survivors.groupBy("partition", "__seq")
-            .agg(F.count(F.lit(1)).alias("n"))
+        # one stats pass: total and surviving rows per segment share a
+        # single scan+window instead of separate before/after jobs
+        stat_rows = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .groupBy("partition", "__seq")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("__rn") == 1).cast("long")).alias("nk"),
+            )
             .collect()
-        }
-        before = {
-            (r["partition"], r["__seq"]): r["n"]
-            for r in log.groupBy("partition", "__seq")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        )
+        kept = {(r["partition"], r["__seq"]): r["nk"] for r in stat_rows}
+        before = {(r["partition"], r["__seq"]): r["n"] for r in stat_rows}
         agg: "defaultdict[int, dict[str, int]]" = defaultdict(
             lambda: {"kept": 0, "dropped": 0, "removed_segments": 0}
         )
