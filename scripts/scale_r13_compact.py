@@ -117,6 +117,14 @@ def main() -> int:
     from orders_currency_conversion_etl_spark.streaming.file_queue import queue_compact
 
     out: dict = {"topology": f"{N_PARTS} partitions x {SEGS_PER_PART} segments, key=o_custkey"}
+
+    # warm the JVM / codegen / parquet paths so the first scale's
+    # timing is not the session's cold start
+    with tempfile.TemporaryDirectory() as warm:
+        wq = os.path.join(warm, "queue")
+        _stage_queue(spark, os.path.join("/root/testdata/sf0.01", "orders.parquet"), wq)
+        queue_compact(spark, wq, ["o_custkey"])
+
     per_scale: dict[str, dict] = {}
     for label, (sf_dir, replicas) in SCALES.items():
         _ensure_orders(sf_dir, replicas)
