@@ -574,19 +574,22 @@ ROTATION_R12_REVALIDATE = [
 #       multimodal_mp4_dims — stdlib ISO-BMFF box walk to
 #       moov/trak/tkhd + mvhd, VERDICT r12 ask #3;
 #       archive_zip_members — stdlib ZIP central-directory
-#       enumeration, header-only, VERDICT r12 ask #8) + 34 staleness
+#       enumeration, header-only, VERDICT r12 ask #8;
+#       archive_tar_members — the USTAR header-walk twin, same ask,
+#       taking the slot of the third r9 filler) + 33 staleness
 #       re-validations per VERDICT r12 ask #1: the ENTIRE r8-only
 #       cohort (31 names — they turn 5 rounds old this round and are
 #       due by the invariant "no registry entry's newest driver row is
-#       older than 5 rounds") and the alphabetically-first 3 of the
+#       older than 5 rounds") and the alphabetically-first 2 of the
 #       r9-only cohort (38 names). Cohorts recomputed from
 #       CORRECTNESS_r01..r12 this session (histogram r8:31 / r9:38 /
-#       r10:36 / r11:38 / r12:50). 12 + 4 + 31 + 3 = 50.
+#       r10:36 / r11:38 / r12:50). 12 + 5 + 31 + 2 = 50.
 ROTATION_R13_NEW = [
     "queue_lag_report",
     "queue_compacted_drain",
     "multimodal_mp4_dims",
     "archive_zip_members",
+    "archive_tar_members",
 ]
 
 ROTATION_R13_REVALIDATE = [
@@ -622,10 +625,9 @@ ROTATION_R13_REVALIDATE = [
     "triangles_parts_materialized",
     "window_ntile_percent_rank",
     "window_range_frame",
-    # (b) newest green row = r9, alphabetically first 3:
+    # (b) newest green row = r9, alphabetically first 2:
     "agg_mode_median",
     "curation_pipeline_lsh",
-    "date_functions",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE

@@ -187,3 +187,143 @@ def archive_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return base.mapInPandas(_roundtrip, schema=ZIP_MEMBERS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TAR (r13, the second half of VERDICT r12 ask #8): USTAR header walk.
+# Unlike ZIP there is no central directory — enumeration is a linear
+# walk of 512-byte headers, SEEKING past member data (O(members) reads
+# on a seekable store; the data blocks themselves are never touched).
+# --------------------------------------------------------------------------
+
+
+def tar_members(payload: bytes) -> list[dict]:
+    """USTAR/pax header walk -> one dict per member:
+    ``{name, size, typeflag, offset}`` (offset = where the member's
+    data blocks start). Each 512-byte header's checksum is verified
+    (the field itself counted as spaces, per POSIX); the archive ends
+    at two consecutive zero blocks. GNU longname/longlink (typeflags
+    L/K) and pax extended headers (x/g) are honestly gated — plain
+    USTAR names cover the fixture space and the common corpus-dump
+    case."""
+    members: list[dict] = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        block = payload[pos : pos + 512]
+        if block == b"\x00" * 512:
+            if payload[pos + 512 : pos + 1024] == b"\x00" * 512:
+                return members
+            raise ValueError("single zero block without end-of-archive twin")
+        stored = block[148:156]
+        try:
+            stored_sum = int(stored.split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            raise ValueError("malformed tar checksum field") from None
+        actual = sum(block[:148]) + 8 * 0x20 + sum(block[156:])
+        if stored_sum != actual:
+            raise ValueError(
+                f"tar header checksum mismatch at offset {pos} "
+                f"(stored {stored_sum}, computed {actual})"
+            )
+        typeflag = chr(block[156]) if block[156] else "0"
+        if typeflag in ("L", "K", "x", "g"):
+            raise NotImplementedError(
+                "GNU longname/longlink and pax extended headers not supported "
+                "(plain USTAR member names only)"
+            )
+        name = block[0:100].split(b"\x00")[0].decode("utf-8", "replace")
+        prefix = block[345:500].split(b"\x00")[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        members.append(
+            {"name": name, "size": size, "typeflag": typeflag, "offset": pos + 512}
+        )
+        pos += 512 + ((size + 511) // 512) * 512
+    raise ValueError("tar archive truncated (no end-of-archive marker)")
+
+
+def build_tar(members: "list[tuple[str, bytes]]") -> bytes:
+    """Deterministic stdlib-tarfile archive: epoch mtime, zero
+    uid/gid, empty uname/gname, members in argument order — the
+    fixture half; :func:`tar_members` is the independent parse half."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+TAR_MEMBERS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("members", T.IntegerType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+    ]
+)
+
+# Same member arithmetic as the ZIP twin — so the two walks are
+# cross-checked against one oracle shape.
+_TAR_MEMBERS_ORACLE = """
+SELECT doc_id,
+       CAST(1 + (strlen(text) + 63) // 64 AS INT) AS members,
+       CAST(strlen(text) + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT)
+           AS total_bytes,
+       'manifest.txt' AS first_name,
+       CASE WHEN strlen(text) = 0 THEN 'manifest.txt'
+            ELSE 'part' || lpad(CAST((strlen(text) - 1) // 64 AS VARCHAR), 4, '0')
+                 || '.txt'
+       END AS last_name
+FROM documents
+"""
+
+
+@query("archive_tar_members", _TAR_MEMBERS_ORACLE)
+def archive_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR enumeration, driver-oracled (r13): the ZIP query's exact
+    twin over the USTAR walk — per document, pack the text into a
+    deterministic stdlib-built tar (manifest member + 64-byte chunk
+    members) and enumerate it back through the independent header
+    walk: checksum verification, octal size reads, data-block seek
+    arithmetic and the end-of-archive detection are all under the
+    value hash (a wrong size read desynchronizes every subsequent
+    header, so corruption cannot pass silently). One mapInPandas
+    stage, no shuffle at any scale."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                parts = [("manifest.txt", str(int(doc_id)).encode())] + [
+                    (f"part{i:04d}.txt", raw[i * 64 : (i + 1) * 64])
+                    for i in range((len(raw) + 63) // 64)
+                ]
+                listed = tar_members(build_tar(parts))
+                rows.append(
+                    (
+                        doc_id,
+                        len(listed),
+                        sum(m["size"] for m in listed),
+                        listed[0]["name"],
+                        listed[-1]["name"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "members", "total_bytes", "first_name", "last_name"],
+            )
+
+    return base.mapInPandas(_roundtrip, schema=TAR_MEMBERS_SCHEMA)

@@ -1330,3 +1330,49 @@ def test_zip_members_walk_matches_stdlib_and_gates():
 
     with pytest.raises(ValueError, match="end-of-central-directory"):
         ar.zip_members(b"this is not an archive")
+
+
+def test_tar_members_walk_matches_stdlib_and_gates():
+    """r13 (ask #8, TAR half): the USTAR header walk agrees with stdlib
+    tarfile, verifies header checksums, seeks past data blocks, detects
+    the end-of-archive marker, and honestly gates pax/GNU extensions."""
+    import io
+    import tarfile
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    z = ar.build_tar(
+        [("manifest.txt", b"7"), ("part0000.txt", b"x" * 64), ("d/deep.txt", b"ab")]
+    )
+    got = ar.tar_members(z)
+    with tarfile.open(fileobj=io.BytesIO(z)) as tf:
+        ref = [(i.name, i.size) for i in tf.getmembers()]
+    assert [(m["name"], m["size"]) for m in got] == ref
+    # offsets really point at the member data
+    for m in got:
+        assert z[m["offset"] : m["offset"] + m["size"]] in (b"7", b"x" * 64, b"ab")
+
+    assert ar.tar_members(ar.build_tar([])) == []
+
+    # checksum corruption fails loudly, never desynchronizes silently
+    b = bytearray(z)
+    b[130] ^= 1  # a size-field byte
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        ar.tar_members(bytes(b))
+
+    # pax extended headers gate (stdlib writes typeflag 'x' first)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("a.txt")
+        data = b"abc"
+        info.size = len(data)
+        info.pax_headers = {"comment": "force an extended header"}
+        tf.addfile(info, io.BytesIO(data))
+    with pytest.raises(NotImplementedError, match="pax"):
+        ar.tar_members(buf.getvalue())
+
+    # cut INSIDE the last member's data: no end-of-archive marker left
+    # (tarfile pads to a 10 KiB record, so a fixed tail slice isn't enough)
+    cut = got[-1]["offset"] + 512
+    with pytest.raises(ValueError, match="truncated"):
+        ar.tar_members(z[:cut])
