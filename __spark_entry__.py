@@ -576,20 +576,25 @@ ROTATION_R12_REVALIDATE = [
 #       archive_zip_members — stdlib ZIP central-directory
 #       enumeration, header-only, VERDICT r12 ask #8;
 #       archive_tar_members — the USTAR header-walk twin, same ask,
-#       taking the slot of the third r9 filler) + 33 staleness
+#       taking the slot of the third r9 filler; multimodal_tiff_dims —
+#       endian-aware IFD walk, taking the second filler's slot) + 32
+#       staleness
 #       re-validations per VERDICT r12 ask #1: the ENTIRE r8-only
 #       cohort (31 names — they turn 5 rounds old this round and are
 #       due by the invariant "no registry entry's newest driver row is
 #       older than 5 rounds") and the alphabetically-first 2 of the
 #       r9-only cohort (38 names). Cohorts recomputed from
 #       CORRECTNESS_r01..r12 this session (histogram r8:31 / r9:38 /
-#       r10:36 / r11:38 / r12:50). 12 + 5 + 31 + 2 = 50.
+#       r10:36 / r11:38 / r12:50). 12 + 6 + 31 + 1 = 50.
 ROTATION_R13_NEW = [
     "queue_lag_report",
     "queue_compacted_drain",
     "multimodal_mp4_dims",
     "archive_zip_members",
     "archive_tar_members",
+    # sixth r13 registration (takes the second r9 filler's slot):
+    # header-only TIFF dims, the remaining common still-image container
+    "multimodal_tiff_dims",
 ]
 
 ROTATION_R13_REVALIDATE = [
@@ -625,9 +630,8 @@ ROTATION_R13_REVALIDATE = [
     "triangles_parts_materialized",
     "window_ntile_percent_rank",
     "window_range_frame",
-    # (b) newest green row = r9, alphabetically first 2:
+    # (b) newest green row = r9, alphabetically first 1:
     "agg_mode_median",
-    "curation_pipeline_lsh",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE

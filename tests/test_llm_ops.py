@@ -1376,3 +1376,87 @@ def test_tar_members_walk_matches_stdlib_and_gates():
     cut = got[-1]["offset"] + 512
     with pytest.raises(ValueError, match="truncated"):
         ar.tar_members(z[:cut])
+
+
+def test_tiff_dims_endianness_types_and_modes():
+    """r13: TIFF IFD walk — II/MM byte orders, SHORT and LONG dim tag
+    types, all four photometric/samples mode outcomes, BigTIFF gate,
+    and the image_dims dispatch routing."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    for be in (False, True):
+        for lng in (False, True):
+            p = mm.encode_tiff_header(800, 600, 2, 3, be, lng)
+            assert mm.tiff_dims(p) == (800, 600, "RGB")
+            assert mm.image_dims(p) == (800, 600, "RGB")  # dispatch
+    assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 0, 1, False, False))[2] == "L"
+    assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 1, 1, True, False))[2] == "L"
+    assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 3, 1, False, True))[2] == "P"
+    assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 2, 4, True, True))[2] == "RGBA"
+
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        mm.tiff_dims(b"II\x2b\x00" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="byte-order"):
+        mm.tiff_dims(b"XX\x2a\x00" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="overruns"):
+        mm.tiff_dims(b"II\x2a\x00\xff\x00\x00\x00")
+    # an IFD without the dim tags is loud, not (0, 0)
+    import struct
+
+    head = b"II" + struct.pack("<HI", 42, 8)
+    empty_ifd = struct.pack("<H", 0) + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="ImageWidth"):
+        mm.tiff_dims(head + empty_ifd)
+
+
+def test_container_builders_roundtrip_fuzz():
+    """Property fuzz (hypothesis): every (dims, duration, member-shape)
+    the r13 encoders can produce parses back exactly through the
+    independent walks — mp4 across version/largesize, tiff across
+    endian/type, zip and tar across member counts and sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        k=st.integers(1, 10_000),
+        ts=st.sampled_from([600, 1000, 90_000]),
+        ver=st.integers(0, 1),
+        large=st.booleans(),
+    )
+    def mp4_case(w, h, k, ts, ver, large):
+        p = mm.encode_mp4_header("isom", w, h, k * ts, ts, ver, large)
+        assert mm.mp4_dims(p) == ("isom", w, h, k * 1000)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 60_000),
+        h=st.integers(1, 60_000),
+        be=st.booleans(),
+        lng=st.booleans(),
+    )
+    def tiff_case(w, h, be, lng):
+        p = mm.encode_tiff_header(w, h, 2, 3, be, lng)
+        assert mm.tiff_dims(p) == (w, h, "RGB")
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 300), min_size=0, max_size=12),
+    )
+    def archive_case(sizes):
+        parts = [(f"m{i:03d}.bin", b"\xab" * n) for i, n in enumerate(sizes)]
+        zm = ar.zip_members(ar.build_zip(parts))
+        tm = ar.tar_members(ar.build_tar(parts))
+        assert [(m["name"], m["uncompressed_size"]) for m in zm] == [
+            (n, len(d)) for n, d in parts
+        ]
+        assert [(m["name"], m["size"]) for m in tm] == [(n, len(d)) for n, d in parts]
+
+    mp4_case()
+    tiff_case()
+    archive_case()

@@ -611,7 +611,16 @@ def test_container_header_queries_are_single_stage_no_shuffle(spark):
     mapInPandas stage, zero exchanges at any scale."""
     from orders_currency_conversion_etl_spark.operators import multimodal  # noqa: F401
 
-    for name in ("multimodal_webp_dims", "multimodal_ogg_info"):
+    from orders_currency_conversion_etl_spark.operators import archive  # noqa: F401
+
+    for name in (
+        "multimodal_webp_dims",
+        "multimodal_ogg_info",
+        # r13 additions: same synthesize-and-parse-in-place shape
+        "multimodal_mp4_dims",
+        "archive_zip_members",
+        "archive_tar_members",
+    ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, (name, plan[:600])
         assert "MapInPandas" in plan, (name, plan[:600])
