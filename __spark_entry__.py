@@ -577,15 +577,15 @@ ROTATION_R12_REVALIDATE = [
 #       enumeration, header-only, VERDICT r12 ask #8;
 #       archive_tar_members — the USTAR header-walk twin, same ask,
 #       taking the slot of the third r9 filler; multimodal_tiff_dims —
-#       endian-aware IFD walk, taking the second filler's slot) + 32
-#       staleness
+#       endian-aware IFD walk, taking the second filler's slot;
+#       archive_warc_records — the ISO 28500 crawl-corpus walk, taking
+#       the last filler's slot) + 31 staleness
 #       re-validations per VERDICT r12 ask #1: the ENTIRE r8-only
 #       cohort (31 names — they turn 5 rounds old this round and are
 #       due by the invariant "no registry entry's newest driver row is
-#       older than 5 rounds") and the alphabetically-first 2 of the
-#       r9-only cohort (38 names). Cohorts recomputed from
+#       older than 5 rounds"). Cohorts recomputed from
 #       CORRECTNESS_r01..r12 this session (histogram r8:31 / r9:38 /
-#       r10:36 / r11:38 / r12:50). 12 + 6 + 31 + 1 = 50.
+#       r10:36 / r11:38 / r12:50). 12 + 7 + 31 = 50.
 ROTATION_R13_NEW = [
     "queue_lag_report",
     "queue_compacted_drain",
@@ -595,6 +595,10 @@ ROTATION_R13_NEW = [
     # sixth r13 registration (takes the second r9 filler's slot):
     # header-only TIFF dims, the remaining common still-image container
     "multimodal_tiff_dims",
+    # seventh r13 registration (takes the last r9 filler's slot —
+    # the r9 cohort of 38 is not due until r14): WARC record walk,
+    # the native container of web-scale crawl corpora
+    "archive_warc_records",
 ]
 
 ROTATION_R13_REVALIDATE = [
@@ -630,8 +634,6 @@ ROTATION_R13_REVALIDATE = [
     "triangles_parts_materialized",
     "window_ntile_percent_rank",
     "window_range_frame",
-    # (b) newest green row = r9, alphabetically first 1:
-    "agg_mode_median",
 ]
 
 PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE

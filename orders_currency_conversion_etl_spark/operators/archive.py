@@ -327,3 +327,217 @@ def archive_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return base.mapInPandas(_roundtrip, schema=TAR_MEMBERS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WARC (r13, the archival-corpora capstone of VERDICT r12 ask #8): the
+# ISO 28500 Web ARChive walk. WARC is the native container of web-scale
+# crawl corpora (Common Crawl ships ~100 TB crawls as WARC), so "what's
+# in this crawl segment" — record counts, types, block sizes, target
+# URIs — is the FIRST query a training-data pipeline runs, before any
+# text extraction. Like TAR it is a linear record walk with no central
+# directory: parse each record's header block, then SEEK past
+# Content-Length bytes of payload — O(records) header reads, the
+# payload blocks themselves never touched.
+# --------------------------------------------------------------------------
+
+_WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+def warc_records(payload: bytes) -> list[dict]:
+    """ISO 28500 record walk -> one dict per record:
+    ``{offset, warc_type, content_length, target_uri}`` (``target_uri``
+    is None for records without a ``WARC-Target-URI`` header, e.g.
+    ``warcinfo``). Each record is a version line (WARC/1.0 or 1.1), a
+    named-field block terminated by an empty CRLF line, exactly
+    ``Content-Length`` bytes of block data, then the mandatory
+    CRLF CRLF record boundary — a wrong Content-Length desynchronizes
+    the walk onto bytes that are not a version line, so corruption
+    fails loudly instead of under-counting. Field names are matched
+    case-insensitively per the spec; header continuation lines
+    (obs-fold, leading SP/TAB) are honestly gated with
+    NotImplementedError — crawl writers emit single-line fields."""
+    records: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(f"truncated WARC version line at offset {pos}")
+        if payload[pos:eol] not in _WARC_VERSIONS:
+            raise ValueError(
+                f"expected a WARC/1.x version line at offset {pos}, "
+                f"got {payload[pos:eol][:20]!r}"
+            )
+        hdr_pos = eol + 2
+        content_length = None
+        warc_type = None
+        target_uri = None
+        while True:
+            eol = payload.find(b"\r\n", hdr_pos)
+            if eol < 0:
+                raise ValueError(f"truncated WARC header block at offset {hdr_pos}")
+            line = payload[hdr_pos:eol]
+            if line == b"":
+                break  # end of the named-field block
+            if line[:1] in (b" ", b"\t"):
+                raise NotImplementedError(
+                    "WARC header continuation lines (obs-fold) not supported"
+                )
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            key = name.strip().lower()
+            val = value.strip()
+            if key == b"content-length":
+                if not val.isdigit():
+                    raise ValueError(f"non-numeric WARC Content-Length {val!r}")
+                content_length = int(val)
+            elif key == b"warc-type":
+                warc_type = val.decode("utf-8", "replace")
+            elif key == b"warc-target-uri":
+                target_uri = val.decode("utf-8", "replace")
+            hdr_pos = eol + 2
+        if content_length is None:
+            raise ValueError(f"WARC record at offset {pos} missing Content-Length")
+        if warc_type is None:
+            raise ValueError(f"WARC record at offset {pos} missing WARC-Type")
+        block_start = eol + 2
+        block_end = block_start + content_length
+        if block_end + 4 > n:
+            raise ValueError(
+                f"WARC block at offset {block_start} overruns the payload "
+                f"(Content-Length {content_length})"
+            )
+        if payload[block_end : block_end + 4] != b"\r\n\r\n":
+            raise ValueError(
+                f"missing CRLFCRLF record boundary at offset {block_end} "
+                "(wrong Content-Length or spliced record)"
+            )
+        records.append(
+            {
+                "offset": pos,
+                "warc_type": warc_type,
+                "content_length": content_length,
+                "target_uri": target_uri,
+            }
+        )
+        pos = block_end + 4
+    return records
+
+
+def build_warc(records: "list[tuple[str, str | None, bytes]]") -> bytes:
+    """Deterministic WARC writer: fixed WARC-Date (1980-01-01, the
+    build_zip epoch), record IDs derived from the record index, fields
+    in a fixed order, members in argument order — same inputs, byte-
+    identical archive. Each record is ``(warc_type, target_uri_or_None,
+    block_bytes)``. The fixture half; :func:`warc_records` is the
+    independent parse half (the walk never assumes this field order or
+    these IDs — it matches names case-insensitively)."""
+    out = bytearray()
+    for i, (warc_type, target_uri, block) in enumerate(records):
+        out += b"WARC/1.0\r\n"
+        out += b"WARC-Type: " + warc_type.encode() + b"\r\n"
+        out += (
+            b"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-%012d>\r\n"
+            % i
+        )
+        out += b"WARC-Date: 1980-01-01T00:00:00Z\r\n"
+        if target_uri is not None:
+            out += b"WARC-Target-URI: " + target_uri.encode() + b"\r\n"
+        out += b"Content-Length: %d\r\n" % len(block)
+        out += b"\r\n"
+        out += block
+        out += b"\r\n\r\n"
+    return bytes(out)
+
+
+WARC_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("records", T.IntegerType()),
+        T.StructField("responses", T.IntegerType()),
+        T.StructField("total_block_bytes", T.LongType()),
+        T.StructField("first_uri", T.StringType()),
+        T.StructField("last_uri", T.StringType()),
+    ]
+)
+
+# One warcinfo record (block = the doc_id rendered as text) plus one
+# response record per 64-byte chunk of the utf-8 text, each with a
+# deterministic target URI — every reported value recomputes from the
+# text length in SQL (the ZIP/TAR oracle shape, extended with the URI
+# columns so the header FIELD reads are under the hash too).
+_WARC_RECORDS_ORACLE = """
+SELECT doc_id,
+       CAST(1 + (strlen(text) + 63) // 64 AS INT) AS records,
+       CAST((strlen(text) + 63) // 64 AS INT) AS responses,
+       CAST(strlen(text) + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT)
+           AS total_block_bytes,
+       CASE WHEN strlen(text) = 0 THEN NULL
+            ELSE 'https://corpus.local/' || CAST(doc_id AS VARCHAR) || '/0'
+       END AS first_uri,
+       CASE WHEN strlen(text) = 0 THEN NULL
+            ELSE 'https://corpus.local/' || CAST(doc_id AS VARCHAR) || '/'
+                 || CAST((strlen(text) - 1) // 64 AS VARCHAR)
+       END AS last_uri
+FROM documents
+"""
+
+
+@query("archive_warc_records", _WARC_RECORDS_ORACLE)
+def archive_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC enumeration, driver-oracled (r13): per document, write the
+    text into a deterministic crawl-segment-shaped archive (one
+    warcinfo record + one response record per 64-byte chunk, each with
+    a synthetic target URI), then enumerate it back through the
+    independent record walk and report record/response counts, total
+    block bytes and the first/last response URIs — version-line
+    checks, case-insensitive field reads, Content-Length seek
+    arithmetic and the CRLFCRLF boundary verification all under the
+    value hash (a wrong Content-Length desynchronizes every subsequent
+    record, so corruption cannot pass silently). One mapInPandas
+    stage, no shuffle at any scale (the archive_zip_members shape)."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                recs: list[tuple[str, "str | None", bytes]] = [
+                    ("warcinfo", None, str(int(doc_id)).encode())
+                ] + [
+                    (
+                        "response",
+                        f"https://corpus.local/{int(doc_id)}/{i}",
+                        raw[i * 64 : (i + 1) * 64],
+                    )
+                    for i in range((len(raw) + 63) // 64)
+                ]
+                listed = warc_records(build_warc(recs))
+                resp = [r for r in listed if r["warc_type"] == "response"]
+                rows.append(
+                    (
+                        doc_id,
+                        len(listed),
+                        len(resp),
+                        sum(r["content_length"] for r in listed),
+                        resp[0]["target_uri"] if resp else None,
+                        resp[-1]["target_uri"] if resp else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "records",
+                    "responses",
+                    "total_block_bytes",
+                    "first_uri",
+                    "last_uri",
+                ],
+            )
+
+    return base.mapInPandas(_roundtrip, schema=WARC_RECORDS_SCHEMA)

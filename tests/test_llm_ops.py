@@ -1409,6 +1409,73 @@ def test_tiff_dims_endianness_types_and_modes():
         mm.tiff_dims(head + empty_ifd)
 
 
+def test_warc_records_walk_and_gates():
+    """r13 (ask #8, WARC capstone): the ISO 28500 record walk
+    roundtrips the deterministic builder, matches field names
+    case-insensitively, verifies the CRLFCRLF record boundary (so a
+    wrong Content-Length is loud, never a silent under-count), and
+    honestly gates header continuation lines."""
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    w = ar.build_warc(
+        [
+            ("warcinfo", None, b"42"),
+            ("response", "https://a/0", b"x" * 64),
+            ("request", "https://a/0", b""),
+        ]
+    )
+    got = ar.warc_records(w)
+    assert [(r["warc_type"], r["content_length"], r["target_uri"]) for r in got] == [
+        ("warcinfo", 2, None),
+        ("response", 64, "https://a/0"),
+        ("request", 0, "https://a/0"),
+    ]
+    # offsets really point at each record's version line
+    for r in got:
+        assert w[r["offset"] : r["offset"] + 5] == b"WARC/"
+
+    assert ar.warc_records(ar.build_warc([])) == []
+    assert ar.warc_records(b"") == []
+
+    # field names are case-insensitive per the spec
+    ci = w.replace(b"Content-Length", b"CONTENT-length").replace(
+        b"WARC-Type", b"warc-type"
+    )
+    assert [r["warc_type"] for r in ar.warc_records(ci)] == [
+        "warcinfo",
+        "response",
+        "request",
+    ]
+
+    # a wrong Content-Length breaks the CRLFCRLF boundary check loudly
+    bad = w.replace(b"Content-Length: 64", b"Content-Length: 63", 1)
+    with pytest.raises(ValueError, match="boundary|overruns"):
+        ar.warc_records(bad)
+
+    # truncation inside a block is loud
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        ar.warc_records(w[:-6])
+
+    # a record without Content-Length is loud
+    nolen = ar.build_warc([("warcinfo", None, b"")]).replace(
+        b"Content-Length: 0\r\n", b""
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        ar.warc_records(nolen)
+
+    # header continuation lines (obs-fold) are gated, not misparsed
+    folded = w.replace(
+        b"WARC-Date: 1980-01-01T00:00:00Z\r\n",
+        b"WARC-Date: 1980-01-01\r\n T00:00:00Z\r\n",
+        1,
+    )
+    with pytest.raises(NotImplementedError, match="continuation"):
+        ar.warc_records(folded)
+
+    with pytest.raises(ValueError, match="version line"):
+        ar.warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
 def test_container_builders_roundtrip_fuzz():
     """Property fuzz (hypothesis): every (dims, duration, member-shape)
     the r13 encoders can produce parses back exactly through the
@@ -1457,6 +1524,22 @@ def test_container_builders_roundtrip_fuzz():
         ]
         assert [(m["name"], m["size"]) for m in tm] == [(n, len(d)) for n, d in parts]
 
+    @settings(max_examples=30, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 300), min_size=0, max_size=12),
+        with_uri=st.booleans(),
+    )
+    def warc_case(sizes, with_uri):
+        recs = [
+            ("response", f"https://f/{i}" if with_uri else None, b"\xcd" * n)
+            for i, n in enumerate(sizes)
+        ]
+        got = ar.warc_records(ar.build_warc(recs))
+        assert [(r["warc_type"], r["target_uri"], r["content_length"]) for r in got] == [
+            (t, u, len(d)) for t, u, d in recs
+        ]
+
     mp4_case()
     tiff_case()
     archive_case()
+    warc_case()

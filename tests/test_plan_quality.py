@@ -620,6 +620,8 @@ def test_container_header_queries_are_single_stage_no_shuffle(spark):
         "multimodal_mp4_dims",
         "archive_zip_members",
         "archive_tar_members",
+        "multimodal_tiff_dims",
+        "archive_warc_records",
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange" not in plan, (name, plan[:600])
