@@ -541,3 +541,142 @@ def archive_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return base.mapInPandas(_roundtrip, schema=WARC_RECORDS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Multi-member gzip (RFC 1952) — the transport wrapping of WARC in the
+# wild: Common Crawl writes ONE gzip member PER WARC RECORD so readers
+# can seek to a member boundary (from a .cdx index) and inflate a
+# single record. Library surface this round (the r13 rotation window
+# is full at 50); registration with an exact oracle is the queued r14
+# slot. Honesty about scale: unlike ZIP (central directory) and TAR
+# (size-field seeks), gzip member boundaries are only discoverable by
+# INFLATING — the walk is O(payload), which is exactly why production
+# crawl stores ship side-car offset indexes; enumerate once, persist
+# the offsets (the layout-manifest pattern, operators/layout.py).
+# --------------------------------------------------------------------------
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gzip_members(payload: bytes) -> list[dict]:
+    """RFC 1952 multi-member walk -> one dict per member:
+    ``{offset, compressed_size, uncompressed_size, name}``. Parses the
+    10-byte fixed header plus the optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    fields, inflates the deflate stream (zlib, raw window) to locate
+    the member end, then verifies BOTH trailer fields — CRC32 and
+    ISIZE (mod 2^32) — so a corrupt byte anywhere in the member fails
+    loudly instead of desynchronizing the walk. ``name`` is the FNAME
+    field (latin-1 per the RFC) or None."""
+    import zlib
+
+    members: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        start = pos
+        if payload[pos : pos + 2] != _GZIP_MAGIC:
+            raise ValueError(f"not a gzip member at offset {pos}")
+        if pos + 10 > n:
+            raise ValueError(f"truncated gzip header at offset {pos}")
+        cm, flg = payload[pos + 2], payload[pos + 3]
+        if cm != 8:
+            raise ValueError(f"unsupported gzip compression method {cm}")
+        if flg & 0xE0:
+            raise ValueError(f"reserved gzip FLG bits set at offset {pos}")
+        pos += 10
+        if flg & 0x04:  # FEXTRA
+            if pos + 2 > n:
+                raise ValueError("truncated gzip FEXTRA length")
+            xlen = int.from_bytes(payload[pos : pos + 2], "little")
+            pos += 2 + xlen
+        name = None
+        if flg & 0x08:  # FNAME, zero-terminated latin-1
+            zero = payload.find(b"\x00", pos)
+            if zero < 0:
+                raise ValueError("unterminated gzip FNAME field")
+            name = payload[pos:zero].decode("latin-1")
+            pos = zero + 1
+        if flg & 0x10:  # FCOMMENT
+            zero = payload.find(b"\x00", pos)
+            if zero < 0:
+                raise ValueError("unterminated gzip FCOMMENT field")
+            pos = zero + 1
+        if flg & 0x02:  # FHCRC
+            pos += 2
+        if pos > n:
+            raise ValueError(f"gzip optional fields overrun the payload at {start}")
+        d = zlib.decompressobj(-zlib.MAX_WBITS)
+        try:
+            data = d.decompress(payload[pos:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt deflate stream at offset {pos}: {e}") from None
+        if not d.eof:
+            raise ValueError(f"truncated deflate stream at offset {pos}")
+        trailer_pos = n - len(d.unused_data)
+        if trailer_pos + 8 > n:
+            raise ValueError(f"truncated gzip trailer at offset {trailer_pos}")
+        crc = int.from_bytes(payload[trailer_pos : trailer_pos + 4], "little")
+        isize = int.from_bytes(payload[trailer_pos + 4 : trailer_pos + 8], "little")
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise ValueError(f"gzip CRC32 mismatch in member at offset {start}")
+        if isize != (len(data) & 0xFFFFFFFF):
+            raise ValueError(f"gzip ISIZE mismatch in member at offset {start}")
+        pos = trailer_pos + 8
+        members.append(
+            {
+                "offset": start,
+                "compressed_size": pos - start,
+                "uncompressed_size": len(data),
+                "name": name,
+            }
+        )
+    return members
+
+
+def build_gzip_members(blocks: "list[tuple[str | None, bytes]]") -> bytes:
+    """Deterministic member-per-block gzip stream (mtime=0, fixed
+    compression level, optional FNAME) — the Common-Crawl record-per-
+    member layout; the fixture half of :func:`gzip_members`."""
+    import gzip
+    import io
+
+    out = bytearray()
+    for name, data in blocks:
+        buf = io.BytesIO()
+        with gzip.GzipFile(
+            filename=name or "", fileobj=buf, mode="wb", compresslevel=6, mtime=0
+        ) as gf:
+            gf.write(data)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def warc_gz_records(payload: bytes) -> list[dict]:
+    """Enumerate a ``.warc.gz`` crawl segment: walk the gzip members,
+    inflate each, and parse each member's content as WARC records —
+    returning the flat record list with each record's ``member``
+    (gzip member index) and member ``offset`` attached. The
+    record-per-member contract is NOT assumed: a member holding
+    several concatenated records is walked through the same
+    :func:`warc_records` parse."""
+    import zlib
+
+    records: list[dict] = []
+    for i, m in enumerate(gzip_members(payload)):
+        raw = payload[m["offset"] : m["offset"] + m["compressed_size"]]
+        data = _gunzip_single(raw)
+        for rec in warc_records(data):
+            rec = dict(rec)
+            rec["member"] = i
+            rec["member_offset"] = m["offset"]
+            records.append(rec)
+    return records
+
+
+def _gunzip_single(member: bytes) -> bytes:
+    import gzip
+    import io
+
+    with gzip.GzipFile(fileobj=io.BytesIO(member)) as gf:
+        return gf.read()

@@ -1476,6 +1476,72 @@ def test_warc_records_walk_and_gates():
         ar.warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
 
 
+def test_gzip_members_walk_and_warc_gz():
+    """r13 (library surface, r14 registration candidate): the RFC 1952
+    multi-member walk — the .warc.gz record-per-member layout Common
+    Crawl ships — verifies per-member CRC32 and ISIZE trailers, parses
+    the optional header fields, and composes with the WARC walk."""
+    import gzip as gz
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    blocks = [("a.warc", b"x" * 100), (None, b""), ("c", b"abc" * 50)]
+    stream = ar.build_gzip_members(blocks)
+    got = ar.gzip_members(stream)
+    assert [(m["name"], m["uncompressed_size"]) for m in got] == [
+        ("a.warc", 100),
+        (None, 0),
+        ("c", 150),
+    ]
+    # offsets + compressed sizes really tile the stream
+    assert got[0]["offset"] == 0
+    for prev, cur in zip(got, got[1:]):
+        assert cur["offset"] == prev["offset"] + prev["compressed_size"]
+    assert got[-1]["offset"] + got[-1]["compressed_size"] == len(stream)
+    # stdlib agrees on the concatenated content
+    assert gz.decompress(stream) == b"x" * 100 + b"" + b"abc" * 50
+
+    assert ar.gzip_members(b"") == []
+
+    # trailer CRC corruption is loud (flip a byte in the last 8)
+    bad = bytearray(stream)
+    bad[got[0]["offset"] + got[0]["compressed_size"] - 6] ^= 1
+    with pytest.raises(ValueError, match="CRC32|ISIZE"):
+        ar.gzip_members(bytes(bad))
+
+    # truncation inside a deflate stream is loud
+    with pytest.raises(ValueError, match="truncated"):
+        ar.gzip_members(stream[: got[0]["compressed_size"] - 12])
+
+    with pytest.raises(ValueError, match="not a gzip member"):
+        ar.gzip_members(b"PK\x03\x04 definitely a zip")
+
+    # reserved FLG bits are loud, never skipped over
+    hdr = bytearray(ar.build_gzip_members([(None, b"q")]))
+    hdr[3] |= 0x20
+    with pytest.raises(ValueError, match="reserved"):
+        ar.gzip_members(bytes(hdr))
+
+    # .warc.gz composition: record-per-member AND multi-record members
+    seg = ar.build_gzip_members(
+        [
+            ("0.warc", ar.build_warc([("response", "https://s/0", b"r0")])),
+            (
+                None,
+                ar.build_warc(
+                    [("warcinfo", None, b"i"), ("response", "https://s/1", b"r1")]
+                ),
+            ),
+        ]
+    )
+    recs = ar.warc_gz_records(seg)
+    assert [(r["member"], r["warc_type"], r["target_uri"]) for r in recs] == [
+        (0, "response", "https://s/0"),
+        (1, "warcinfo", None),
+        (1, "response", "https://s/1"),
+    ]
+
+
 def test_container_builders_roundtrip_fuzz():
     """Property fuzz (hypothesis): every (dims, duration, member-shape)
     the r13 encoders can produce parses back exactly through the
@@ -1539,7 +1605,23 @@ def test_container_builders_roundtrip_fuzz():
             (t, u, len(d)) for t, u, d in recs
         ]
 
+    @settings(max_examples=20, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 400), min_size=0, max_size=8),
+        named=st.booleans(),
+    )
+    def gzip_case(sizes, named):
+        blocks = [
+            (f"b{i}.warc" if named else None, bytes([i % 251]) * n)
+            for i, n in enumerate(sizes)
+        ]
+        got = ar.gzip_members(ar.build_gzip_members(blocks))
+        assert [(m["name"], m["uncompressed_size"]) for m in got] == [
+            (n, len(d)) for n, d in blocks
+        ]
+
     mp4_case()
     tiff_case()
     archive_case()
     warc_case()
+    gzip_case()
