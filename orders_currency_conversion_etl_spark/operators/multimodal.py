@@ -1621,17 +1621,88 @@ def mp4_dims(payload: bytes) -> tuple[str, int, int, int]:
     return brand, width, height, duration_ms
 
 
+def avi_dims(payload: bytes) -> tuple[str, int, int, int]:
+    """RIFF/AVI header walk -> ("avi", width, height, duration_ms):
+    top-level chunk walk to LIST/``hdrl``, then to the ``avih``
+    MainAVIHeader whose dwWidth/dwHeight give the canvas and whose
+    dwTotalFrames x dwMicroSecPerFrame give the duration — the same
+    O(header) posture as :func:`mp4_dims` (the ``movi`` data chunk is
+    never touched; for a multi-GB capture the walk reads a few hundred
+    bytes). RIFF chunks are 2-byte aligned, same as the WebP walk."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        ctype = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body0, body1 = pos + 8, pos + 8 + size
+        if body1 > end:
+            raise ValueError(f"AVI chunk {ctype!r} overruns the payload")
+        if ctype == b"LIST" and payload[body0 : body0 + 4] == b"hdrl":
+            ipos = body0 + 4
+            while ipos + 8 <= body1:
+                itype = payload[ipos : ipos + 4]
+                isize = struct.unpack("<I", payload[ipos + 4 : ipos + 8])[0]
+                if ipos + 8 + isize > body1:
+                    raise ValueError("AVI hdrl sub-chunk overruns its LIST")
+                if itype == b"avih":
+                    if isize < 40:
+                        raise ValueError("truncated avih MainAVIHeader")
+                    usec_per_frame, = struct.unpack(
+                        "<I", payload[ipos + 8 : ipos + 12]
+                    )
+                    total_frames, = struct.unpack(
+                        "<I", payload[ipos + 24 : ipos + 28]
+                    )
+                    w, h = struct.unpack("<II", payload[ipos + 40 : ipos + 48])
+                    duration_ms = total_frames * usec_per_frame // 1000
+                    return "avi", w, h, duration_ms
+                ipos += 8 + isize + (isize & 1)
+            raise ValueError("AVI hdrl LIST has no avih header chunk")
+        pos = body1 + (size & 1)
+    raise ValueError("AVI hdrl LIST not found")
+
+
+def encode_avi_header(
+    w: int, h: int, total_frames: int, usec_per_frame: int
+) -> bytes:
+    """Minimal spec-shaped AVI: RIFF('AVI ') + LIST(hdrl(avih)) + an
+    empty LIST(movi) — exactly the fields :func:`avi_dims` reads, with
+    a leading JUNK chunk inside hdrl so the walk's sub-chunk skip is
+    exercised (the fixture half)."""
+    import struct
+
+    avih_body = struct.pack(
+        "<14I",
+        usec_per_frame,  # dwMicroSecPerFrame
+        0, 0, 0,         # dwMaxBytesPerSec, dwPaddingGranularity, dwFlags
+        total_frames,    # dwTotalFrames
+        0, 1, 0,         # dwInitialFrames, dwStreams, dwSuggestedBufferSize
+        w, h,            # dwWidth, dwHeight
+        0, 0, 0, 0,      # dwReserved[4]
+    )
+    junk = b"JUNK" + struct.pack("<I", 3) + b"pad\x00"  # odd size: alignment path
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_body = b"hdrl" + junk + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def video_dims(payload: bytes) -> tuple[str, int, int, int]:
     """Container-sniffing dispatch for video payloads — the
     :func:`image_dims` analogue. MP4/MOV (ftyp at byte 4) routes to
-    :func:`mp4_dims`; MKV/WebM (EBML) and AVI (RIFF) are honestly
-    gated until a stdlib walk exists for them."""
+    :func:`mp4_dims`; AVI (RIFF) routes to :func:`avi_dims` (r13);
+    MKV/WebM (EBML) is honestly gated until a stdlib walk exists."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return mp4_dims(payload)
     if payload[:4] == b"\x1a\x45\xdf\xa3":
-        raise NotImplementedError("MKV/WebM EBML walk not implemented (MP4/MOV only)")
+        raise NotImplementedError("MKV/WebM EBML walk not implemented (MP4/MOV/AVI)")
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        raise NotImplementedError("AVI RIFF walk not implemented (MP4/MOV only)")
+        return avi_dims(payload)
     raise ValueError("unrecognized video container (expected ISO-BMFF ftyp)")
 
 

@@ -1243,8 +1243,6 @@ def test_mp4_dims_all_layout_variants():
         mm.mp4_dims(b"\x00" * 24)
     with pytest.raises(NotImplementedError, match="MKV"):
         mm.video_dims(b"\x1a\x45\xdf\xa3" + b"\x00" * 20)
-    with pytest.raises(NotImplementedError, match="AVI"):
-        mm.video_dims(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 12)
     # ftyp present but no moov/tkhd -> loud, not silent zeros
     import struct
 
@@ -1254,6 +1252,34 @@ def test_mp4_dims_all_layout_variants():
     # a box whose declared size overruns the payload is corruption
     with pytest.raises(ValueError, match="overruns"):
         mm.mp4_dims(ftyp_only + struct.pack(">I", 1 << 30) + b"moov")
+
+
+def test_avi_dims_riff_walk():
+    """r13: the AVI RIFF walk (closing the video_dims gate) — LIST/hdrl
+    location past a JUNK chunk with odd-size alignment, avih field
+    reads, frames x usec duration arithmetic, loud truncation."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    p = mm.encode_avi_header(640, 480, total_frames=250, usec_per_frame=40_000)
+    assert mm.avi_dims(p) == ("avi", 640, 480, 10_000)
+    assert mm.video_dims(p) == ("avi", 640, 480, 10_000)
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        mm.avi_dims(b"RIFF\x08\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="overruns"):
+        mm.avi_dims(p[:24])
+    # an hdrl LIST with no avih inside is loud
+    import struct
+
+    hdrl = b"LIST" + struct.pack("<I", 4) + b"hdrl"
+    bad = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    with pytest.raises(ValueError, match="avih"):
+        mm.avi_dims(bad)
+    # no hdrl at all is loud
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    nohdrl = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    with pytest.raises(ValueError, match="hdrl"):
+        mm.avi_dims(nohdrl)
 
 
 def test_bmp_dims_core_and_os2_headers():
@@ -1620,8 +1646,20 @@ def test_container_builders_roundtrip_fuzz():
             (n, len(d)) for n, d in blocks
         ]
 
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        frames=st.integers(0, 10_000_000),
+        usec=st.sampled_from([16_667, 33_367, 40_000, 41_708]),
+    )
+    def avi_case(w, h, frames, usec):
+        p = mm.encode_avi_header(w, h, frames, usec)
+        assert mm.avi_dims(p) == ("avi", w, h, frames * usec // 1000)
+
     mp4_case()
     tiff_case()
     archive_case()
     warc_case()
     gzip_case()
+    avi_case()
