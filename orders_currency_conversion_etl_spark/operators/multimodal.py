@@ -1692,15 +1692,200 @@ def encode_avi_header(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _ebml_varint(payload: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``pos`` -> (value,
+    next_pos). Element IDs keep the length-marker bit (``keep_marker``,
+    per the spec IDs are compared with it); sizes strip it. A size
+    whose value bits are ALL ones means "unknown size" and returns -1."""
+    if pos >= len(payload):
+        raise ValueError(f"truncated EBML varint at offset {pos}")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError(f"invalid EBML varint lead byte 0x00 at offset {pos}")
+    length = 9 - first.bit_length()  # leading-zeros + 1
+    if pos + length > len(payload):
+        raise ValueError(f"EBML varint overruns the payload at offset {pos}")
+    raw = int.from_bytes(payload[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    value = raw - (1 << (7 * length))  # strip the marker bit
+    if value == (1 << (7 * length)) - 1:
+        return -1, pos + length  # unknown size
+    return value, pos + length
+
+
+def _ebml_children(payload: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for each child element
+    in [pos, end). Unknown-size elements are only legal for the
+    top-level Segment (handled by the caller); here they are loud."""
+    while pos < end:
+        eid, pos = _ebml_varint(payload, pos, keep_marker=True)
+        size, pos = _ebml_varint(payload, pos, keep_marker=False)
+        if size < 0:
+            raise ValueError(f"unknown-size EBML element 0x{eid:X} below Segment level")
+        if pos + size > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+# Matroska/WebM element IDs (with the length-marker bit, as compared)
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+
+
+def mkv_dims(payload: bytes) -> tuple[str, int, int, int]:
+    """Matroska/WebM EBML walk -> (doctype, width, height,
+    duration_ms): DocType from the EBML header ("matroska" or "webm"),
+    PixelWidth/PixelHeight from the first video TrackEntry (TrackType
+    1; audio entries are skipped, the mp4 posture), and Info's
+    float Duration x TimestampScale (default 1,000,000 ns) rescaled to
+    milliseconds. Only header-level masters are walked — Cluster data
+    is never touched, so the walk is O(header) however large the
+    capture. The top-level Segment may carry the streamed "unknown
+    size" and is then taken to extend to the payload end (how
+    live-muxed mkv is written); unknown sizes anywhere else are
+    corruption and raise."""
+    import struct
+
+    n = len(payload)
+    if n < 4 or payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML payload (no EBML header magic)")
+    doctype = "matroska"
+    width = height = -1
+    duration_raw = None
+    tscale = 1_000_000  # ns, the Matroska default
+    pos = 0
+    while pos < n:
+        eid, p = _ebml_varint(payload, pos, keep_marker=True)
+        size, p = _ebml_varint(payload, p, keep_marker=False)
+        if size < 0:
+            if eid != _MKV_SEGMENT:
+                raise ValueError(
+                    f"unknown-size EBML element 0x{eid:X} outside Segment"
+                )
+            body_end = n
+        else:
+            body_end = p + size
+            if body_end > n:
+                raise ValueError(f"EBML element 0x{eid:X} overruns the payload")
+        if eid == _EBML_HEADER:
+            for cid, c0, c1 in _ebml_children(payload, p, body_end):
+                if cid == _EBML_DOCTYPE:
+                    doctype = payload[c0:c1].rstrip(b"\x00").decode("ascii", "replace")
+        elif eid == _MKV_SEGMENT:
+            for cid, c0, c1 in _ebml_children(payload, p, body_end):
+                if cid == _MKV_INFO:
+                    for iid, i0, i1 in _ebml_children(payload, c0, c1):
+                        if iid == _MKV_TIMESTAMP_SCALE:
+                            tscale = int.from_bytes(payload[i0:i1], "big")
+                        elif iid == _MKV_DURATION:
+                            if i1 - i0 == 4:
+                                duration_raw = struct.unpack(">f", payload[i0:i1])[0]
+                            elif i1 - i0 == 8:
+                                duration_raw = struct.unpack(">d", payload[i0:i1])[0]
+                            else:
+                                raise ValueError("mkv Duration is not float32/float64")
+                elif cid == _MKV_TRACKS and width < 0:
+                    for tid, t0, t1 in _ebml_children(payload, c0, c1):
+                        if tid != _MKV_TRACK_ENTRY:
+                            continue
+                        ttype, video_span = None, None
+                        for fid, f0, f1 in _ebml_children(payload, t0, t1):
+                            if fid == _MKV_TRACK_TYPE:
+                                ttype = int.from_bytes(payload[f0:f1], "big")
+                            elif fid == _MKV_VIDEO:
+                                video_span = (f0, f1)
+                        if ttype == 1 and video_span:
+                            for vid, v0, v1 in _ebml_children(payload, *video_span):
+                                if vid == _MKV_PIXEL_WIDTH:
+                                    width = int.from_bytes(payload[v0:v1], "big")
+                                elif vid == _MKV_PIXEL_HEIGHT:
+                                    height = int.from_bytes(payload[v0:v1], "big")
+                            break
+        pos = body_end
+    if width < 0 or height < 0:
+        raise ValueError("mkv Tracks has no video TrackEntry with pixel dims")
+    if duration_raw is None:
+        raise ValueError("mkv Info has no Duration element")
+    duration_ms = int(duration_raw * tscale // 1_000_000)
+    return doctype, width, height, duration_ms
+
+
+def encode_mkv_header(
+    doctype: str, w: int, h: int, duration_ticks: float,
+    timestamp_scale: int = 1_000_000, unknown_size_segment: bool = False,
+) -> bytes:
+    """Minimal spec-shaped Matroska/WebM: EBML header (DocType) +
+    Segment(Info(TimestampScale, float64 Duration) + Tracks(audio
+    TrackEntry THEN video TrackEntry)) — exactly the elements
+    :func:`mkv_dims` reads, with the leading audio entry forcing the
+    track-type skip and ``unknown_size_segment`` exercising the
+    streamed live-mux layout (the fixture half)."""
+    import struct
+
+    def vint_size(value: int) -> bytes:
+        for length in range(1, 9):
+            if value < (1 << (7 * length)) - 1:
+                return (value + (1 << (7 * length))).to_bytes(length, "big")
+        raise ValueError("EBML size too large")
+
+    def elem(eid: int, body: bytes) -> bytes:
+        return eid.to_bytes((eid.bit_length() + 7) // 8, "big") + vint_size(len(body)) + body
+
+    def uint_body(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = elem(_EBML_HEADER, elem(_EBML_DOCTYPE, doctype.encode("ascii")))
+    info = elem(
+        _MKV_INFO,
+        elem(_MKV_TIMESTAMP_SCALE, uint_body(timestamp_scale))
+        + elem(_MKV_DURATION, struct.pack(">d", duration_ticks)),
+    )
+    audio_entry = elem(
+        _MKV_TRACK_ENTRY, elem(_MKV_TRACK_TYPE, uint_body(2))
+    )
+    video_entry = elem(
+        _MKV_TRACK_ENTRY,
+        elem(_MKV_TRACK_TYPE, uint_body(1))
+        + elem(
+            _MKV_VIDEO,
+            elem(_MKV_PIXEL_WIDTH, uint_body(w))
+            + elem(_MKV_PIXEL_HEIGHT, uint_body(h)),
+        ),
+    )
+    tracks = elem(_MKV_TRACKS, audio_entry + video_entry)
+    seg_body = info + tracks
+    if unknown_size_segment:
+        seg = (
+            _MKV_SEGMENT.to_bytes(4, "big")
+            + b"\x01" + b"\xff" * 7  # 8-byte all-ones size = unknown
+            + seg_body
+        )
+    else:
+        seg = elem(_MKV_SEGMENT, seg_body)
+    return header + seg
+
+
 def video_dims(payload: bytes) -> tuple[str, int, int, int]:
     """Container-sniffing dispatch for video payloads — the
     :func:`image_dims` analogue. MP4/MOV (ftyp at byte 4) routes to
-    :func:`mp4_dims`; AVI (RIFF) routes to :func:`avi_dims` (r13);
-    MKV/WebM (EBML) is honestly gated until a stdlib walk exists."""
+    :func:`mp4_dims`; AVI (RIFF) to :func:`avi_dims`; MKV/WebM (EBML
+    magic) to :func:`mkv_dims` — all three r13, all O(header)."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return mp4_dims(payload)
     if payload[:4] == b"\x1a\x45\xdf\xa3":
-        raise NotImplementedError("MKV/WebM EBML walk not implemented (MP4/MOV/AVI)")
+        return mkv_dims(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return avi_dims(payload)
     raise ValueError("unrecognized video container (expected ISO-BMFF ftyp)")

@@ -1241,8 +1241,6 @@ def test_mp4_dims_all_layout_variants():
 
     with pytest.raises(ValueError, match="ftyp"):
         mm.mp4_dims(b"\x00" * 24)
-    with pytest.raises(NotImplementedError, match="MKV"):
-        mm.video_dims(b"\x1a\x45\xdf\xa3" + b"\x00" * 20)
     # ftyp present but no moov/tkhd -> loud, not silent zeros
     import struct
 
@@ -1252,6 +1250,40 @@ def test_mp4_dims_all_layout_variants():
     # a box whose declared size overruns the payload is corruption
     with pytest.raises(ValueError, match="overruns"):
         mm.mp4_dims(ftyp_only + struct.pack(">I", 1 << 30) + b"moov")
+
+
+def test_mkv_dims_ebml_walk():
+    """r13: the Matroska/WebM EBML walk (closing the last video_dims
+    gate) — varint IDs/sizes, DocType read, leading audio TrackEntry
+    skipped, Duration x TimestampScale rescale, the streamed
+    unknown-size Segment, and loud corruption."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    for unk in (False, True):
+        p = mm.encode_mkv_header("webm", 1280, 720, 12_345.0, unknown_size_segment=unk)
+        assert mm.mkv_dims(p) == ("webm", 1280, 720, 12_345)
+        assert mm.video_dims(p) == ("webm", 1280, 720, 12_345)
+
+    # non-default TimestampScale: 5000 ticks at 500_000 ns = 2500 ms
+    p = mm.encode_mkv_header("matroska", 720, 576, 5000.0, timestamp_scale=500_000)
+    assert mm.mkv_dims(p) == ("matroska", 720, 576, 2500)
+
+    with pytest.raises(ValueError, match="EBML"):
+        mm.mkv_dims(b"not ebml at all")
+    # an element whose declared size overruns its parent is loud
+    good = mm.encode_mkv_header("webm", 4, 4, 10.0)
+    bad = bytearray(good)
+    bad[-3] = 0xFF  # stomp a varint/size byte near the video dims
+    with pytest.raises(ValueError):
+        mm.mkv_dims(bytes(bad))
+    # unknown size below Segment level is corruption, not streamed-legal
+    seg_unk = mm.encode_mkv_header("webm", 4, 4, 10.0, unknown_size_segment=True)
+    # rewrite the INFO id's size byte to the 1-byte unknown marker 0xFF
+    info_at = seg_unk.find(b"\x15\x49\xa9\x66")
+    corrupt = bytearray(seg_unk)
+    corrupt[info_at + 4] = 0xFF
+    with pytest.raises(ValueError, match="unknown-size"):
+        mm.mkv_dims(bytes(corrupt))
 
 
 def test_avi_dims_riff_walk():
@@ -1657,9 +1689,22 @@ def test_container_builders_roundtrip_fuzz():
         p = mm.encode_avi_header(w, h, frames, usec)
         assert mm.avi_dims(p) == ("avi", w, h, frames * usec // 1000)
 
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 1 << 20),
+        h=st.integers(1, 1 << 20),
+        ticks=st.integers(0, 10_000_000),
+        doctype=st.sampled_from(["matroska", "webm"]),
+        unk=st.booleans(),
+    )
+    def mkv_case(w, h, ticks, doctype, unk):
+        p = mm.encode_mkv_header(doctype, w, h, float(ticks), unknown_size_segment=unk)
+        assert mm.mkv_dims(p) == (doctype, w, h, ticks)
+
     mp4_case()
     tiff_case()
     archive_case()
     warc_case()
     gzip_case()
     avi_case()
+    mkv_case()
