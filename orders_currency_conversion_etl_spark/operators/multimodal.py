@@ -872,6 +872,166 @@ def ogg_audio_info(payload: bytes) -> tuple[str, int, int]:
     raise ValueError("unsupported OGG codec (expected Vorbis or Opus)")
 
 
+def flac_audio_info(payload: bytes) -> tuple[str, int, int]:
+    """STREAMINFO parse of a native-FLAC stream -> ("flac", channels,
+    sample_rate) with zero frame decode (r13): the mandatory first
+    metadata block after the ``fLaC`` marker packs sample rate
+    (20 bits), channels-1 (3 bits) and bits-per-sample-1 (5 bits) into
+    a 64-bit field at block offset 10. The declared block length must
+    be the STREAMINFO-mandated 34 and a zero sample rate (legal only
+    for non-audio metadata-carrying streams) is rejected loudly."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise ValueError("not a native-FLAC payload (no fLaC marker)")
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0:
+        raise ValueError("first FLAC metadata block is not STREAMINFO")
+    if blen != 34:
+        raise ValueError(f"STREAMINFO length {blen}, spec mandates 34")
+    if len(payload) < 8 + 34:
+        raise ValueError("truncated FLAC STREAMINFO block")
+    packed = int.from_bytes(payload[18:26], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    if sample_rate == 0:
+        raise ValueError("FLAC STREAMINFO sample rate is zero")
+    return "flac", channels, sample_rate
+
+
+def encode_flac_header(
+    channels: int, sample_rate: int, bits_per_sample: int = 16,
+    total_samples: int = 0,
+) -> bytes:
+    """Minimal spec-shaped native-FLAC header: fLaC marker + a
+    last-flagged STREAMINFO block carrying exactly the fields
+    :func:`flac_audio_info` reads (the fixture half)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        (4096).to_bytes(2, "big") * 2       # min/max blocksize
+        + b"\x00\x00\x00" * 2               # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                      # MD5 (unset)
+    )
+    assert len(body) == 34
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
+
+
+# MPEG-1/2 Layer III: bitrate (kbps) and sample-rate lookup tables,
+# indexed per ISO/IEC 11172-3 / 13818-3 frame-header fields.
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_audio_info(payload: bytes) -> tuple[str, int, int]:
+    """First-frame-header parse of an MP3 stream -> ("mp3", channels,
+    sample_rate) with zero audio decode (r13): skips a leading ID3v2
+    tag (syncsafe 28-bit size), requires the 11-bit frame sync, and
+    reads the MPEG version / sample-rate-index / channel-mode fields
+    of the 4-byte header. Only Layer III is accepted — this is an MP3
+    sniffer, not a general MPEG-audio parser — and reserved
+    version/rate indexes are corruption, not defaults."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 tag header")
+        if any(b & 0x80 for b in payload[6:10]):
+            raise ValueError("ID3v2 size bytes are not syncsafe")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+    if pos + 4 > len(payload):
+        raise ValueError("no MPEG frame header after the ID3v2 tag")
+    h = payload[pos : pos + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        raise ValueError(f"no MPEG frame sync at offset {pos}")
+    version = (h[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (h[1] >> 1) & 0x3    # 1 = Layer III
+    if version == 1:
+        raise ValueError("reserved MPEG version id")
+    if layer != 1:
+        raise NotImplementedError("only MPEG Layer III (MP3) is supported")
+    rate_idx = (h[2] >> 2) & 0x3
+    if rate_idx == 3:
+        raise ValueError("reserved MPEG sample-rate index")
+    sample_rate = _MP3_RATES[version][rate_idx]
+    channel_mode = (h[3] >> 6) & 0x3  # 3 = mono
+    channels = 1 if channel_mode == 3 else 2
+    return "mp3", channels, sample_rate
+
+
+def encode_mp3_header(
+    channels: int, sample_rate: int, id3_size: int = 0
+) -> bytes:
+    """Minimal MP3 lead-in: optional ID3v2 tag (syncsafe size, zero
+    body) + one Layer-III frame header carrying the version /
+    rate-index / channel-mode fields :func:`mp3_audio_info` reads
+    (the fixture half)."""
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += b"\x00" * id3_size
+    version, rate_idx = next(
+        (v, i)
+        for v, rates in _MP3_RATES.items()
+        for i, r in enumerate(rates)
+        if r == sample_rate
+    )
+    out += bytes(
+        [
+            0xFF,
+            0xE0 | (version << 3) | (1 << 1),       # sync + version + Layer III
+            (0x9 << 4) | (rate_idx << 2),            # a valid bitrate idx + rate
+            (0x3 if channels == 1 else 0x0) << 6,    # channel mode
+        ]
+    )
+    return bytes(out)
+
+
+def audio_info(payload: bytes) -> tuple[str, int, int]:
+    """Container-sniffing dispatch for audio payloads — the
+    :func:`image_dims` / :func:`video_dims` analogue, every branch
+    O(header): RIFF/WAVE routes through the fmt-chunk walk
+    (:func:`decode_wav_ex` reads data too, so this reads fmt only),
+    OGG to :func:`ogg_audio_info`, native FLAC to
+    :func:`flac_audio_info`, MP3/ID3 to :func:`mp3_audio_info`."""
+    import struct
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("truncated WAVE fmt chunk")
+                tag, ch, rate = struct.unpack(
+                    "<HHI", payload[pos + 8 : pos + 16]
+                )
+                codec = {1: "pcm16", 3: "float32", 7: "mulaw"}.get(tag)
+                if codec is None:
+                    raise NotImplementedError(f"WAVE format tag {tag} not supported")
+                return codec, ch, rate
+            pos += 8 + size + (size & 1)
+        raise ValueError("RIFF/WAVE payload has no fmt chunk")
+    if payload[:4] == b"OggS":
+        return ogg_audio_info(payload)
+    if payload[:4] == b"fLaC":
+        return flac_audio_info(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return mp3_audio_info(payload)
+    raise ValueError("unrecognized audio container (WAV/OGG/FLAC/MP3)")
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Full pixel decode with native-first dispatch (r11, VERDICT r10
     ask #1): when PIL is installed it handles PNG and JPEG — libpng /

@@ -1185,6 +1185,55 @@ def test_ogg_audio_info_vorbis_and_opus():
             mm.ogg_audio_info(bad)
 
 
+def test_flac_mp3_and_audio_info_dispatch():
+    """r13: FLAC STREAMINFO + MP3 first-frame parses and the unified
+    audio_info dispatch (WAV fmt-chunk-only / OGG / FLAC / MP3) — all
+    O(header), zero audio decode."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    # FLAC: bit-packed sample rate / channels roundtrip
+    for ch in (1, 2, 6, 8):
+        for rate in (8000, 44100, 96000, 192000):
+            p = mm.encode_flac_header(ch, rate, bits_per_sample=24)
+            assert mm.flac_audio_info(p) == ("flac", ch, rate)
+            assert mm.audio_info(p) == ("flac", ch, rate)
+    with pytest.raises(ValueError, match="fLaC"):
+        mm.flac_audio_info(b"OggS" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        mm.flac_audio_info(b"fLaC\x84\x00\x00\x00")  # first block type 4
+    with pytest.raises(ValueError, match="mandates 34"):
+        mm.flac_audio_info(b"fLaC\x80\x00\x00\x20" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="sample rate is zero"):
+        mm.flac_audio_info(mm.encode_flac_header(2, 0))
+
+    # MP3: version/rate matrix, mono/stereo, ID3v2 skip
+    for rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000):
+        for ch in (1, 2):
+            for id3 in (0, 53):
+                p = mm.encode_mp3_header(ch, rate, id3_size=id3)
+                assert mm.mp3_audio_info(p) == ("mp3", ch, rate)
+                assert mm.audio_info(p) == ("mp3", ch, rate)
+    with pytest.raises(ValueError, match="frame sync"):
+        mm.mp3_audio_info(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="syncsafe"):
+        mm.mp3_audio_info(b"ID3\x04\x00\x00\x80\x00\x00\x00")
+    with pytest.raises(ValueError, match="no MPEG frame header"):
+        mm.mp3_audio_info(mm.encode_mp3_header(1, 44100, id3_size=10)[:14])
+    # Layer I/II is honestly gated (h[1] layer bits = 3 -> Layer I)
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        mm.mp3_audio_info(bytes([0xFF, 0xFE, 0x10, 0x00]))
+    with pytest.raises(ValueError, match="reserved MPEG sample-rate"):
+        mm.mp3_audio_info(bytes([0xFF, 0xFA, 0x1C, 0x00]))
+
+    # dispatch: WAV reads fmt only, OGG routed, unknown loud
+    w = mm.encode_wav(8000, [0] * 4)
+    assert mm.audio_info(w) == ("pcm16", 1, 8000)
+    o = mm.encode_ogg_id_page("opus", 2, 48000)
+    assert mm.audio_info(o) == ("opus", 2, 48000)
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        mm.audio_info(b"\x00\x01 garbage")
+
+
 def test_gif_and_bmp_dims_header_only():
     """r12: GIF logical-screen and BMP info-header dims through the
     image_dims dispatch — header bytes only, PIL-free."""
