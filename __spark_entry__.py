@@ -636,6 +636,16 @@ ROTATION_R13_REVALIDATE = [
     "window_range_frame",
 ]
 
+#   r14 (planned): the newest-green histogram after r13 is r9:38 /
+#       r10:36 / r11:38 / r12:50-ish / r13:50 — the ENTIRE 38-name r9
+#       cohort turns 5 rounds old at r14 and is due, so the r14 window
+#       is exactly 12 anchors + 38 r9 revalidations = 50 with ZERO
+#       slots for new registrations. New library surface built in r13
+#       (gzip_members / warc_gz_records / warc_gz_index — the .cdx
+#       side-car pair, operators/archive.py) therefore registers at
+#       r15, where the due cohort is r10 (36 names): 12 + 2 new + 36 =
+#       50. Do NOT register new queries in r14 — they would displace a
+#       due r9 name and break the 5-round invariant at r15.
 PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE
 
 

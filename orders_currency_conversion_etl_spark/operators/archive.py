@@ -37,6 +37,29 @@ from ..sources import catalog
 
 _EOCD_SIG = b"PK\x05\x06"
 _CDH_SIG = b"PK\x01\x02"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+_EOCD64_SIG = b"PK\x06\x06"
+
+
+def _zip64_extra_values(extra: bytes, needed: int) -> list[int]:
+    """Pull ``needed`` 8-byte values out of the ZIP64 extended-
+    information extra field (header id 0x0001, APPNOTE 4.5.3). The
+    field carries ONLY the values whose 32-bit form is the sentinel,
+    in the fixed order usize, csize, local-offset, disk — the caller
+    knows how many it needs from which sentinels it saw."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, hlen = struct.unpack("<HH", extra[pos : pos + 4])
+        body = extra[pos + 4 : pos + 4 + hlen]
+        if hid == 0x0001:
+            if len(body) < 8 * needed:
+                raise ValueError(
+                    f"ZIP64 extra field carries {len(body)} bytes, "
+                    f"central entry needs {8 * needed}"
+                )
+            return list(struct.unpack(f"<{needed}Q", body[: 8 * needed]))
+        pos += 4 + hlen
+    raise ValueError("ZIP64 sentinel without a 0x0001 extra field")
 
 
 def zip_members(payload: bytes) -> list[dict]:
@@ -46,16 +69,35 @@ def zip_members(payload: bytes) -> list[dict]:
     65 557-byte comment tail, per APPNOTE 4.3.16) and the central
     directory only — local headers and member data are never touched.
     The EOCD entry count must match the walked count (a truncated or
-    spliced directory fails loudly). ZIP64 archives are honestly
-    gated: the 0xFFFF/0xFFFFFFFF sentinel values raise
-    NotImplementedError naming the gap."""
+    spliced directory fails loudly). ZIP64 (r13): when the EOCD
+    carries 0xFFFF/0xFFFFFFFF sentinels the walk follows the EOCD64
+    locator (APPNOTE 4.3.15) to the EOCD64 record for the real
+    count/size/offset, and per-entry sentinels resolve through the
+    0x0001 extended-information extra field — the >4 GiB / >65 535-
+    member form every real corpus drop uses."""
     tail_start = max(0, len(payload) - (22 + 65535))
     eocd = payload.rfind(_EOCD_SIG, tail_start)
     if eocd < 0 or eocd + 22 > len(payload):
         raise ValueError("not a ZIP payload (no end-of-central-directory record)")
     n_total, cd_size, cd_off = struct.unpack("<HII", payload[eocd + 10 : eocd + 20])
+    n_total_64 = None
     if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
-        raise NotImplementedError("ZIP64 archives not supported (EOCD64 locator walk)")
+        # ZIP64: the 20-byte locator sits immediately before the EOCD.
+        loc = eocd - 20
+        if loc < 0 or payload[loc : loc + 4] != _EOCD64_LOC_SIG:
+            raise ValueError(
+                "ZIP64 sentinel in the EOCD but no EOCD64 locator record"
+            )
+        (eocd64_off,) = struct.unpack("<Q", payload[loc + 8 : loc + 16])
+        if eocd64_off + 56 > len(payload) or (
+            payload[eocd64_off : eocd64_off + 4] != _EOCD64_SIG
+        ):
+            raise ValueError("EOCD64 locator points past or at a non-EOCD64 record")
+        n_total_64, cd_size64, cd_off64 = struct.unpack(
+            "<QQQ", payload[eocd64_off + 32 : eocd64_off + 56]
+        )
+        cd_off, cd_size = cd_off64, cd_size64
+        n_total = n_total_64
     pos, end = cd_off, cd_off + cd_size
     if end > len(payload):
         raise ValueError("ZIP central directory overruns the payload")
@@ -85,8 +127,20 @@ def zip_members(payload: bytes) -> list[dict]:
             _external,
             local_off,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
-        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
-            raise NotImplementedError("ZIP64 member sizes not supported")
+        if 0xFFFFFFFF in (usize, csize, local_off):
+            # APPNOTE 4.5.3: only the sentineled values appear in the
+            # extra field, in the order usize, csize, local-offset.
+            extra = payload[
+                pos + 46 + name_len : pos + 46 + name_len + extra_len
+            ]
+            wanted = [usize == 0xFFFFFFFF, csize == 0xFFFFFFFF, local_off == 0xFFFFFFFF]
+            vals = iter(_zip64_extra_values(extra, sum(wanted)))
+            if wanted[0]:
+                usize = next(vals)
+            if wanted[1]:
+                csize = next(vals)
+            if wanted[2]:
+                local_off = next(vals)
         name = payload[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
         members.append(
             {
@@ -119,6 +173,59 @@ def build_zip(members: "list[tuple[str, bytes]]") -> bytes:
         for name, data in members:
             zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), data)
     return buf.getvalue()
+
+
+def build_zip64(members: "list[tuple[str, bytes]]") -> bytes:
+    """Deterministic ZIP64-format archive (stored members, fixed DOS
+    timestamp): every central entry carries the 0xFFFFFFFF sentinels
+    with an 0x0001 extra field holding the real usize/csize/offset, and
+    the archive ends locator+EOCD64+sentineled-EOCD — the exact layout
+    a >4 GiB corpus drop has, at test-friendly sizes. Hand-rolled
+    (stdlib ``zipfile`` only emits ZIP64 records once a size actually
+    exceeds 4 GiB) but readable BY stdlib ``zipfile``, which is the
+    independent cross-check the tests pin."""
+    import zlib
+
+    out = bytearray()
+    entries: list[tuple[str, int, int, int]] = []  # name, crc, size, local_off
+    for name, data in members:
+        local_off = len(out)
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        nb = name.encode("utf-8")
+        # local header: version-needed 45, stored, sentineled sizes +
+        # ZIP64 extra (usize, csize — both mandatory locally per 4.5.3)
+        extra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(data))
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH",
+            45, 0, 0, 0, 0x21,  # need, flags, method, time, date(1980-01-01)
+            crc, 0xFFFFFFFF, 0xFFFFFFFF,
+            len(nb), len(extra),
+        )
+        out += nb + extra + data
+        entries.append((name, crc, len(data), local_off))
+    cd_off = len(out)
+    for name, crc, size, local_off in entries:
+        nb = name.encode("utf-8")
+        extra = struct.pack("<HHQQQ", 0x0001, 24, size, size, local_off)
+        out += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            45, 45, 0, 0, 0, 0x21,
+            crc, 0xFFFFFFFF, 0xFFFFFFFF,
+            len(nb), len(extra), 0, 0, 0, 0,
+            0xFFFFFFFF,
+        )
+        out += nb + extra
+    cd_size = len(out) - cd_off
+    eocd64_off = len(out)
+    out += _EOCD64_SIG + struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+        len(entries), len(entries), cd_size, cd_off,
+    )
+    out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, eocd64_off, 1)
+    out += _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+    )
+    return bytes(out)
 
 
 ZIP_MEMBERS_SCHEMA = T.StructType(
@@ -197,17 +304,53 @@ def archive_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _parse_pax_records(data: bytes) -> dict:
+    """Parse a pax extended-header block into ``{key: value}``. Each
+    record is ``"%d %s=%s\\n" % (length, key, value)`` where length
+    counts the WHOLE record including itself (POSIX.1-2001 pax(1));
+    a wrong length desynchronizes onto bytes that are not a decimal
+    length, so corruption is loud."""
+    out: dict = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0 or not data[pos:sp].isdigit():
+            raise ValueError(f"malformed pax record length at offset {pos}")
+        rec_len = int(data[pos:sp])
+        if pos + rec_len > len(data):
+            raise ValueError(
+                f"pax record length {rec_len} at offset {pos} overruns the block"
+            )
+        rec = data[pos : pos + rec_len]
+        if rec_len < sp - pos + 2 or rec[-1:] != b"\n":
+            raise ValueError(f"pax record at offset {pos} not newline-terminated")
+        key, sep, value = rec[sp - pos + 1 : -1].partition(b"=")
+        if not sep:
+            raise ValueError(f"pax record without '=' at offset {pos}")
+        out[key.decode("utf-8")] = value.decode("utf-8")
+        pos += rec_len
+    return out
+
+
 def tar_members(payload: bytes) -> list[dict]:
-    """USTAR/pax header walk -> one dict per member:
+    """USTAR/pax/GNU header walk -> one dict per member:
     ``{name, size, typeflag, offset}`` (offset = where the member's
     data blocks start). Each 512-byte header's checksum is verified
     (the field itself counted as spaces, per POSIX); the archive ends
-    at two consecutive zero blocks. GNU longname/longlink (typeflags
-    L/K) and pax extended headers (x/g) are honestly gated — plain
-    USTAR names cover the fixture space and the common corpus-dump
-    case."""
+    at two consecutive zero blocks. Extension headers (r13, closing
+    the r13-introduction gate): GNU longname/longlink (typeflags L/K)
+    and pax extended headers (x = next-member, g = global defaults)
+    are consumed and APPLIED — pax ``path``/``size`` and GNU longname
+    override the next real member's fields (pax wins over GNU per GNU
+    tar's own precedence), and the size override drives the data-block
+    seek, so >8 GiB members (beyond the 12-digit octal field) walk
+    correctly. The extension members themselves are not reported —
+    matching stdlib ``tarfile.getmembers()``."""
     members: list[dict] = []
     pos = 0
+    pax_global: dict = {}
+    pax_next: dict = {}
+    gnu_longname: "str | None" = None
     while pos + 512 <= len(payload):
         block = payload[pos : pos + 512]
         if block == b"\x00" * 512:
@@ -226,20 +369,48 @@ def tar_members(payload: bytes) -> list[dict]:
                 f"(stored {stored_sum}, computed {actual})"
             )
         typeflag = chr(block[156]) if block[156] else "0"
-        if typeflag in ("L", "K", "x", "g"):
-            raise NotImplementedError(
-                "GNU longname/longlink and pax extended headers not supported "
-                "(plain USTAR member names only)"
+        size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        data_blocks = ((size + 511) // 512) * 512
+        if pos + 512 + data_blocks > len(payload):
+            raise ValueError(
+                f"tar member data at offset {pos + 512} overruns the payload"
             )
+        if typeflag in ("L", "K", "x", "g"):
+            data = payload[pos + 512 : pos + 512 + size]
+            if typeflag == "L":  # GNU longname: next member's name
+                gnu_longname = data.rstrip(b"\x00").decode("utf-8", "replace")
+            elif typeflag == "K":  # GNU longlink: consumed (linkname
+                pass  # is not part of the enumeration schema)
+            elif typeflag == "x":
+                pax_next.update(_parse_pax_records(data))
+            else:  # "g"
+                pax_global.update(_parse_pax_records(data))
+            pos += 512 + data_blocks
+            continue
         name = block[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         prefix = block[345:500].split(b"\x00")[0].decode("utf-8", "replace")
         if prefix:
             name = prefix + "/" + name
-        size = int(block[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        over = {**pax_global, **pax_next}
+        if gnu_longname is not None:
+            name = gnu_longname
+        if "path" in over:
+            name = over["path"]
+        if "size" in over:
+            if not over["size"].isdigit():
+                raise ValueError(f"non-numeric pax size override {over['size']!r}")
+            size = int(over["size"])
+            data_blocks = ((size + 511) // 512) * 512
+            if pos + 512 + data_blocks > len(payload):
+                raise ValueError(
+                    f"tar member data at offset {pos + 512} overruns the payload"
+                )
+        pax_next = {}
+        gnu_longname = None
         members.append(
             {"name": name, "size": size, "typeflag": typeflag, "offset": pos + 512}
         )
-        pos += 512 + ((size + 511) // 512) * 512
+        pos += 512 + data_blocks
     raise ValueError("tar archive truncated (no end-of-archive marker)")
 
 
@@ -548,8 +719,10 @@ def archive_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wild: Common Crawl writes ONE gzip member PER WARC RECORD so readers
 # can seek to a member boundary (from a .cdx index) and inflate a
 # single record. Library surface this round (the r13 rotation window
-# is full at 50); registration with an exact oracle is the queued r14
-# slot. Honesty about scale: unlike ZIP (central directory) and TAR
+# is full at 50); registration with an exact oracle is queued for the
+# next free rotation slot — r15, since the r14 window is exactly
+# filled by 12 anchors + the 38-name r9 staleness cohort.
+# Honesty about scale: unlike ZIP (central directory) and TAR
 # (size-field seeks), gzip member boundaries are only discoverable by
 # INFLATING — the walk is O(payload), which is exactly why production
 # crawl stores ship side-car offset indexes; enumerate once, persist
@@ -680,3 +853,67 @@ def _gunzip_single(member: bytes) -> bytes:
 
     with gzip.GzipFile(fileobj=io.BytesIO(member)) as gf:
         return gf.read()
+
+
+# --------------------------------------------------------------------------
+# CDX-style side-car index (r13): gzip member boundaries are only
+# discoverable by inflating (the O(payload) honesty note above), so
+# production crawl stores enumerate ONCE and persist per-record
+# (offset, compressed_size) — Common Crawl's .cdx files. With the
+# index in hand, fetching one record out of a multi-GiB .warc.gz
+# segment is a single ranged read + one member's inflate: O(member),
+# never O(segment). These two halves are that contract.
+# --------------------------------------------------------------------------
+
+
+def warc_gz_index(payload: bytes) -> list[dict]:
+    """Enumerate a ``.warc.gz`` segment ONCE into a CDX-shaped index:
+    one dict per WARC record — ``{seq, member, offset,
+    compressed_size, warc_type, target_uri, content_length}`` where
+    ``offset``/``compressed_size`` locate the record's gzip MEMBER in
+    the segment (the ranged-read coordinates; for the record-per-
+    member layout that is exactly one record's bytes). The index is
+    what gets persisted as a parquet side-car; every later fetch goes
+    through :func:`fetch_warc_gz_record` without touching the rest of
+    the segment."""
+    index: list[dict] = []
+    for i, m in enumerate(gzip_members(payload)):
+        raw = payload[m["offset"] : m["offset"] + m["compressed_size"]]
+        for rec in warc_records(_gunzip_single(raw)):
+            index.append(
+                {
+                    "seq": len(index),
+                    "member": i,
+                    "offset": m["offset"],
+                    "compressed_size": m["compressed_size"],
+                    "warc_type": rec["warc_type"],
+                    "target_uri": rec["target_uri"],
+                    "content_length": rec["content_length"],
+                }
+            )
+    return index
+
+
+def fetch_warc_gz_record(
+    member_bytes: bytes, warc_type: str, target_uri: "str | None"
+) -> dict:
+    """Random access via the side-car index: the caller ranged-reads
+    ``payload[offset : offset + compressed_size]`` using ONE index row
+    and passes only those bytes here — this function never sees the
+    rest of the segment, which is the whole point. Inflates the single
+    member, walks its WARC records, and returns the one matching the
+    index row's identity (type + URI) with its block bytes attached as
+    ``block``. A member whose content no longer matches the index row
+    fails loudly (stale side-car)."""
+    data = _gunzip_single(member_bytes)
+    for rec in warc_records(data):
+        if rec["warc_type"] == warc_type and rec["target_uri"] == target_uri:
+            out = dict(rec)
+            # the block starts right after the header's empty CRLF line
+            hdr_end = data.index(b"\r\n\r\n", rec["offset"]) + 4
+            out["block"] = data[hdr_end : hdr_end + rec["content_length"]]
+            return out
+    raise ValueError(
+        f"indexed record ({warc_type!r}, {target_uri!r}) not found in the "
+        "fetched member — stale or corrupt side-car index"
+    )

@@ -471,3 +471,189 @@ def layout_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("bigint").alias("max_supp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Row-group introspection (late r13): the footer-only tier UNDER the
+# per-file manifest. build_file_manifest answers "which FILES can a
+# predicate skip" with one data scan; rowgroup_manifest answers "which
+# ROW GROUPS inside each file would it skip" — the statistics the
+# parquet reader itself prunes with — by reading ONLY footers, never
+# column data. At 100 TB that is the difference between scanning the
+# lake to profile it and reading ~1e5-1e6 footers (a few KiB each): a
+# physical-layout health check ("are my row groups aligned with my
+# cluster key?") must not cost a full scan.
+# --------------------------------------------------------------------------
+
+
+ROWGROUP_FIXED_FIELDS = ["file", "row_group", "n_rows", "total_bytes"]
+
+
+def _rowgroup_schema(cols: "list[str]"):
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("row_group", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ]
+    for c in cols:
+        fields += [
+            T.StructField(f"{c}_min", T.StringType()),
+            T.StructField(f"{c}_max", T.StringType()),
+            T.StructField(f"{c}_nulls", T.LongType()),
+        ]
+    return T.StructType(fields)
+
+
+def rowgroup_manifest(spark: SparkSession, path: str, cols: "list[str]") -> DataFrame:
+    """Row-group-level statistics table, one row per (file, row group):
+    ``(file, row_group, n_rows, total_bytes, <c>_min, <c>_max,
+    <c>_nulls ...)`` with min/max rendered as strings (the
+    DuckDB-``parquet_metadata()``-compatible rendering; casts are the
+    caller's).
+
+    Execution shape: the FILE LIST is resolved driver-side through the
+    Hadoop FS glob (one listing — the same machinery every read of the
+    path pays), then the footer walks fan out as an Arrow-batched
+    ``mapInPandas`` over the path list — each task opens its files with
+    pyarrow and reads the footer metadata only, so the job moves
+    O(files) paths and O(row-groups) stat rows, never column data.
+    Filesystem honesty (the file_queue posture): the listing is
+    Hadoop-FS-portable, but the executor-side footer OPEN is pyarrow
+    over a local/POSIX path in this implementation — an object-store
+    deployment passes a pyarrow filesystem at the marked seam.
+    """
+    jvm = spark._jvm
+    pattern = path if path.endswith(".parquet") else os.path.join(path, "*.parquet")
+    glob = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = glob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(glob)
+    paths = sorted(
+        st.getPath().toUri().getPath() for st in (statuses or [])
+    )  # scheme-stripped: the pyarrow-open seam (local/POSIX here)
+    if not paths:
+        raise ValueError(f"no parquet files under {path!r}")
+    schema = _rowgroup_schema(cols)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 64))
+
+    def _walk(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {
+                    md.schema.column(i).path: i for i in range(md.num_columns)
+                }
+                missing = [c for c in cols if c not in idx]
+                if missing:
+                    raise ValueError(
+                        f"columns {missing} not in parquet schema of {p}"
+                    )
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    rec = [
+                        os.path.basename(p),
+                        g,
+                        rg.num_rows,
+                        rg.total_byte_size,
+                    ]
+                    for c in cols:
+                        st = rg.column(idx[c]).statistics
+                        if st is None:
+                            rec += [None, None, None]
+                        else:
+                            rec += [
+                                str(st.min) if st.has_min_max else None,
+                                str(st.max) if st.has_min_max else None,
+                                int(st.null_count) if st.has_null_count else None,
+                            ]
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files_df.mapInPandas(_walk, schema=schema)
+
+
+_LAKE_ROWGROUP_ORACLE = """
+WITH ordered AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY doc_id) - 1 AS rn
+    FROM documents
+)
+SELECT CAST(rn // 512 AS INT) AS row_group,
+       COUNT(*) AS n_rows,
+       MIN(doc_id) AS doc_id_min,
+       MAX(doc_id) AS doc_id_max,
+       MIN(n_chars) AS n_chars_min,
+       MAX(n_chars) AS n_chars_max
+FROM ordered
+GROUP BY 1
+"""
+
+
+def lake_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-truth check, oracled from first principles (late r13;
+    registration queued for the r15 rotation slot — the r14 window is
+    exactly filled by the due r9 staleness cohort): write documents
+    doc_id-sorted into a single parquet file with a FIXED 512-row row-
+    group size (pyarrow writer — Spark's own writer sizes groups by
+    bytes, which is non-deterministic across runs), then read the
+    stats BACK through the footer-only :func:`rowgroup_manifest` and
+    report per-group n_rows / doc_id and n_chars min+max. Because the
+    write order and group size are pinned, every reported number is
+    recomputable relationally (row_number // 512), so the physical
+    footer walk gets an exact SQL oracle — the build-then-independently-
+    parse pattern of the archive queries, applied to parquet itself."""
+    docs = (
+        catalog.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        # repartition(1) + sortWithinPartitions, NOT orderBy+coalesce:
+        # a global sort followed by coalesce(1) is an optimizer-
+        # reorderable pair, this form pins one sorted stream
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    from ..streaming.file_queue import _scratch_dir
+
+    work = _scratch_dir("lake_rowgroups_")
+    target = os.path.join(work, "documents_sorted.parquet")
+
+    def _write(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        yield pd.DataFrame(
+            {"dummy": [_write_sorted_parquet(parts, target)]}
+        )
+
+    # one task holds the sorted stream end-to-end (fixture-scale file;
+    # at 100 TB this is one file PER range partition, same contract)
+    docs.mapInPandas(_write, "dummy long").collect()
+    mf = rowgroup_manifest(spark, target, ["doc_id", "n_chars"])
+    return mf.select(
+        F.col("row_group"),
+        F.col("n_rows"),
+        F.col("doc_id_min").cast("bigint").alias("doc_id_min"),
+        F.col("doc_id_max").cast("bigint").alias("doc_id_max"),
+        F.col("n_chars_min").cast("bigint").alias("n_chars_min"),
+        F.col("n_chars_max").cast("bigint").alias("n_chars_max"),
+    )
+
+
+def _write_sorted_parquet(parts: "list", target: str) -> int:
+    """Write the concatenated batches as ONE parquet file with a fixed
+    512-row row-group size (executor-side pyarrow writer)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.concat(parts, ignore_index=True)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, target, row_group_size=512)
+    return len(pdf)

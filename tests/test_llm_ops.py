@@ -1430,13 +1430,57 @@ def test_zip_members_walk_matches_stdlib_and_gates():
     with pytest.raises(ValueError, match="declares 9"):
         ar.zip_members(bytes(tampered))
 
-    # ZIP64 sentinel in the EOCD gates, never misparses
+    # ZIP64 sentinel in the EOCD without the locator record is loud,
+    # never misparsed (a spliced/truncated zip64 tail)
     struct.pack_into("<H", tampered, eocd + 10, 0xFFFF)
-    with pytest.raises(NotImplementedError, match="ZIP64"):
+    with pytest.raises(ValueError, match="locator"):
         ar.zip_members(bytes(tampered))
 
     with pytest.raises(ValueError, match="end-of-central-directory"):
         ar.zip_members(b"this is not an archive")
+
+
+def test_zip64_walk_matches_stdlib():
+    """r13 (closing the introduction gate): the EOCD64 locator walk and
+    the 0x0001 extended-information extra-field reads — the >4 GiB /
+    >65 535-member layout — at test-friendly sizes via the hand-rolled
+    ZIP64 builder, cross-checked by stdlib zipfile reading the same
+    bytes (names, sizes AND content, so the local headers are honest
+    too)."""
+    import io
+    import zipfile
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    parts = [("manifest.txt", b"7"), ("part0000.txt", b"x" * 64), ("z/d.txt", b"ab")]
+    z64 = ar.build_zip64(parts)
+    got = ar.zip_members(z64)
+    assert [(m["name"], m["uncompressed_size"], m["method"]) for m in got] == [
+        (n, len(d), 0) for n, d in parts
+    ]
+    # offsets resolved from the zip64 extra really point at local headers
+    for m, (_, data) in zip(got, parts):
+        assert z64[m["offset"] : m["offset"] + 4] == b"PK\x03\x04"
+    # stdlib zipfile is the independent reader of the same bytes
+    with zipfile.ZipFile(io.BytesIO(z64)) as zf:
+        assert [(i.filename, i.file_size) for i in zf.infolist()] == [
+            (n, len(d)) for n, d in parts
+        ]
+        for n, d in parts:
+            assert zf.read(n) == d
+
+    assert ar.zip_members(ar.build_zip64([])) == []
+
+    # a zip64 entry whose extra field is too short is loud
+    bad = bytearray(z64)
+    cdh = bytes(bad).find(b"PK\x01\x02")
+    # shrink the declared extra length so the 0x0001 body is truncated
+    struct_pos = cdh + 30  # extra-length field in the central header
+    import struct as st
+
+    st.pack_into("<H", bad, struct_pos, 12)
+    with pytest.raises(ValueError, match="ZIP64 extra|extra field"):
+        ar.zip_members(bytes(bad))
 
 
 def test_tar_members_walk_matches_stdlib_and_gates():
@@ -1467,22 +1511,180 @@ def test_tar_members_walk_matches_stdlib_and_gates():
     with pytest.raises(ValueError, match="checksum mismatch"):
         ar.tar_members(bytes(b))
 
-    # pax extended headers gate (stdlib writes typeflag 'x' first)
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
-        info = tarfile.TarInfo("a.txt")
-        data = b"abc"
-        info.size = len(data)
-        info.pax_headers = {"comment": "force an extended header"}
-        tf.addfile(info, io.BytesIO(data))
-    with pytest.raises(NotImplementedError, match="pax"):
-        ar.tar_members(buf.getvalue())
-
     # cut INSIDE the last member's data: no end-of-archive marker left
     # (tarfile pads to a 10 KiB record, so a fixed tail slice isn't enough)
     cut = got[-1]["offset"] + 512
     with pytest.raises(ValueError, match="truncated"):
         ar.tar_members(z[:cut])
+
+
+def test_tar_pax_and_gnu_extensions():
+    """r13 (closing the introduction gate): pax extended headers (x/g)
+    and GNU longname/longlink members are consumed and APPLIED — path
+    and size overrides drive the reported fields and the data-block
+    seek — matching stdlib tarfile.getmembers() on every fixture."""
+    import io
+    import tarfile
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    long_name = "deep/" * 30 + "leaf.txt"  # >100 chars: forces an extension
+
+    def _stdlib_tar(fmt, names_data, pax_headers=None):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for name, data in names_data:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                if pax_headers:
+                    info.pax_headers = dict(pax_headers)
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        t = _stdlib_tar(fmt, [(long_name, b"abc"), ("short.txt", b"x" * 600)])
+        got = ar.tar_members(t)
+        with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+            ref = [(i.name, i.size) for i in tf.getmembers()]
+        assert [(m["name"], m["size"]) for m in got] == ref
+        assert got[0]["name"] == long_name
+        # extension members are not reported, and offsets still point
+        # at the REAL members' data
+        assert t[got[0]["offset"] : got[0]["offset"] + 3] == b"abc"
+        assert t[got[1]["offset"] : got[1]["offset"] + 600] == b"x" * 600
+
+    # a pax per-member comment is consumed, not gated (the r13 gate)
+    t = _stdlib_tar(
+        tarfile.PAX_FORMAT, [("a.txt", b"abc")], {"comment": "forced pax header"}
+    )
+    assert [(m["name"], m["size"]) for m in ar.tar_members(t)] == [("a.txt", 3)]
+
+    # pax GLOBAL header (typeflag g): stdlib writes one for
+    # encoding-related defaults when asked; craft one via tarfile
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf,
+        mode="w",
+        format=tarfile.PAX_FORMAT,
+        pax_headers={"comment": "segment-level metadata"},
+    ) as tf:
+        info = tarfile.TarInfo("g.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"gg"))
+    got = ar.tar_members(buf.getvalue())
+    assert [(m["name"], m["size"]) for m in got] == [("g.txt", 2)]
+
+    # hand-crafted pax size override: header octal says 0, pax says 5 —
+    # the override must drive BOTH the reported size and the block seek
+    # (this is how >8 GiB members beyond the octal field are stored)
+    def _raw_header(name, size_octal, typeflag):
+        b = bytearray(512)
+        b[0 : len(name)] = name.encode()
+        b[100:108] = b"0000644\x00"
+        b[108:116] = b"0000000\x00"
+        b[116:124] = b"0000000\x00"
+        b[124:136] = ("%011o" % size_octal).encode() + b"\x00"
+        b[136:148] = b"00000000000\x00"
+        b[156] = ord(typeflag)
+        b[257:263] = b"ustar\x00"
+        b[263:265] = b"00"
+        chk = sum(b[:148]) + 8 * 0x20 + sum(b[156:])
+        b[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        return bytes(b)
+
+    pax_rec = b"10 size=5\n16 path=big.bin\n"  # lengths count whole records
+    ext = _raw_header("ignored-pax-name", len(pax_rec), "x")
+    ext += pax_rec + b"\x00" * (512 - len(pax_rec))
+    member = _raw_header("wrong-short-name", 0, "0")  # octal size LIES (0)
+    member += b"hello" + b"\x00" * 507  # 1 data block, per the pax size
+    t = ext + member + b"\x00" * 1024
+    got = ar.tar_members(t)
+    assert [(m["name"], m["size"]) for m in got] == [("big.bin", 5)]
+    assert t[got[0]["offset"] : got[0]["offset"] + 5] == b"hello"
+
+    # malformed pax record length is loud
+    bad_rec = b"99 size=5\n"
+    ext = _raw_header("x", len(bad_rec), "x") + bad_rec + b"\x00" * (512 - len(bad_rec))
+    with pytest.raises(ValueError, match="pax record"):
+        ar.tar_members(ext + member + b"\x00" * 1024)
+
+    # GNU longlink (K) is consumed: the symlink member itself reports
+    long_link = "t/" * 60 + "target"
+    link_data = long_link.encode() + b"\x00"
+    ext_k = _raw_header("././@LongLink", len(link_data), "K")
+    ext_k += link_data + b"\x00" * (512 - len(link_data))
+    sym = _raw_header("link.txt", 0, "2")
+    got = ar.tar_members(ext_k + sym + b"\x00" * 1024)
+    assert [(m["name"], m["size"], m["typeflag"]) for m in got] == [
+        ("link.txt", 0, "2")
+    ]
+
+
+def test_warc_gz_index_random_access():
+    """r13 (the .cdx side-car contract): enumerate a .warc.gz segment
+    ONCE into the index, then fetch a single record by ranged-reading
+    ONLY its member's bytes — O(member), never O(segment) — and get
+    the exact block back. A stale index (bytes moved under it) is
+    loud."""
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    blocks = [
+        ar.build_warc([("warcinfo", None, b"segment-0")]),
+        ar.build_warc([("response", "https://s/0", b"r0" * 40)]),
+        ar.build_warc([("request", "https://s/0", b"")]),
+        ar.build_warc([("response", "https://s/1", b"payload-1")]),
+    ]
+    seg = ar.build_gzip_members([(None, b) for b in blocks])
+    idx = ar.warc_gz_index(seg)
+    assert [(e["seq"], e["member"], e["warc_type"], e["target_uri"]) for e in idx] == [
+        (0, 0, "warcinfo", None),
+        (1, 1, "response", "https://s/0"),
+        (2, 2, "request", "https://s/0"),
+        (3, 3, "response", "https://s/1"),
+    ]
+    # members tile the segment (the coordinates a ranged GET would use)
+    assert idx[0]["offset"] == 0
+    assert idx[-1]["offset"] + idx[-1]["compressed_size"] == len(seg)
+
+    # fetch record 3 through ONLY its member's bytes
+    e = idx[3]
+    member_bytes = seg[e["offset"] : e["offset"] + e["compressed_size"]]
+    assert len(member_bytes) < len(seg) / 2  # really a partial read
+    rec = ar.fetch_warc_gz_record(member_bytes, e["warc_type"], e["target_uri"])
+    assert rec["block"] == b"payload-1"
+    assert rec["content_length"] == 9
+
+    # zero-length block fetch works too
+    e2 = idx[2]
+    rec2 = ar.fetch_warc_gz_record(
+        seg[e2["offset"] : e2["offset"] + e2["compressed_size"]],
+        e2["warc_type"],
+        e2["target_uri"],
+    )
+    assert rec2["block"] == b""
+
+    # a stale side-car (index row pointing at the wrong member) is loud
+    with pytest.raises(ValueError, match="stale or corrupt"):
+        ar.fetch_warc_gz_record(member_bytes, "response", "https://s/0")
+
+    # multi-record members: the index carries one row per RECORD with
+    # the shared member coordinates
+    seg2 = ar.build_gzip_members(
+        [
+            (
+                None,
+                ar.build_warc(
+                    [("warcinfo", None, b"i"), ("response", "https://m/0", b"x")]
+                ),
+            )
+        ]
+    )
+    idx2 = ar.warc_gz_index(seg2)
+    assert [(e["member"], e["warc_type"]) for e in idx2] == [
+        (0, "warcinfo"),
+        (0, "response"),
+    ]
+    assert idx2[0]["offset"] == idx2[1]["offset"] == 0
 
 
 def test_tiff_dims_endianness_types_and_modes():
