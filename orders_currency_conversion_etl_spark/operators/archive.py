@@ -526,8 +526,9 @@ def warc_records(payload: bytes) -> list[dict]:
     the walk onto bytes that are not a version line, so corruption
     fails loudly instead of under-counting. Field names are matched
     case-insensitively per the spec; header continuation lines
-    (obs-fold, leading SP/TAB) are honestly gated with
-    NotImplementedError — crawl writers emit single-line fields."""
+    (obs-fold, leading SP/TAB — late r13, closing the r13-introduction
+    gate) unfold into the previous field's value joined by a single
+    space, per ISO 28500 §4's named-field grammar."""
     records: list[dict] = []
     pos = 0
     n = len(payload)
@@ -541,9 +542,9 @@ def warc_records(payload: bytes) -> list[dict]:
                 f"got {payload[pos:eol][:20]!r}"
             )
         hdr_pos = eol + 2
-        content_length = None
-        warc_type = None
-        target_uri = None
+        # Pass 1: collect logical field lines, unfolding obs-fold
+        # continuations into their predecessor.
+        fields: list[bytes] = []
         while True:
             eol = payload.find(b"\r\n", hdr_pos)
             if eol < 0:
@@ -552,9 +553,18 @@ def warc_records(payload: bytes) -> list[dict]:
             if line == b"":
                 break  # end of the named-field block
             if line[:1] in (b" ", b"\t"):
-                raise NotImplementedError(
-                    "WARC header continuation lines (obs-fold) not supported"
-                )
+                if not fields:
+                    raise ValueError(
+                        f"WARC continuation line before any field at {hdr_pos}"
+                    )
+                fields[-1] += b" " + line.strip()
+            else:
+                fields.append(line)
+            hdr_pos = eol + 2
+        content_length = None
+        warc_type = None
+        target_uri = None
+        for line in fields:
             name, sep, value = line.partition(b":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
@@ -568,7 +578,6 @@ def warc_records(payload: bytes) -> list[dict]:
                 warc_type = val.decode("utf-8", "replace")
             elif key == b"warc-target-uri":
                 target_uri = val.decode("utf-8", "replace")
-            hdr_pos = eol + 2
         if content_length is None:
             raise ValueError(f"WARC record at offset {pos} missing Content-Length")
         if warc_type is None:

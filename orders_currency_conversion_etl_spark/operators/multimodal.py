@@ -1114,7 +1114,7 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         parser = gif_dims
     elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a", b"II\x2b\x00", b"MM\x00\x2b"):
-        parser = tiff_dims  # r13; the 0x2b pair routes to the BigTIFF gate
+        parser = tiff_dims  # r13; the 0x2b pair is the BigTIFF layout
     elif payload[:2] == b"BM":
         parser = bmp_dims
     elif _HAS_PIL:  # pragma: no cover - requires PIL
@@ -2166,7 +2166,11 @@ def tiff_dims(payload: bytes) -> tuple[int, int, str]:
     tags 256/257 (SHORT or LONG per spec); mode from tag 262
     (PhotometricInterpretation: 0/1 grayscale -> 'L', 2 -> 'RGB',
     3 palette -> 'P') refined by tag 277 (4 samples -> 'RGBA').
-    BigTIFF (magic 43) is honestly gated."""
+    BigTIFF (magic 43, late r13 — closing the r13-introduction gate):
+    the 8-byte-offset layout walks through the same tag reads with the
+    widened header (offset bytesize must be 8, the padding word 0),
+    8-byte entry counts, 20-byte entries and LONG8 (type 16) inline
+    values — the form multi-gigabyte scan/satellite imagery ships."""
     import struct
 
     if len(payload) < 8:
@@ -2178,27 +2182,44 @@ def tiff_dims(payload: bytes) -> tuple[int, int, str]:
     else:
         raise ValueError("not a TIFF payload (no II/MM byte-order mark)")
     magic = struct.unpack(e + "H", payload[2:4])[0]
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) not supported")
-    if magic != 42:
-        raise ValueError(f"not a TIFF payload (magic {magic}, expected 42)")
-    ifd = struct.unpack(e + "I", payload[4:8])[0]
-    if ifd + 2 > len(payload):
+    big = magic == 43
+    if not big and magic != 42:
+        raise ValueError(f"not a TIFF payload (magic {magic}, expected 42 or 43)")
+    if big:
+        if len(payload) < 16:
+            raise ValueError("truncated BigTIFF header")
+        osize, pad = struct.unpack(e + "HH", payload[4:8])
+        if osize != 8 or pad != 0:
+            raise ValueError(
+                f"malformed BigTIFF header (offset bytesize {osize}, pad {pad})"
+            )
+        ifd = struct.unpack(e + "Q", payload[8:16])[0]
+        cnt_len, ent_len = 8, 20
+    else:
+        ifd = struct.unpack(e + "I", payload[4:8])[0]
+        cnt_len, ent_len = 2, 12
+    if ifd + cnt_len > len(payload):
         raise ValueError("TIFF IFD offset overruns the payload")
-    n = struct.unpack(e + "H", payload[ifd : ifd + 2])[0]
-    if ifd + 2 + 12 * n > len(payload):
+    n = struct.unpack(
+        e + ("Q" if big else "H"), payload[ifd : ifd + cnt_len]
+    )[0]
+    if ifd + cnt_len + ent_len * n > len(payload):
         raise ValueError("TIFF IFD entries overrun the payload")
     tags: dict[int, int] = {}
     for i in range(n):
-        off = ifd + 2 + 12 * i
+        off = ifd + cnt_len + ent_len * i
         tag, ftype = struct.unpack(e + "HH", payload[off : off + 4])
         if tag in (256, 257, 262, 277):
-            # count==1 inline value: SHORT (3) in the first 2 bytes of
-            # the value field, LONG (4) in all 4
+            # count==1 inline value in the value field (classic: 4
+            # bytes at +8; BigTIFF: 8 bytes at +12): SHORT (3) in the
+            # first 2, LONG (4) in the first 4, LONG8 (16) in all 8
+            v = off + (12 if big else 8)
             if ftype == 3:
-                tags[tag] = struct.unpack(e + "H", payload[off + 8 : off + 10])[0]
+                tags[tag] = struct.unpack(e + "H", payload[v : v + 2])[0]
             elif ftype == 4:
-                tags[tag] = struct.unpack(e + "I", payload[off + 8 : off + 12])[0]
+                tags[tag] = struct.unpack(e + "I", payload[v : v + 4])[0]
+            elif ftype == 16 and big:
+                tags[tag] = struct.unpack(e + "Q", payload[v : v + 8])[0]
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF IFD lacks ImageWidth/ImageLength tags")
     photo = tags.get(262, 1)
@@ -2232,6 +2253,30 @@ def encode_tiff_header(
     )
     ifd = struct.pack(e + "H", 4) + entries + struct.pack(e + "I", 0)
     head = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+    return head + ifd
+
+
+def encode_bigtiff_header(
+    w: int, h: int, photo: int, samples: int, big_endian: bool, use_long8: bool
+) -> bytes:
+    """BigTIFF twin of :func:`encode_tiff_header` (late r13): 16-byte
+    header (magic 43, offset bytesize 8), 8-byte entry count, 20-byte
+    entries, dims as SHORT or LONG8."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    ftype, fmt = (16, "Q") if use_long8 else (3, "H")
+
+    def entry(tag: int, value: int) -> bytes:
+        raw = struct.pack(e + fmt, value)
+        return struct.pack(e + "HHQ", tag, ftype, 1) + raw + b"\x00" * (8 - len(raw))
+
+    entries = (
+        entry(256, w) + entry(257, h)
+        + entry(262, photo) + entry(277, samples)
+    )
+    ifd = struct.pack(e + "Q", 4) + entries + struct.pack(e + "Q", 0)
+    head = (b"MM" if big_endian else b"II") + struct.pack(e + "HHHQ", 43, 8, 0, 16)
     return head + ifd
 
 

@@ -1703,7 +1703,16 @@ def test_tiff_dims_endianness_types_and_modes():
     assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 3, 1, False, True))[2] == "P"
     assert mm.tiff_dims(mm.encode_tiff_header(1, 2, 2, 4, True, True))[2] == "RGBA"
 
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
+    # BigTIFF (late r13, gate closed): 8-byte offsets, 20-byte entries,
+    # SHORT and LONG8 dims, both byte orders, via the image_dims dispatch
+    for be in (False, True):
+        for l8 in (False, True):
+            w = 70000 if l8 else 640  # SHORT caps at 16 bits
+            p = mm.encode_bigtiff_header(w, 600, 2, 3, be, l8)
+            assert mm.tiff_dims(p) == (w, 600, "RGB")
+            assert mm.image_dims(p) == (w, 600, "RGB")
+    # a malformed BigTIFF header (offset bytesize != 8) is loud
+    with pytest.raises(ValueError, match="BigTIFF"):
         mm.tiff_dims(b"II\x2b\x00" + b"\x00" * 12)
     with pytest.raises(ValueError, match="byte-order"):
         mm.tiff_dims(b"XX\x2a\x00" + b"\x00" * 12)
@@ -1772,14 +1781,23 @@ def test_warc_records_walk_and_gates():
     with pytest.raises(ValueError, match="Content-Length"):
         ar.warc_records(nolen)
 
-    # header continuation lines (obs-fold) are gated, not misparsed
+    # header continuation lines (obs-fold, gate closed late r13)
+    # unfold into the previous field joined by one space — including a
+    # folded field the walk actually reads
     folded = w.replace(
-        b"WARC-Date: 1980-01-01T00:00:00Z\r\n",
-        b"WARC-Date: 1980-01-01\r\n T00:00:00Z\r\n",
+        b"WARC-Target-URI: https://a/0\r\n",
+        b"WARC-Target-URI: https://a\r\n\t/0\r\n",
         1,
     )
-    with pytest.raises(NotImplementedError, match="continuation"):
-        ar.warc_records(folded)
+    assert [r["target_uri"] for r in ar.warc_records(folded)] == [
+        None,
+        "https://a /0",
+        "https://a/0",
+    ]
+    # a continuation line BEFORE any field is loud
+    orphan = w.replace(b"WARC-Type: warcinfo", b" WARC-Type: warcinfo", 1)
+    with pytest.raises(ValueError, match="continuation line before"):
+        ar.warc_records(orphan)
 
     with pytest.raises(ValueError, match="version line"):
         ar.warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
@@ -1952,6 +1970,31 @@ def test_container_builders_roundtrip_fuzz():
         p = mm.encode_mkv_header(doctype, w, h, float(ticks), unknown_size_segment=unk)
         assert mm.mkv_dims(p) == (doctype, w, h, ticks)
 
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 1 << 32),
+        h=st.integers(1, 60_000),
+        be=st.booleans(),
+        l8=st.booleans(),
+    )
+    def bigtiff_case(w, h, be, l8):
+        if not l8 and w > 65535:
+            w = w % 65535 + 1  # SHORT encoding caps at 16 bits
+        p = mm.encode_bigtiff_header(w, h, 2, 3, be, l8)
+        assert mm.tiff_dims(p) == (w, h, "RGB")
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 200), min_size=1, max_size=6),
+        splits=st.integers(1, 20),
+    )
+    def zip64_case(sizes, splits):
+        parts = [(f"m{i:03d}.bin", b"\xee" * n) for i, n in enumerate(sizes)]
+        zm = ar.zip_members(ar.build_zip64(parts))
+        assert [(m["name"], m["uncompressed_size"]) for m in zm] == [
+            (n, len(d)) for n, d in parts
+        ]
+
     mp4_case()
     tiff_case()
     archive_case()
@@ -1959,3 +2002,5 @@ def test_container_builders_roundtrip_fuzz():
     gzip_case()
     avi_case()
     mkv_case()
+    bigtiff_case()
+    zip64_case()
