@@ -1,0 +1,273 @@
+"""The file queue as a REAL Spark data source (late r13): PySpark 4's
+Python DataSource API (`pyspark.sql.datasource`) lets the queue expose
+Kafka-shaped offset semantics to the engine directly, instead of
+approximating them with the file stream source's file log.
+
+What this buys over `read_queue_stream` (streaming/file_queue.py):
+
+- **Engine-visible offsets.** `initialOffset`/`latestOffset`/
+  `partitions(start, end)` speak ``{queue_partition: next_seq}`` — the
+  offset log in the checkpoint stores the queue's OWN coordinates, so
+  ``startingOffsets`` (earliest / explicit JSON, the Kafka option) and
+  exact replay ranges come from the engine, not from re-deriving them
+  out of a file-source log after the fact.
+- **Throttled micro-batches** via ``maxSegmentsPerTrigger`` — the
+  `maxOffsetsPerTrigger` analogue, applied at offset-planning time.
+- **Consumer-group progress as a side effect of `commit`** — the
+  engine calls ``commit(end)`` when a micro-batch is durably complete;
+  with a ``group`` option the source writes the committed offsets to
+  ``<queue>/_consumers/<group>.json`` (atomic tmp+replace), which is
+  exactly the watermark `queue_retain` needs — no checkpoint parsing.
+
+Execution shape (100 TB posture): offset planning is ONE directory
+listing per trigger (the same metadata fetch a Kafka consumer pays);
+each InputPartition is one committed segment, read executor-side as
+pyarrow RECORD BATCHES (the vectorized fast path through the Python
+data source — no Python row loop anywhere); driver state is the tiny
+``{partition: next_seq}`` map. Schema is read from ONE segment footer
+at plan time (O(footer), never a data scan) and every segment must
+match it — the queue contract. Like the broker-side maintenance in
+file_queue.py, listing/commit here are os-level: the source runs
+against a local/POSIX broker volume (module docstring there states the
+object-store boundary; reads themselves are pyarrow over local paths).
+
+Reference parity: none — the reference's "stream" is an hourly cron
+re-run (reference: dags/order_currency_conversion_dag.py:14); this is
+EXT surface. Registration of a driver-oracled query over this source
+is queued for the r15 rotation slot (the r14 window is exactly filled
+by the due r9 staleness cohort).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_SEG_RE = re.compile(r"^seq=(\d+)\.parquet$")
+_PART_RE = re.compile(r"^partition=(\d+)$")
+
+FORMAT_NAME = "orders_queue"
+
+
+def _list_segments(queue_dir: str) -> "dict[int, list[tuple[int, str]]]":
+    """One listing pass -> {partition: [(seq, abs_path), ...] sorted}.
+    Only committed (fully hard-linked) segments are visible — the
+    producer's temp files live outside the partition dirs."""
+    out: dict[int, list[tuple[int, str]]] = {}
+    if not os.path.isdir(queue_dir):
+        return out
+    for d in os.listdir(queue_dir):
+        m = _PART_RE.match(d)
+        if not m:
+            continue
+        part = int(m.group(1))
+        segs = []
+        pdir = os.path.join(queue_dir, d)
+        for f in os.listdir(pdir):
+            sm = _SEG_RE.match(f)
+            if sm:
+                segs.append((int(sm.group(1)), os.path.join(pdir, f)))
+        out[part] = sorted(segs)
+    return out
+
+
+def _end_offsets(segs: "dict[int, list[tuple[int, str]]]") -> "dict[str, int]":
+    """Kafka's end offset: one past the highest committed seq."""
+    return {str(p): (s[-1][0] + 1 if s else 0) for p, s in segs.items()}
+
+
+class _SegmentPartition(InputPartition):
+    def __init__(self, path: str, queue_partition: int):
+        self.path = path
+        self.queue_partition = queue_partition
+
+
+def _read_segment_batches(path: str, queue_partition: int) -> Iterator:
+    """Vectorized segment read: parquet -> arrow record batches with
+    the `partition` column appended (the directory key surfaced as
+    data, matching the file-source read path's output)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    part_col = pa.array([queue_partition] * table.num_rows, pa.int32())
+    table = table.append_column("partition", part_col)
+    yield from table.to_batches()
+
+
+class QueueBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._dir = options["path"]
+        self._start = json.loads(options.get("startingoffsets", "{}") or "{}")
+        end = options.get("endingoffsets")
+        self._end = json.loads(end) if end else None
+
+    def partitions(self):
+        segs = _list_segments(self._dir)
+        parts = []
+        for p, seg_list in segs.items():
+            lo = int(self._start.get(str(p), 0))
+            hi = int(self._end.get(str(p), 1 << 62)) if self._end else (1 << 62)
+            parts.append(
+                [
+                    _SegmentPartition(path, p)
+                    for seq, path in seg_list
+                    if lo <= seq < hi
+                ]
+            )
+        flat = [x for sub in parts for x in sub]
+        # zero-partition plans are rejected by the engine; an empty
+        # slice still needs one no-op partition
+        return flat or [_SegmentPartition("", -1)]
+
+    def read(self, partition):
+        if partition.queue_partition < 0:
+            return
+        yield from _read_segment_batches(
+            partition.path, partition.queue_partition
+        )
+
+
+class QueueStreamReader(DataSourceStreamReader):
+    """Offsets are ``{str(partition): next_seq}``. A partition that
+    appears mid-stream enters the map at its first `latestOffset`
+    sighting and replays from 0 — a new Kafka partition's semantics."""
+
+    def __init__(self, options):
+        self._dir = options["path"]
+        start = options.get("startingoffsets", "earliest")
+        self._start_opt = start
+        self._max_segs = int(options.get("maxsegmentspertrigger", 0)) or None
+        self._group = options.get("group")
+        self._prev_end: "dict[str, int] | None" = None
+
+    def initialOffset(self):
+        if self._start_opt and self._start_opt != "earliest":
+            first = json.loads(self._start_opt)
+        else:
+            first = {str(p): 0 for p in _list_segments(self._dir)}
+        self._prev_end = dict(first)
+        return first
+
+    def latestOffset(self):
+        latest = _end_offsets(_list_segments(self._dir))
+        if self._prev_end is None:
+            # The engine's FIRST call in a run is latestOffset, before
+            # initialOffset (MicroBatchExecution lists available
+            # offsets before resolving the batch start), so the
+            # throttle base is derived lazily: the startingOffsets for
+            # a fresh query. After a RESTART partitions(start, end) of
+            # the recovered batch re-seeds it from the offset log; if
+            # the last run ended clean the base transiently restarts
+            # low and ratchets up by max_segs per trigger — empty
+            # already-read ranges plan zero partitions, so this costs
+            # idle triggers, never duplicates (pinned in tests).
+            if self._start_opt and self._start_opt != "earliest":
+                self._prev_end = {
+                    str(k): int(v) for k, v in json.loads(self._start_opt).items()
+                }
+            else:
+                self._prev_end = {p: 0 for p in latest}
+        # carry forward partitions the listing no longer shows
+        # (fully GC'd dirs) so offsets stay monotonic
+        for p, o in self._prev_end.items():
+            latest[p] = max(latest.get(p, 0), o)
+        if self._max_segs:
+            for p in latest:
+                floor = self._prev_end.get(p, 0)
+                latest[p] = min(latest[p], floor + self._max_segs)
+        self._prev_end = dict(latest)
+        return latest
+
+    def partitions(self, start, end):
+        # replay source of truth is the engine's offset log; keep the
+        # throttle base in sync with it across restarts
+        self._prev_end = dict(end)
+        segs = _list_segments(self._dir)
+        out = []
+        for p_str, hi in end.items():
+            lo = int(start.get(p_str, 0))
+            for seq, path in segs.get(int(p_str), []):
+                if lo <= seq < int(hi):
+                    out.append(_SegmentPartition(path, int(p_str)))
+        return out or [_SegmentPartition("", -1)]
+
+    def read(self, partition):
+        if partition.queue_partition < 0:
+            return
+        yield from _read_segment_batches(
+            partition.path, partition.queue_partition
+        )
+
+    def commit(self, end):
+        # Engine contract (pinned in tests): commit(end) for batch N
+        # fires when the engine constructs batch N+1 — so on an IDLE
+        # queue the group's durable progress trails the sink by one
+        # batch until new data arrives. That is Kafka's own consumer
+        # semantics (commits ride the poll loop); retention driven by
+        # this marker is therefore conservative, never premature.
+        if not self._group:
+            return
+        cdir = os.path.join(self._dir, "_consumers")
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".{self._group}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({str(k): int(v) for k, v in end.items()}, f)
+        os.replace(tmp, os.path.join(cdir, f"{self._group}.json"))
+
+
+def read_group_progress(queue_dir: str, group: str) -> "dict[int, int]":
+    """The committed offsets `commit` persisted for a consumer group —
+    the `queue_retain` watermark input, no checkpoint parsing."""
+    path = os.path.join(queue_dir, "_consumers", f"{group}.json")
+    with open(path) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+class QueueDataSource(DataSource):
+    """`spark.read.format("orders_queue").option("path", dir)` — see
+    the module docstring. Schema = first segment's footer schema plus
+    the appended int `partition` column; pass a `schema` to `.load()`
+    only if the queue may be empty at plan time."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql import types as T
+
+        import pyarrow.parquet as pq
+
+        segs = _list_segments(self.options["path"])
+        first = next((s[0][1] for s in segs.values() if s), None)
+        if first is None:
+            raise ValueError(
+                f"queue {self.options['path']!r} has no committed segments; "
+                "pass an explicit schema to read an empty queue"
+            )
+        base = from_arrow_schema(pq.read_schema(first))
+        return T.StructType(
+            base.fields + [T.StructField("partition", T.IntegerType())]
+        )
+
+    def reader(self, schema):
+        return QueueBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return QueueStreamReader(self.options)
+
+
+def register_queue_source(spark) -> None:
+    """Idempotent registration of the `orders_queue` format."""
+    spark.dataSource.register(QueueDataSource)
