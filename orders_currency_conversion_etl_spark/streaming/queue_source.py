@@ -49,7 +49,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _SEG_RE = re.compile(r"^seq=(\d+)\.parquet$")
@@ -267,7 +270,204 @@ class QueueDataSource(DataSource):
     def streamReader(self, schema):
         return QueueStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "orders_queue is an append-only log; overwrite would "
+                "rewrite committed offsets — use mode('append')"
+            )
+        return QueueBatchWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):
+        return QueueStreamWriter(self.options, schema)
+
 
 def register_queue_source(spark) -> None:
     """Idempotent registration of the `orders_queue` format."""
     spark.dataSource.register(QueueDataSource)
+
+
+# --------------------------------------------------------------------------
+# The WRITE half (late r13): `df.write.format("orders_queue")` and
+# `writeStream.format("orders_queue")`. Executors stage parquet temp
+# files per queue partition (`_staging/`); the DRIVER's commit assigns
+# sequential offsets and hard-links segments into place — offset
+# assignment is serialized through the single commit call, so the
+# single-producer-per-partition contract holds even though the data
+# was written by many tasks in parallel. The streaming writer is
+# exactly-once under micro-batch REPLAY via a two-phase commit: an
+# INTENT file (planned {partition: offsets}) written before any link,
+# and a MARKER file written after all links — a replayed commit reuses
+# the intent's assignment (tolerating already-linked segments as its
+# own) or no-ops on the marker. Input contract: the DataFrame carries
+# an int `partition` column (the reader's appended column — write(read(q))
+# roundtrips); it is stripped from the stored segments.
+# --------------------------------------------------------------------------
+
+
+class _QueueWriteMessage(WriterCommitMessage):
+    """Picklable commit message: [(queue_partition, tmp_path, n_rows)]."""
+
+    def __init__(self, files):
+        self.files = files
+
+
+def _stage_rows(queue_dir: str, schema, iterator):
+    """Executor side: split this task's rows by `partition` and stage
+    one temp parquet per queue partition. Bounded by the task's input
+    partition size — the same memory envelope as any file write."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql import types as T
+
+    payload_fields = [f for f in schema.fields if f.name != "partition"]
+    if len(payload_fields) == len(schema.fields):
+        raise ValueError(
+            "orders_queue writer needs an int `partition` column "
+            "(the queue partition key; the reader appends the same column)"
+        )
+    arrow_schema = to_arrow_schema(T.StructType(payload_fields))
+    names = [f.name for f in payload_fields]
+    by_part: dict = {}
+    for row in iterator:
+        d = row.asDict()
+        p = d.get("partition")
+        if p is None:
+            raise ValueError("null `partition` value in orders_queue write")
+        by_part.setdefault(int(p), []).append({k: d[k] for k in names})
+    staging = os.path.join(queue_dir, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    files = []
+    for p, rows in sorted(by_part.items()):
+        tmp = os.path.join(staging, f"{_uuid.uuid4().hex}-p{p}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), tmp)
+        files.append((p, tmp, len(rows)))
+    return _QueueWriteMessage(files)
+
+
+def _collect_staged(messages) -> "dict[int, list[str]]":
+    by_part: dict[int, list[str]] = {}
+    for m in messages:
+        if m is None:
+            continue
+        for p, tmp, _n in m.files:
+            by_part.setdefault(p, []).append(tmp)
+    # deterministic segment order under a replay: temp names are random
+    # per attempt, so sort by path for stability WITHIN one attempt
+    return {p: sorted(ts) for p, ts in by_part.items()}
+
+
+def _cleanup_staged(messages) -> None:
+    for m in messages or []:
+        if m is None:
+            continue
+        for _p, tmp, _n in m.files:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+
+class QueueBatchWriter(DataSourceWriter):
+    """Batch `df.write.format("orders_queue").option("path", dir)`.
+    Append-only (the queue contract — `mode("overwrite")` is rejected
+    at `writer()`); one segment per (task, queue partition)."""
+
+    def __init__(self, options, schema):
+        self._dir = options["path"]
+        self._schema = schema
+
+    def write(self, iterator):
+        return _stage_rows(self._dir, self._schema, iterator)
+
+    def commit(self, messages):
+        from .file_queue import next_offset, queue_partition_dir
+
+        for p, tmps in sorted(_collect_staged(messages).items()):
+            pdir = queue_partition_dir(self._dir, p)
+            os.makedirs(pdir, exist_ok=True)
+            off = next_offset(self._dir, p)
+            for tmp in tmps:
+                os.link(tmp, os.path.join(pdir, f"seq={off:08d}.parquet"))
+                off += 1
+        _cleanup_staged(messages)
+
+    def abort(self, messages):
+        _cleanup_staged(messages)
+
+
+class QueueStreamWriter(DataSourceStreamWriter):
+    """Streaming `writeStream.format("orders_queue")` — exactly-once
+    under micro-batch replay (two-phase: intent -> links -> marker; see
+    the section comment). ``publishId`` (option, default "default")
+    namespaces the marker/intent files so several independent sink
+    queries can feed one queue."""
+
+    def __init__(self, options, schema):
+        self._dir = options["path"]
+        self._schema = schema
+        self._publish_id = options.get("publishid", "default")
+
+    def write(self, iterator):
+        return _stage_rows(self._dir, self._schema, iterator)
+
+    def _meta(self, kind: str, batch_id: int) -> str:
+        d = os.path.join(self._dir, "_publishes")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{self._publish_id}={batch_id}.{kind}")
+
+    def commit(self, messages, batchId):
+        from .file_queue import next_offset, queue_partition_dir
+
+        marker = self._meta("done", batchId)
+        if os.path.exists(marker):  # replayed, fully published batch
+            _cleanup_staged(messages)
+            return
+        intent_path = self._meta("intent", batchId)
+        staged = _collect_staged(messages)
+        if os.path.exists(intent_path):
+            with open(intent_path) as f:
+                plan = {int(k): v for k, v in json.load(f).items()}
+            # a replay stages fresh temps; pair them positionally with
+            # the planned offsets (same rows — the engine replays the
+            # exact offset range)
+        else:
+            plan = {}
+            for p, tmps in sorted(staged.items()):
+                base = next_offset(self._dir, p)
+                plan[p] = list(range(base, base + len(tmps)))
+            tmp_intent = intent_path + ".tmp"
+            with open(tmp_intent, "w") as f:
+                json.dump({str(k): v for k, v in plan.items()}, f)
+            os.replace(tmp_intent, intent_path)
+        for p, tmps in sorted(staged.items()):
+            offsets = plan.get(p)
+            if offsets is None or len(offsets) != len(tmps):
+                raise RuntimeError(
+                    f"orders_queue replay shape mismatch for partition {p}: "
+                    f"intent {offsets}, staged {len(tmps)} files"
+                )
+            pdir = queue_partition_dir(self._dir, p)
+            os.makedirs(pdir, exist_ok=True)
+            for tmp, off in zip(tmps, offsets):
+                try:
+                    os.link(tmp, os.path.join(pdir, f"seq={off:08d}.parquet"))
+                except FileExistsError:
+                    # this batch's own earlier attempt linked it (the
+                    # intent records the offset as ours) — idempotent
+                    pass
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            f.write("published\n")
+        os.replace(tmp_marker, marker)
+        try:
+            os.remove(intent_path)
+        except FileNotFoundError:
+            pass
+        _cleanup_staged(messages)
+
+    def abort(self, messages, batchId):
+        _cleanup_staged(messages)
