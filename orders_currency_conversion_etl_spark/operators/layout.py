@@ -657,3 +657,88 @@ def _write_sorted_parquet(parts: "list", target: str) -> int:
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     pq.write_table(table, target, row_group_size=512)
     return len(pdf)
+
+
+def surviving_rowgroups(
+    manifest: DataFrame, col: str, lo, hi, cast: str = "bigint"
+) -> "dict[str, list[int]]":
+    """{file: [row groups]} whose [min, max] overlaps [lo, hi] —
+    collected driver-side (bounded by |row groups|, the driver-side
+    scale every table-format planner accepts). Min/max strings cast
+    with ``cast`` for the comparison — the manifest stores
+    DuckDB-compatible string renderings."""
+    rows = (
+        manifest.filter(
+            ~(
+                (F.col(f"{col}_max").cast(cast) < lo)
+                | (F.col(f"{col}_min").cast(cast) > hi)
+            )
+        )
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_list("row_group")).alias("groups"))
+        .collect()
+    )
+    return {r["file"]: list(r["groups"]) for r in rows}
+
+
+def read_pruned_rowgroups(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    cast: str = "bigint",
+) -> DataFrame:
+    """Scan only the ROW GROUPS whose stats overlap [lo, hi] — the
+    granularity below :func:`read_pruned`\'s file skipping.
+
+    The surviving (file, groups) plan comes from
+    :func:`surviving_rowgroups`; it fans out as one task per surviving
+    FILE whose executor calls pyarrow\'s ``read_row_groups`` — the
+    reader seeks straight to the selected groups\' column chunks, so a
+    skipped row group costs nothing: no page read, no decode. The
+    residual ``BETWEEN`` predicate is still applied (min/max overlap
+    is necessary, not sufficient). Schema comes from one footer, the
+    rowgroup_manifest convention; like the manifest, the executor-side
+    open is pyarrow over a local/POSIX path (the marked object-store
+    seam)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    plan = surviving_rowgroups(manifest, col, lo, hi, cast)
+    base_dir = path if not path.endswith(".parquet") else os.path.dirname(path)
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if path.endswith(".parquet"):
+        any_file = path
+    else:
+        any_row = manifest.select("file").first()
+        if any_row is None:
+            raise ValueError("empty manifest")
+        any_file = os.path.join(base_dir, any_row["file"])
+    schema = from_arrow_schema(pq.read_schema(any_file))
+    if not plan:
+        return spark.createDataFrame([], schema)
+    tasks = [
+        (os.path.join(base_dir, f), _json.dumps(groups))
+        for f, groups in sorted(plan.items())
+    ]
+    tasks_df = spark.createDataFrame(
+        tasks, "path string, groups string"
+    ).repartition(min(len(tasks), 64))
+
+    def _read(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for fpath, groups_json in zip(pdf["path"], pdf["groups"]):
+                pf = _pq.ParquetFile(fpath)
+                table = pf.read_row_groups(_json.loads(groups_json))
+                yield table.to_pandas()
+
+    out = tasks_df.mapInPandas(_read, schema=schema)
+    return out.filter(F.col(col).cast(cast).between(lo, hi))

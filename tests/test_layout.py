@@ -367,3 +367,51 @@ def test_lake_rowgroup_stats_matches_oracle(spark):
     ref = sorted(tuple(t) for t in con.execute(_LAKE_ROWGROUP_ORACLE).fetchall())
     assert got == ref
     assert len(got) >= 2  # really multi-row-group
+
+
+def test_read_pruned_rowgroups(spark, tmp_path):
+    """Late r13: the row-group-granular read path — the surviving-plan
+    math is minimal (only overlapping groups selected), the pruned
+    read equals the full-scan filter, and an empty overlap yields an
+    empty, schema-stable result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orders_currency_conversion_etl_spark.operators.layout import (
+        read_pruned_rowgroups,
+        rowgroup_manifest,
+        surviving_rowgroups,
+    )
+
+    # two files x 100 sorted rows x 32-row groups: k in [0,100) / [100,200)
+    for fi in range(2):
+        ids = list(range(fi * 100, fi * 100 + 100))
+        pq.write_table(
+            pa.table({"k": pa.array(ids, pa.int64()),
+                      "v": pa.array([i * 2 for i in ids], pa.int64())}),
+            str(tmp_path / f"f{fi}.parquet"),
+            row_group_size=32,
+        )
+    mf = rowgroup_manifest(spark, str(tmp_path), ["k"]).cache()
+
+    # [40, 70] overlaps f0's groups 1 ([32,63]) and 2 ([64,95]) only
+    plan = surviving_rowgroups(mf, "k", 40, 70)
+    assert plan == {"f0.parquet": [1, 2]}
+
+    got = read_pruned_rowgroups(spark, str(tmp_path), mf, "k", 40, 70)
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (k, 2 * k) for k in range(40, 71)
+    ]
+
+    # straddling both files
+    plan2 = surviving_rowgroups(mf, "k", 90, 110)
+    assert plan2 == {"f0.parquet": [2, 3], "f1.parquet": [0]}
+    got2 = read_pruned_rowgroups(spark, str(tmp_path), mf, "k", 90, 110)
+    assert got2.count() == 21
+
+    # no overlap: empty result, stable schema, zero tasks planned
+    assert surviving_rowgroups(mf, "k", 500, 600) == {}
+    empty = read_pruned_rowgroups(spark, str(tmp_path), mf, "k", 500, 600)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+    mf.unpersist()
