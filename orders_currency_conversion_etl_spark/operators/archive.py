@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.registry import query
@@ -926,3 +927,53 @@ def fetch_warc_gz_record(
         f"indexed record ({warc_type!r}, {target_uri!r}) not found in the "
         "fetched member — stale or corrupt side-car index"
     )
+
+
+WARC_GZ_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("member", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("compressed_size", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+    ]
+)
+
+
+def build_warc_gz_index_df(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """The side-car as a DataFrame: one CDX-shaped row per WARC record
+    across a table of ``.warc.gz`` segments — ``df.select(id, payload)``
+    in, ``WARC_GZ_INDEX_SCHEMA`` out. One Arrow-batched ``mapInPandas``
+    stage (enumerate-once is per segment, embarrassingly parallel, no
+    shuffle at any scale); persist the result with ``partitionBy`` on
+    whatever later fetches key on (URI prefix, type) and every fetch
+    becomes ONE ranged read + :func:`fetch_warc_gz_record` — the
+    O(payload) gzip walk paid exactly once per segment."""
+    base = df.select(F.col(id_col).alias("segment_id"), F.col(payload_col))
+    pname = payload_col
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg_id, payload in zip(pdf["segment_id"], pdf[pname]):
+                for e in warc_gz_index(bytes(payload)):
+                    rows.append(
+                        (
+                            seg_id,
+                            e["seq"],
+                            e["member"],
+                            e["offset"],
+                            e["compressed_size"],
+                            e["warc_type"],
+                            e["target_uri"],
+                            e["content_length"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_GZ_INDEX_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(_index, schema=WARC_GZ_INDEX_SCHEMA)

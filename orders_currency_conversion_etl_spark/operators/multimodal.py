@@ -1122,9 +1122,9 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
             return im.width, im.height, im.mode
     else:
         raise NotImplementedError(
-            "image bytes beyond PPM/PNG/JPEG require PIL, not "
-            "available in this environment; those three parse "
-            "header-only via the pure-Python dims parsers, and "
+            "image bytes beyond PPM/PNG/JPEG/WebP/GIF/TIFF/BigTIFF/BMP "
+            "require PIL, not available in this environment; those "
+            "parse header-only via the pure-Python dims parsers, and "
             "multimodal_features is the codec-free byte-level path"
         )
     try:

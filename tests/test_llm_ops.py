@@ -2004,3 +2004,49 @@ def test_container_builders_roundtrip_fuzz():
     mkv_case()
     bigtiff_case()
     zip64_case()
+
+
+def test_build_warc_gz_index_df(spark):
+    """Late r13: the side-car as a DataFrame — one CDX row per record
+    across a table of .warc.gz segments, and a fetch through one
+    index row's coordinates returns the exact block."""
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    segs = []
+    for sid in range(3):
+        blocks = [
+            (None, ar.build_warc([("warcinfo", None, str(sid).encode())])),
+            (None, ar.build_warc([("response", f"https://s/{sid}", b"x" * (sid + 1))])),
+        ]
+        segs.append((sid, bytearray(ar.build_gzip_members(blocks))))
+    df = spark.createDataFrame(
+        [(sid, bytes(p)) for sid, p in segs],
+        T.StructType(
+            [
+                T.StructField("segment_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    idx = ar.build_warc_gz_index_df(df, "segment_id", "payload")
+    rows = sorted(
+        ((r["segment_id"], r["seq"], r["warc_type"], r["target_uri"],
+          r["content_length"]) for r in idx.collect())
+    )
+    expected = sorted(
+        x
+        for s in range(3)
+        for x in [(s, 0, "warcinfo", None, 1),
+                  (s, 1, "response", f"https://s/{s}", s + 1)]
+    )
+    assert rows == expected
+
+    # fetch through one index row: only that member's bytes travel
+    e = next(r for r in idx.collect()
+             if r["segment_id"] == 2 and r["warc_type"] == "response")
+    payload = bytes(segs[2][1])
+    member = payload[e["offset"]: e["offset"] + e["compressed_size"]]
+    rec = ar.fetch_warc_gz_record(member, e["warc_type"], e["target_uri"])
+    assert rec["block"] == b"xxx"

