@@ -977,3 +977,62 @@ def build_warc_gz_index_df(df: DataFrame, id_col: str, payload_col: str) -> Data
             )
 
     return base.mapInPandas(_index, schema=WARC_GZ_INDEX_SCHEMA)
+
+
+WARC_GZ_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("block", T.BinaryType()),
+    ]
+)
+
+
+def fetch_warc_gz_records_df(segments: DataFrame, index: DataFrame) -> DataFrame:
+    """The pruned-fetch half of the side-car pattern AS A PLAN: join a
+    (pre-filtered) slice of the index back to its segments, slice each
+    record's gzip member out of the payload with a JVM-side binary
+    ``substr`` (no Python sees the full segment bytes), and inflate
+    ONLY those members in an Arrow-batched ``mapInPandas``.
+
+    ``segments`` is ``(segment_id, payload)``; ``index`` is (a filtered
+    subset of) :func:`build_warc_gz_index_df`'s output. Scale shape:
+    the index filter prunes BEFORE the join, so the join moves only the
+    wanted index rows against the segment table (broadcast when small);
+    the substr runs in the JVM, so the Python boundary transfers
+    member-sized slices, never whole segments — at a Common-Crawl-like
+    1 GiB/segment with record-per-member layout, fetching 100 records
+    ships ~100 member-KiBs across Arrow instead of 100 GiB."""
+    sliced = index.join(segments, "segment_id").select(
+        "segment_id",
+        "seq",
+        "warc_type",
+        "target_uri",
+        # substr is 1-based; member bytes only cross into Python
+        F.expr(
+            "substr(payload, CAST(offset AS INT) + 1, "
+            "CAST(compressed_size AS INT))"
+        ).alias("member_bytes"),
+    )
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, seq, wtype, uri, member in zip(
+                pdf["segment_id"],
+                pdf["seq"],
+                pdf["warc_type"],
+                pdf["target_uri"],
+                pdf["member_bytes"],
+            ):
+                rec = fetch_warc_gz_record(
+                    bytes(member), wtype, None if uri is None else str(uri)
+                )
+                rows.append((sid, seq, wtype, uri, rec["block"]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_GZ_FETCH_SCHEMA.fields]
+            )
+
+    return sliced.mapInPandas(_fetch, schema=WARC_GZ_FETCH_SCHEMA)

@@ -2050,3 +2050,50 @@ def test_build_warc_gz_index_df(spark):
     member = payload[e["offset"]: e["offset"] + e["compressed_size"]]
     rec = ar.fetch_warc_gz_record(member, e["warc_type"], e["target_uri"])
     assert rec["block"] == b"xxx"
+
+
+def test_fetch_warc_gz_records_df(spark):
+    """Late r13: the pruned fetch as a Spark plan — filter the index,
+    join back to segments, JVM-side substr slices the members, Python
+    inflates only those members and returns the exact blocks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    segs = []
+    for sid in range(3):
+        blocks = [
+            (None, ar.build_warc([("warcinfo", None, str(sid).encode())])),
+            (None, ar.build_warc(
+                [("response", f"https://s/{sid}", bytes([65 + sid]) * (sid + 2))]
+            )),
+        ]
+        segs.append((sid, ar.build_gzip_members(blocks)))
+    seg_df = spark.createDataFrame(
+        segs,
+        T.StructType(
+            [
+                T.StructField("segment_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    idx = ar.build_warc_gz_index_df(seg_df, "segment_id", "payload").cache()
+
+    wanted = idx.filter(F.col("warc_type") == "response")
+    got = ar.fetch_warc_gz_records_df(seg_df, wanted)
+    assert sorted(
+        (r["segment_id"], r["target_uri"], bytes(r["block"])) for r in got.collect()
+    ) == [
+        (0, "https://s/0", b"AA"),
+        (1, "https://s/1", b"BBB"),
+        (2, "https://s/2", b"CCCC"),
+    ]
+
+    # a single-record fetch moves one member, not the segment
+    one = ar.fetch_warc_gz_records_df(
+        seg_df, idx.filter((F.col("segment_id") == 2) & (F.col("seq") == 1))
+    )
+    assert [bytes(r["block"]) for r in one.collect()] == [b"CCCC"]
+    idx.unpersist()
