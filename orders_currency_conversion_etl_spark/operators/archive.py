@@ -1036,3 +1036,50 @@ def fetch_warc_gz_records_df(segments: DataFrame, index: DataFrame) -> DataFrame
             )
 
     return sliced.mapInPandas(_fetch, schema=WARC_GZ_FETCH_SCHEMA)
+
+
+def fetch_zip_member(member_bytes: bytes, expected_usize: int) -> bytes:
+    """Ranged-fetch completion for ZIP (late r13): the caller slices
+    ``payload[offset : next_offset_or_cd_start]`` (or any prefix that
+    covers the member) using ONE :func:`zip_members` row and passes it
+    here — the segment's other members are never touched, the same
+    contract as :func:`fetch_warc_gz_record`. Parses the local file
+    header independently (APPNOTE 4.3.7: name/extra lengths differ
+    from the central entry's), then returns the member data — stored
+    (method 0) sliced directly, deflate (method 8) inflated with a raw
+    zlib window. The caller's expected uncompressed size (from the
+    central directory) is verified so a stale slice fails loudly."""
+    import struct as _struct
+    import zlib
+
+    if member_bytes[:4] != b"PK\x03\x04":
+        raise ValueError("slice does not start at a ZIP local file header")
+    if len(member_bytes) < 30:
+        raise ValueError("truncated ZIP local file header")
+    method, = _struct.unpack("<H", member_bytes[8:10])
+    csize, usize = _struct.unpack("<II", member_bytes[18:26])
+    name_len, extra_len = _struct.unpack("<HH", member_bytes[26:30])
+    data_start = 30 + name_len + extra_len
+    if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+        vals = _zip64_extra_values(
+            member_bytes[30 + name_len : data_start], 2
+        )
+        usize, csize = vals[0], vals[1]
+    if method == 0:
+        data = member_bytes[data_start : data_start + usize]
+        if len(data) != usize:
+            raise ValueError("stored ZIP member slice shorter than its size")
+    elif method == 8:
+        d = zlib.decompressobj(-zlib.MAX_WBITS)
+        try:
+            data = d.decompress(member_bytes[data_start:], expected_usize)
+        except zlib.error as e:
+            raise ValueError(f"corrupt deflate stream in ZIP member: {e}") from None
+    else:
+        raise NotImplementedError(f"ZIP compression method {method} not supported")
+    if len(data) != expected_usize:
+        raise ValueError(
+            f"ZIP member inflated to {len(data)} bytes, central directory "
+            f"declares {expected_usize} — stale or corrupt slice"
+        )
+    return data

@@ -2097,3 +2097,44 @@ def test_fetch_warc_gz_records_df(spark):
     )
     assert [bytes(r["block"]) for r in one.collect()] == [b"CCCC"]
     idx.unpersist()
+
+
+def test_fetch_zip_member_ranged():
+    """Late r13: ranged member fetch — one central-directory row's
+    offset slices the member, the local header parses independently,
+    stored and deflate members both roundtrip, and stale slices are
+    loud."""
+    import io
+    import zipfile
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    # deflate fixture via stdlib (independent of our stored-only builder)
+    buf = io.BytesIO()
+    payloads = {"a.txt": b"alpha " * 50, "b/c.bin": b"\x00\x01\x02" * 40,
+                "empty": b""}
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in payloads.items():
+            zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), d)
+    z = buf.getvalue()
+    members = ar.zip_members(z)
+    offs = [m["offset"] for m in members] + [len(z)]
+    for m, end in zip(members, offs[1:]):
+        got = ar.fetch_zip_member(z[m["offset"]:end], m["uncompressed_size"])
+        assert got == payloads[m["name"]]
+
+    # stored members (our builder) fetch the same way
+    z2 = ar.build_zip([("s.txt", b"stored-bytes")])
+    m2 = ar.zip_members(z2)[0]
+    assert ar.fetch_zip_member(z2[m2["offset"]:], m2["uncompressed_size"]) == b"stored-bytes"
+
+    # zip64 local headers resolve sizes through the extra field
+    z64 = ar.build_zip64([("x.bin", b"q" * 100)])
+    m64 = ar.zip_members(z64)[0]
+    assert ar.fetch_zip_member(z64[m64["offset"]:], 100) == b"q" * 100
+
+    # a stale expected size is loud
+    with pytest.raises(ValueError, match="declares"):
+        ar.fetch_zip_member(z2[m2["offset"]:], 99)
+    with pytest.raises(ValueError, match="local file header"):
+        ar.fetch_zip_member(b"garbage", 5)
