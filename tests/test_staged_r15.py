@@ -1,0 +1,65 @@
+"""The staged r15 registrations (staged_r15.py) are value-exact against
+their oracles TODAY, through the exact machinery registration will
+apply — each test registers the query with the real decorator (boundary
+casts), compares via the driver-replica harness against the FINALIZED
+oracle, then removes the entry so the live registry (and the artifact-
+sync pins keyed to it) is untouched."""
+
+from __future__ import annotations
+
+import pytest
+
+from orders_currency_conversion_etl_spark import staged_r15
+from orders_currency_conversion_etl_spark.plans import registry
+
+from oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, _sql, _fn in staged_r15.STAGED]
+)
+def test_staged_query_value_exact(spark, name):
+    sql, fn = next(
+        (s, f) for n, s, f in staged_r15.STAGED if n == name
+    )
+    assert name not in registry.QUERIES  # really unregistered today
+    registry.query(name, sql)(fn)
+    try:
+        # finalize THIS oracle exactly as finalized_oracles() would,
+        # without touching its registry-wide cache (these tests must
+        # leave the live registry and its caches untouched)
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            for t in registry.ORACLE_TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
+                )
+            cols = [
+                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
+            ]
+        finally:
+            con.close()
+        finalized = registry._wrap_oracle(sql, cols)
+        compare_query(spark, SF, registry.QUERIES[name], finalized)
+    finally:
+        del registry.QUERIES[name]
+        del registry.ORACLES[name]
+    assert name not in registry.QUERIES
+
+
+def test_staged_names_are_planned_in_the_window_comment():
+    """The rotation plan in __spark_entry__ must keep naming the r15
+    path while these stay staged — a stale plan is how a window
+    overflow happens."""
+    import __spark_entry__ as mod
+    import inspect
+
+    src = inspect.getsource(mod)
+    assert "r15" in src and "ROTATION_R13_NEW" in src
+    for n, _sql, _fn in staged_r15.STAGED:
+        assert n not in mod.queries(), f"{n} registered before its window"
