@@ -636,16 +636,63 @@ ROTATION_R13_REVALIDATE = [
     "window_range_frame",
 ]
 
-#   r14 (planned): the newest-green histogram after r13 is r9:38 /
-#       r10:36 / r11:38 / r12:50-ish / r13:50 — the ENTIRE 38-name r9
-#       cohort turns 5 rounds old at r14 and is due, so the r14 window
-#       is exactly 12 anchors + 38 r9 revalidations = 50 with ZERO
-#       slots for new registrations. New library surface built in r13
-#       (gzip_members / warc_gz_records / warc_gz_index — the .cdx
-#       side-car pair, operators/archive.py) therefore registers at
-#       r15, where the due cohort is r10 (36 names): 12 + 2 new + 36 =
-#       50. Do NOT register new queries in r14 — they would displace a
-#       due r9 name and break the 5-round invariant at r15.
+#   r14 (planned, list pre-computed late r13): the newest-green
+#       histogram after r12 is r8:31 / r9:38 / r10:36 / r11:38 /
+#       r12:50 (recomputed from CORRECTNESS_r01..r12 in the late-r13
+#       session; the only never-green names are the 7 r13-new, which
+#       get their rows at r13 round end). The ENTIRE 38-name r9 cohort
+#       turns 5 rounds old at r14 and is due, so the r14 window is
+#       exactly 12 anchors + ROTATION_R14_REVALIDATE (below) = 50 with
+#       ZERO slots for new registrations. Do NOT register new queries
+#       in r14 — they would displace a due r9 name and break the
+#       5-round invariant at r15. The r14 session only needs:
+#         PRIORITY_WINDOW = ANCHORS + ROTATION_R14_REVALIDATE
+#       New library surface built late r13 registers at r15 instead —
+#       four queries are STAGED value-exact in
+#       orders_currency_conversion_etl_spark/staged_r15.py
+#       (register_all() + window math in its module docstring).
+ROTATION_R14_REVALIDATE = [
+    # the full newest-green-row=r9 cohort (38):
+    "agg_mode_median",
+    "curation_pipeline_lsh",
+    "date_functions",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_hr",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroids",
+    "events_session_window",
+    "incremental_rollup_merge",
+    "incremental_unprocessed_at_scale",
+    "join_semi_customers_with_orders",
+    "json_extract_props",
+    "kmeans_embeddings",
+    "knn_brute_force",
+    "knn_ivf_nprobe",
+    "knn_lsh_materialized",
+    "knn_recall_at_k",
+    "merge_upsert_orders",
+    "mix_sources_temperature",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pandas_udf_geomean",
+    "sample_weighted_es",
+    "scd2_priority_history",
+    "set_union_segments",
+    "snapshot_diff_cdc",
+    "split_train_val_test",
+    "text_unigram_logprob",
+    "tfidf_top_terms_per_source",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "triangles_parts",
+    "window_latest_order_per_customer",
+    "wordcount_topk",
+]
+
 PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE
 
 

@@ -154,7 +154,11 @@ class QueueStreamReader(DataSourceStreamReader):
         self._prev_end: "dict[str, int] | None" = None
 
     def initialOffset(self):
-        if self._start_opt and self._start_opt != "earliest":
+        if self._start_opt == "latest":
+            # Kafka's default: a fresh query begins at the current end
+            # and sees only segments committed after it started
+            first = _end_offsets(_list_segments(self._dir))
+        elif self._start_opt and self._start_opt != "earliest":
             first = json.loads(self._start_opt)
         else:
             first = {str(p): 0 for p in _list_segments(self._dir)}
@@ -174,7 +178,9 @@ class QueueStreamReader(DataSourceStreamReader):
             # low and ratchets up by max_segs per trigger — empty
             # already-read ranges plan zero partitions, so this costs
             # idle triggers, never duplicates (pinned in tests).
-            if self._start_opt and self._start_opt != "earliest":
+            if self._start_opt == "latest":
+                self._prev_end = dict(latest)
+            elif self._start_opt and self._start_opt != "earliest":
                 self._prev_end = {
                     str(k): int(v) for k, v in json.loads(self._start_opt).items()
                 }

@@ -1995,6 +1995,30 @@ def test_container_builders_roundtrip_fuzz():
             (n, len(d)) for n, d in parts
         ]
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        name_len=st.integers(1, 150),
+        size=st.integers(0, 600),
+        gnu=st.booleans(),
+    )
+    def tar_ext_case(name_len, size, gnu):
+        import io
+        import tarfile
+
+        name = ("d/" * (name_len // 2))[: max(name_len - 4, 0)] + "f.txt"
+        buf = io.BytesIO()
+        fmt = tarfile.GNU_FORMAT if gnu else tarfile.PAX_FORMAT
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            info = tarfile.TarInfo(name)
+            info.size = size
+            tf.addfile(info, io.BytesIO(b"\xaa" * size))
+        t = buf.getvalue()
+        got = ar.tar_members(t)
+        with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+            ref = [(i.name, i.size) for i in tf.getmembers()]
+        assert [(m["name"], m["size"]) for m in got] == ref
+        assert t[got[0]["offset"] : got[0]["offset"] + size] == b"\xaa" * size
+
     mp4_case()
     tiff_case()
     archive_case()
@@ -2004,6 +2028,7 @@ def test_container_builders_roundtrip_fuzz():
     mkv_case()
     bigtiff_case()
     zip64_case()
+    tar_ext_case()
 
 
 def test_build_warc_gz_index_df(spark):

@@ -419,3 +419,44 @@ def test_source_reads_retained_and_compacted_queues(spark):
         got = spark.read.format("orders_queue").option("path", q).load()
         assert got.count() == 10
         assert {r["payload"] for r in got.collect()} == {"new"}
+
+
+def test_starting_offsets_latest(spark):
+    """Kafka's default start position: a fresh query beginning at
+    'latest' skips everything already committed and consumes only
+    segments appended after it started."""
+    register_queue_source(spark)
+    with tempfile.TemporaryDirectory() as q, \
+         tempfile.TemporaryDirectory() as ckpt, \
+         tempfile.TemporaryDirectory() as out:
+        _stage(spark, q, {0: 3, 1: 2})  # 50 pre-existing rows
+
+        sq = (
+            spark.readStream.format("orders_queue")
+            .option("path", q)
+            .option("startingOffsets", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def sink_count():
+            try:
+                return spark.read.schema(SCHEMA).parquet(out).count()
+            except Exception:
+                return 0
+
+        try:
+            # give the stream a moment to plan its first (empty) batch,
+            # then append: only the new segment must arrive
+            _poll(lambda: sq.lastProgress is not None, timeout_s=60)
+            queue_append(_segment_df(spark, 0, 3), q, 0)
+            _poll(lambda: sink_count() == 10)
+        finally:
+            sq.stop()
+            sq.awaitTermination(30)
+        got = spark.read.schema(SCHEMA).parquet(out)
+        assert {r["payload"][:6] for r in got.collect()} == {"p0s3r3"}

@@ -63,3 +63,20 @@ def test_staged_names_are_planned_in_the_window_comment():
     assert "r15" in src and "ROTATION_R13_NEW" in src
     for n, _sql, _fn in staged_r15.STAGED:
         assert n not in mod.queries(), f"{n} registered before its window"
+
+
+def test_r14_window_precomputation_is_sound():
+    """The pre-written r14 revalidation cohort: 38 registered names,
+    disjoint from the anchors and from everything the r13 window
+    re-greens (so nothing in it gets a newer row before r14), and
+    12 + 38 == the driver's 50-row window exactly."""
+    import __spark_entry__ as mod
+
+    cohort = mod.ROTATION_R14_REVALIDATE
+    assert len(cohort) == 38 == len(set(cohort))
+    live = set(mod.queries())
+    assert set(cohort) <= live
+    r13_window = set(mod.PRIORITY_WINDOW)
+    assert len(mod.PRIORITY_WINDOW) == 50
+    assert not (set(cohort) & r13_window)
+    assert len(mod.ANCHORS) + len(cohort) == 50
