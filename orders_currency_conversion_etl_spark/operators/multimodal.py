@@ -705,6 +705,66 @@ def ppm_dims(payload: bytes) -> tuple[int, int, str]:
     return int(dims[0]), int(dims[1]), PPM_MODE
 
 
+def pnm_dims(payload: bytes) -> tuple[int, int, str]:
+    """The netpbm siblings (late r13): P4 (bitmap, mode '1'), P5
+    (graymap, 'L'), P6 (pixmap, 'RGB') — whitespace/comment-tolerant
+    header scan per the netpbm spec, pixel bytes never touched."""
+    if payload[:1] != b"P" or payload[1:2] not in b"456":
+        raise ValueError("not a binary netpbm (P4/P5/P6) payload")
+    mode = {b"4": "1", b"5": "L", b"6": "RGB"}[payload[1:2]]
+    # token scan: dims are the first two whitespace-separated integer
+    # tokens after the magic; '#' starts a to-end-of-line comment
+    tokens: list[int] = []
+    pos = 2
+    n = len(payload)
+    while pos < n and len(tokens) < 2:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            eol = payload.find(b"\n", pos)
+            if eol < 0:
+                break
+            pos = eol + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < n and payload[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"unexpected byte {c!r} in netpbm header")
+    if len(tokens) < 2:
+        raise ValueError("truncated netpbm header (missing dimensions)")
+    return tokens[0], tokens[1], mode
+
+
+def ico_dims(payload: bytes) -> tuple[int, int, str]:
+    """ICO/CUR header parse (late r13) -> largest image's (w, h,
+    'RGBA'): 6-byte ICONDIR + 16-byte ICONDIRENTRYs, where a 0 width/
+    height byte means 256 (the favicon format's quirk). Entry payloads
+    (PNG or DIB) are never touched — dims are directory facts."""
+    import struct
+
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload (short header)")
+    reserved, img_type, count = struct.unpack("<HHH", payload[:6])
+    if reserved != 0 or img_type not in (1, 2):
+        raise ValueError("not an ICO/CUR payload (bad ICONDIR)")
+    if count == 0:
+        raise ValueError("ICO with zero images")
+    if 6 + 16 * count > len(payload):
+        raise ValueError("ICO directory overruns the payload")
+    best = (0, 0)
+    for i in range(count):
+        off = 6 + 16 * i
+        w = payload[off] or 256
+        h = payload[off + 1] or 256
+        if w * h > best[0] * best[1]:
+            best = (w, h)
+    return best[0], best[1], "RGBA"
+
+
 def png_dims(payload: bytes) -> tuple[int, int, str]:
     """IHDR-only parse -> (w, h, mode): reads 33 bytes, CRC-checks the
     header chunk, never inflates IDAT. Reports dims/mode for ALL
@@ -1105,6 +1165,10 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
 
     if payload.startswith(b"P6\n"):
         parser = ppm_dims
+    elif payload[:1] == b"P" and payload[1:2] in b"456":
+        parser = pnm_dims  # P4/P5 + whitespace-variant P6 (late r13)
+    elif payload[:4] == b"\x00\x00\x01\x00" or payload[:4] == b"\x00\x00\x02\x00":
+        parser = ico_dims  # ICO/CUR (late r13)
     elif payload.startswith(_PNG_SIG):
         parser = png_dims
     elif payload.startswith(b"\xff\xd8"):
@@ -1122,7 +1186,8 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
             return im.width, im.height, im.mode
     else:
         raise NotImplementedError(
-            "image bytes beyond PPM/PNG/JPEG/WebP/GIF/TIFF/BigTIFF/BMP "
+            "image bytes beyond netpbm(P4/P5/P6)/PNG/JPEG/WebP/GIF/"
+            "TIFF/BigTIFF/BMP/ICO "
             "require PIL, not available in this environment; those "
             "parse header-only via the pure-Python dims parsers, and "
             "multimodal_features is the codec-free byte-level path"

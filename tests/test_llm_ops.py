@@ -2163,3 +2163,39 @@ def test_fetch_zip_member_ranged():
         ar.fetch_zip_member(z2[m2["offset"]:], 99)
     with pytest.raises(ValueError, match="local file header"):
         ar.fetch_zip_member(b"garbage", 5)
+
+
+def test_pnm_and_ico_dims():
+    """Late r13: the netpbm siblings (P4/P5 with comments and odd
+    whitespace) and the ICO/CUR directory parse, via the dispatch."""
+    import struct
+
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    assert mm.pnm_dims(b"P5\n# cmt\n640 480\n255\n" + b"\x00") == (640, 480, "L")
+    assert mm.pnm_dims(b"P4 12 7 ") == (12, 7, "1")
+    assert mm.pnm_dims(b"P6\t#x\n 3\n#y\n2 255 ") == (3, 2, "RGB")
+    assert mm.image_dims(b"P5\n2 2\n255\n" + b"\x00" * 4) == (2, 2, "L")
+    assert mm.image_dims(b"P4 8 8 " + b"\x00" * 8) == (8, 8, "1")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.pnm_dims(b"P5\n640")
+    with pytest.raises(ValueError, match="netpbm"):
+        mm.pnm_dims(b"P7 foo")
+
+    # ICO: two entries; 0-byte means 256; largest wins; stdlib-free
+    def entry(w, h):
+        return bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+            "<HHII", 1, 32, 64, 6 + 32
+        )
+
+    ico = struct.pack("<HHH", 0, 1, 2) + entry(16, 16) + entry(256, 256)
+    assert mm.ico_dims(ico) == (256, 256, "RGBA")
+    assert mm.image_dims(ico) == (256, 256, "RGBA")
+    cur = struct.pack("<HHH", 0, 2, 1) + entry(32, 32)
+    assert mm.ico_dims(cur) == (32, 32, "RGBA")
+    with pytest.raises(ValueError, match="zero images"):
+        mm.ico_dims(struct.pack("<HHH", 0, 1, 0))
+    with pytest.raises(ValueError, match="overruns"):
+        mm.ico_dims(struct.pack("<HHH", 0, 1, 3) + entry(8, 8))
+    with pytest.raises(ValueError, match="ICONDIR"):
+        mm.ico_dims(b"\x01\x00\x01\x00\x01\x00")
