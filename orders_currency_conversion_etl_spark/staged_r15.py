@@ -11,7 +11,9 @@ the registry-keyed artifacts (oracle sweeps, CODEGEN_AUDIT,
 PARTITION_INVARIANCE, PLANCHECK_BROADCASTS — the exact commands are in
 .claude/skills/verify/SKILL.md). Every query here is ALREADY
 value-exact against its oracle in ``tests/test_staged_r15.py``, so
-registration is a bookkeeping change, not a correctness risk.
+registration is a bookkeeping change, not a correctness risk; all four
+were additionally spot-verified value-exact at sf0.1 (the sweep scale)
+through the same registered-then-finalized machinery, late r13.
 """
 
 from __future__ import annotations
