@@ -9,7 +9,10 @@ it, (2) add the four names to ``ROTATION_R15_NEW`` in the window
 newest anchors for one round, they re-green at r16), (3) regenerate
 the registry-keyed artifacts (oracle sweeps, CODEGEN_AUDIT,
 PARTITION_INVARIANCE, PLANCHECK_BROADCASTS — the exact commands are in
-.claude/skills/verify/SKILL.md). Every query here is ALREADY
+.claude/skills/verify/SKILL.md), (4) record extras introduction
+baselines for the four names on THAT session's rig (the
+`bench_extras` pattern — deliberately not recorded on the late-r13
+rig, which measured ~30-40% slow; see DRIFT_AB_r13_rig2.json). Every query here is ALREADY
 value-exact against its oracle in ``tests/test_staged_r15.py``, so
 registration is a bookkeeping change, not a correctness risk; all four
 were additionally spot-verified value-exact at sf0.1 (the sweep scale)

@@ -515,3 +515,24 @@ class QueueStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId):
         _cleanup_staged(messages)
+
+
+def queue_gc_groups(queue_dir: str, *groups: str) -> "dict[int, list[int]]":
+    """Retention keyed on the data-source commit markers: delete every
+    segment that EVERY named consumer group's engine-committed progress
+    (``_consumers/<group>.json``, written by
+    :meth:`QueueStreamReader.commit`) has passed — the
+    ``file_queue.queue_gc`` twin for orders_queue consumers, with no
+    checkpoint parsing. A group whose marker does not exist yet pins
+    the whole queue (progress {} -> elementwise-min watermark 0), the
+    conservative default for a consumer that registered but has not
+    committed a batch."""
+    from .file_queue import min_watermarks, queue_retain
+
+    maps = []
+    for g in groups:
+        try:
+            maps.append(read_group_progress(queue_dir, g))
+        except FileNotFoundError:
+            maps.append({})
+    return queue_retain(queue_dir, min_watermarks(*maps))

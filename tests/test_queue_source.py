@@ -460,3 +460,31 @@ def test_starting_offsets_latest(spark):
             sq.awaitTermination(30)
         got = spark.read.schema(SCHEMA).parquet(out)
         assert {r["payload"][:6] for r in got.collect()} == {"p0s3r3"}
+
+
+def test_queue_gc_groups(spark):
+    """Retention over commit-marker progress: the elementwise-min
+    across groups governs, and a registered-but-never-committed group
+    pins everything."""
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamReader,
+        queue_gc_groups,
+    )
+
+    register_queue_source(spark)
+    with tempfile.TemporaryDirectory() as q:
+        _stage(spark, q, {0: 3, 1: 2})
+        # simulate two groups' engine commits directly
+        ra = QueueStreamReader({"path": q, "group": "ga"})
+        ra.commit({"0": 3, "1": 2})
+        rb = QueueStreamReader({"path": q, "group": "gb"})
+        rb.commit({"0": 1, "1": 2})
+
+        # a group with no marker yet pins the queue
+        assert queue_gc_groups(q, "ga", "gb", "never-started") == {}
+
+        deleted = queue_gc_groups(q, "ga", "gb")
+        assert deleted == {0: [0], 1: [0, 1]}
+        # survivors: partition 0 seq 1,2 (gb only committed to 1)
+        left = spark.read.format("orders_queue").option("path", q).load()
+        assert left.count() == 20
