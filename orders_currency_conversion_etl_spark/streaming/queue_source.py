@@ -536,3 +536,39 @@ def queue_gc_groups(queue_dir: str, *groups: str) -> "dict[int, list[int]]":
         except FileNotFoundError:
             maps.append({})
     return queue_retain(queue_dir, min_watermarks(*maps))
+
+
+def prune_publish_markers(
+    queue_dir: str, publish_id: str = "default", keep_last: int = 100
+) -> "list[str]":
+    """Bound the exactly-once sink's metadata growth: the two-phase
+    commit leaves one ``<publish_id>=<batchId>.done`` marker per
+    micro-batch forever. Replay protection only ever needs markers the
+    engine can still replay — Spark retains on the order of 100
+    checkpoint entries (``minBatchesToRetain``) — so everything below
+    the newest ``keep_last`` batch ids is dead metadata (Kafka bounds
+    its producer-id snapshots the same way). Returns the deleted
+    marker filenames. Orphaned ``.intent`` files BELOW the pruned
+    horizon are removed too (an intent at or above it may belong to an
+    in-flight commit and is never touched)."""
+    d = os.path.join(queue_dir, "_publishes")
+    if not os.path.isdir(d):
+        return []
+    done_re = re.compile(re.escape(publish_id) + r"=(\d+)\.done$")
+    intent_re = re.compile(re.escape(publish_id) + r"=(\d+)\.intent$")
+    done = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(d)
+        if (m := done_re.fullmatch(f))
+    )
+    if len(done) <= keep_last:
+        horizon = done[0][0] if done else 0
+    else:
+        horizon = done[-keep_last][0]
+    deleted = []
+    for f in os.listdir(d):
+        m = done_re.fullmatch(f) or intent_re.fullmatch(f)
+        if m and int(m.group(1)) < horizon:
+            os.remove(os.path.join(d, f))
+            deleted.append(f)
+    return sorted(deleted)

@@ -488,3 +488,36 @@ def test_queue_gc_groups(spark):
         # survivors: partition 0 seq 1,2 (gb only committed to 1)
         left = spark.read.format("orders_queue").option("path", q).load()
         assert left.count() == 20
+
+
+def test_prune_publish_markers(spark):
+    """Marker retention for the exactly-once sink: only markers below
+    the keep-last horizon go, orphaned intents below it go with them,
+    and other publishIds are untouched."""
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        prune_publish_markers,
+    )
+
+    with tempfile.TemporaryDirectory() as q:
+        d = os.path.join(q, "_publishes")
+        os.makedirs(d)
+        for b in range(10):
+            open(os.path.join(d, f"conv={b}.done"), "w").write("published\n")
+        open(os.path.join(d, "conv=3.intent"), "w").write("{}")
+        open(os.path.join(d, "conv=9.intent"), "w").write("{}")
+        open(os.path.join(d, "other=1.done"), "w").write("published\n")
+
+        deleted = prune_publish_markers(q, "conv", keep_last=4)
+        # horizon = batch 6: done 0-5 and the orphaned intent 3 go;
+        # intent 9 (>= horizon, possibly in flight) and other= stay
+        assert deleted == sorted(
+            [f"conv={b}.done" for b in range(6)] + ["conv=3.intent"]
+        )
+        left = sorted(os.listdir(d))
+        assert left == [
+            "conv=6.done", "conv=7.done", "conv=8.done",
+            "conv=9.done", "conv=9.intent", "other=1.done",
+        ]
+        # idempotent; and keep_last larger than history is a no-op
+        assert prune_publish_markers(q, "conv", keep_last=4) == []
+        assert prune_publish_markers(q, "other", keep_last=5) == []
