@@ -1083,3 +1083,53 @@ def fetch_zip_member(member_bytes: bytes, expected_usize: int) -> bytes:
             f"declares {expected_usize} — stale or corrupt slice"
         )
     return data
+
+
+_COMPRESSION_MAGICS = (
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\x04\x22\x4d\x18", "lz4"),
+)
+
+
+def compression_codec(payload: bytes) -> str:
+    """Magic-byte sniff -> codec name ('gzip' / 'bzip2' / 'xz' /
+    'zstd' / 'lz4'); unknown leading bytes are loud — corpus plumbing
+    must never silently pass compressed bytes through as text."""
+    for magic, name in _COMPRESSION_MAGICS:
+        if payload[: len(magic)] == magic:
+            return name
+    raise ValueError(
+        f"unrecognized compression magic {payload[:6]!r} "
+        "(gzip/bzip2/xz/zstd/lz4 sniffed)"
+    )
+
+
+def decompress_payload(payload: bytes) -> bytes:
+    """One-call decompression for the wire formats raw corpus dumps
+    actually ship (late r13): gzip (incl. multi-member — the .warc.gz
+    layout), bzip2 (incl. concatenated streams — old Wikipedia dumps),
+    and xz (incl. multi-stream — current wikimedia dumps), all via
+    stdlib codecs with their built-in integrity checks (CRC32/ISIZE,
+    stream CRCs, xz check field). zstd and lz4 sniff correctly but
+    have no stdlib codec in this environment — honestly gated with the
+    codec named, never misparsed."""
+    codec = compression_codec(payload)
+    if codec == "gzip":
+        import gzip
+
+        return gzip.decompress(payload)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload)
+    raise NotImplementedError(
+        f"{codec} payloads need the {codec} codec, which is not in the "
+        "Python standard library; gzip/bzip2/xz decode here"
+    )

@@ -2199,3 +2199,37 @@ def test_pnm_and_ico_dims():
         mm.ico_dims(struct.pack("<HHH", 0, 1, 3) + entry(8, 8))
     with pytest.raises(ValueError, match="ICONDIR"):
         mm.ico_dims(b"\x01\x00\x01\x00\x01\x00")
+
+
+def test_decompress_payload_dispatch():
+    """Late r13: the corpus-dump decompression dispatch — gzip (multi-
+    member), bzip2 (concatenated streams), xz (multi-stream) all
+    roundtrip via stdlib; zstd/lz4 sniff and gate honestly; unknown
+    magic is loud."""
+    import bz2
+    import gzip
+    import lzma
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    data = b"the quick brown corpus " * 100
+    assert ar.decompress_payload(gzip.compress(data, mtime=0)) == data
+    assert ar.decompress_payload(bz2.compress(data)) == data
+    assert ar.decompress_payload(lzma.compress(data)) == data
+
+    # multi-member / concatenated streams (the dump layouts)
+    two = data[: len(data) // 2], data[len(data) // 2 :]
+    assert ar.decompress_payload(
+        gzip.compress(two[0], mtime=0) + gzip.compress(two[1], mtime=0)
+    ) == data
+    assert ar.decompress_payload(bz2.compress(two[0]) + bz2.compress(two[1])) == data
+    assert ar.decompress_payload(
+        lzma.compress(two[0]) + lzma.compress(two[1])
+    ) == data
+
+    assert ar.compression_codec(b"\x28\xb5\x2f\xfd rest") == "zstd"
+    assert ar.compression_codec(b"\x04\x22\x4d\x18 rest") == "lz4"
+    with pytest.raises(NotImplementedError, match="zstd"):
+        ar.decompress_payload(b"\x28\xb5\x2f\xfd fake-frame")
+    with pytest.raises(ValueError, match="unrecognized"):
+        ar.decompress_payload(b"plain text, not compressed")
