@@ -651,6 +651,12 @@ ROTATION_R13_REVALIDATE = [
 #       four queries are STAGED value-exact in
 #       orders_currency_conversion_etl_spark/staged_r15.py
 #       (register_all() + window math in its module docstring).
+#       CAPACITY NOTE (late r13, pinned in tests/test_staged_r15.py):
+#       the 5-round invariant needs non_anchor_names <=
+#       (50 - len(ANCHORS)) * 5. At 200 names / 12 anchors that is
+#       188/190; the four r15 registrations exceed it, so the r15
+#       anchor trim to 10 must be PERMANENT (budget 200 >= 192), not a
+#       one-round convenience.
 ROTATION_R14_REVALIDATE = [
     # the full newest-green-row=r9 cohort (38):
     "agg_mode_median",

@@ -4,9 +4,17 @@ due r9 staleness cohort; see the PRIORITY_WINDOW planning comment).
 
 At r15: (1) import this module's :func:`register_all` in
 ``__spark_entry__`` alongside the other registering imports and call
-it, (2) add the four names to ``ROTATION_R15_NEW`` in the window
-(12 anchors + 4 new + the 36-name r10 cohort = 52 — trim the two
-newest anchors for one round, they re-green at r16), (3) regenerate
+it, (2) add the four names to ``ROTATION_R15_NEW`` in the window and
+make the anchor trim PERMANENT, not one-round: steady-state rotation
+arithmetic (pinned in ``tests/test_staged_r15.py``) is
+``non_anchor_names <= (50 - len(ANCHORS)) * 5`` — at 200 names and 12
+anchors the budget is 188/190, and registering these four makes 12
+anchors infeasible (192 > 190). Dropping to 10 anchors gives
+40 x 5 = 200 >= 192 with headroom for one more small registration
+round; the two demoted anchors just join the normal rotation (they are
+re-greened at r15 itself, so their next due round is r20). r15 window:
+10 anchors + 4 new + the 36-name r10 cohort = 50 exactly.
+(3) regenerate
 the registry-keyed artifacts (oracle sweeps, CODEGEN_AUDIT,
 PARTITION_INVARIANCE, PLANCHECK_BROADCASTS — the exact commands are in
 .claude/skills/verify/SKILL.md), (4) record extras introduction

@@ -80,3 +80,28 @@ def test_r14_window_precomputation_is_sound():
     assert len(mod.PRIORITY_WINDOW) == 50
     assert not (set(cohort) & r13_window)
     assert len(mod.ANCHORS) + len(cohort) == 50
+
+
+def test_rotation_capacity_arithmetic():
+    """The 5-round staleness invariant is only satisfiable while
+    non-anchor registry names fit the rotation budget
+    (window - anchors) * 5. Today: 188 <= 190. Registering the 4
+    staged queries under 12 permanent anchors would break this
+    (192 > 190) — which is why the staged plan makes the r15 anchor
+    trim to 10 PERMANENT (budget 200). This test fails the moment
+    someone grows the registry past the current anchors' budget, so
+    the capacity decision can never be skipped silently."""
+    import __spark_entry__ as mod
+
+    window = 50
+    anchors = len(mod.ANCHORS)
+    non_anchor = len(mod.queries()) - anchors
+    budget = (window - anchors) * 5
+    assert non_anchor <= budget, (
+        f"{non_anchor} non-anchor names exceed the {budget}-name rotation "
+        f"budget at {anchors} anchors — shrink ANCHORS or de-register"
+    )
+    # and the staged registration is only feasible with the planned trim
+    staged_total = non_anchor + len(staged_r15.STAGED)
+    assert staged_total > budget  # documents WHY the trim is needed
+    assert staged_total <= (window - 10) * 5  # 10 anchors suffice
