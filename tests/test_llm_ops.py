@@ -1471,6 +1471,18 @@ def test_zip64_walk_matches_stdlib():
 
     assert ar.zip_members(ar.build_zip64([])) == []
 
+    # the OTHER zip64 producer: stdlib zipfile writes a REAL EOCD64
+    # once the entry count overflows 16 bits — the walk follows it
+    # (member-count overflow is the common real-world zip64 trigger;
+    # sizes >4 GiB are the other, covered by the hand-rolled builder)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(65540):
+            zf.writestr(zipfile.ZipInfo(f"m{i:05d}", (1980, 1, 1, 0, 0, 0)), b"")
+    big = ar.zip_members(buf.getvalue())
+    assert len(big) == 65540
+    assert (big[0]["name"], big[-1]["name"]) == ("m00000", "m65539")
+
     # a zip64 entry whose extra field is too short is loud
     bad = bytearray(z64)
     cdh = bytes(bad).find(b"PK\x01\x02")
