@@ -1169,6 +1169,15 @@ def image_dims(payload: bytes) -> tuple[int, int, str]:
         parser = pnm_dims  # P4/P5 + whitespace-variant P6 (late r13)
     elif payload[:4] == b"\x00\x00\x01\x00" or payload[:4] == b"\x00\x00\x02\x00":
         parser = ico_dims  # ICO/CUR (late r13)
+    elif (
+        len(payload) >= 12
+        and payload[4:8] == b"ftyp"
+        and payload[8:12].decode("latin-1") in _HEIF_BRANDS
+    ):
+        # HEIF/AVIF (late r13): a STILL image in an ISO-BMFF container;
+        # video brands keep routing through video_dims/mp4_dims
+        b, w, h = heif_dims(payload)
+        return w, h, "RGB"
     elif payload.startswith(_PNG_SIG):
         parser = png_dims
     elif payload.startswith(b"\xff\xd8"):
@@ -1797,6 +1806,75 @@ def _bmff_boxes(buf: bytes, pos: int, end: int):
             raise ValueError("ISO-BMFF box overruns its container")
         yield btype, body, pos + size
         pos += size
+
+
+#: ftyp major brands that mean "HEIF-family still image", not video —
+#: the phone-camera formats (HEIC) and AVIF; mif1/msf1 are the generic
+#: HEIF structural brands.
+_HEIF_BRANDS = frozenset({"heic", "heix", "heim", "heis", "mif1", "msf1", "avif", "avis"})
+
+
+def heif_dims(payload: bytes) -> tuple[str, int, int]:
+    """HEIF/AVIF header walk (late r13) -> (brand, width, height):
+    the dominant phone-camera (HEIC) and modern-web (AVIF) still
+    formats are ISO-BMFF containers — dims live in
+    ``meta/iprp/ipco/ispe`` property boxes, one per stored image item
+    (thumbnails included), so the PRIMARY image is reported as the
+    largest ``ispe``. ``meta`` is a FullBox (4 version/flags bytes
+    before its children — the classic misparse this walk handles);
+    the compressed item payloads (``mdat``/``idat``) are never
+    touched. Codec decode is out of scope by construction (HEVC/AV1
+    bitstreams need native decoders) — this is the O(header) dims
+    tier, the same contract as every other parser here."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    brand = payload[8:12].decode("latin-1")
+    best = (0, 0)
+    for btype, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
+        if btype != b"meta":
+            continue
+        # meta is a FullBox: skip version/flags before its children
+        for ctype, c0, c1 in _bmff_boxes(payload, b0 + 4, b1):
+            if ctype != b"iprp":
+                continue
+            for ptype, p0, p1 in _bmff_boxes(payload, c0, c1):
+                if ptype != b"ipco":
+                    continue
+                for qtype, q0, q1 in _bmff_boxes(payload, p0, p1):
+                    if qtype != b"ispe":
+                        continue
+                    if q0 + 12 > q1:
+                        raise ValueError("truncated ispe box")
+                    w, h = struct.unpack(">II", payload[q0 + 4 : q0 + 12])
+                    if w * h > best[0] * best[1]:
+                        best = (w, h)
+    if best == (0, 0):
+        raise ValueError("HEIF meta/iprp/ipco/ispe dims not found")
+    return brand, best[0], best[1]
+
+
+def encode_heif_header(
+    brand: str, sizes: "list[tuple[int, int]]"
+) -> bytes:
+    """Minimal spec-shaped HEIF/AVIF: ftyp + meta(FullBox) containing
+    iprp/ipco with one ispe per (w, h) — the fixture half of
+    :func:`heif_dims` (primary image first or last, the parser picks
+    the largest regardless)."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ispes = b"".join(
+        box(b"ispe", struct.pack(">III", 0, w, h)) for w, h in sizes
+    )
+    ipco = box(b"ipco", ispes)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + iprp)
+    ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0))
+    return ftyp + meta
 
 
 def mp4_dims(payload: bytes) -> tuple[str, int, int, int]:

@@ -2245,3 +2245,41 @@ def test_decompress_payload_dispatch():
         ar.decompress_payload(b"\x28\xb5\x2f\xfd fake-frame")
     with pytest.raises(ValueError, match="unrecognized"):
         ar.decompress_payload(b"plain text, not compressed")
+
+
+def test_heif_avif_dims():
+    """Late r13: HEIF/AVIF dims via the meta/iprp/ipco/ispe walk — the
+    FullBox meta offset, largest-ispe primary selection (thumbnails
+    carry their own ispe), both brand families, and the image_dims
+    dispatch routing (video brands stay with mp4_dims)."""
+    from orders_currency_conversion_etl_spark.operators import multimodal as mm
+
+    p = mm.encode_heif_header("heic", [(4032, 3024), (320, 240)])
+    assert mm.heif_dims(p) == ("heic", 4032, 3024)
+    assert mm.image_dims(p) == (4032, 3024, "RGB")
+    # thumbnail listed first: largest still wins
+    p2 = mm.encode_heif_header("avif", [(160, 120), (1920, 1080)])
+    assert mm.heif_dims(p2) == ("avif", 1920, 1080)
+    assert mm.image_dims(p2) == (1920, 1080, "RGB")
+
+    # a VIDEO brand does not route to the still-image parser
+    v = mm.encode_mp4_header("isom", 640, 480, 6000, 600, 0, False)
+    assert mm.mp4_dims(v)[:3] == ("isom", 640, 480)
+    with pytest.raises(Exception):
+        mm.heif_dims(v)  # no meta/ispe in a movie header
+
+    # missing ispe and truncated ispe are loud
+    with pytest.raises(ValueError, match="ispe"):
+        mm.heif_dims(mm.encode_heif_header("heic", []))
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    bad = box(b"ftyp", b"heic" + b"\x00" * 4) + box(
+        b"meta",
+        b"\x00" * 4
+        + box(b"iprp", box(b"ipco", box(b"ispe", b"\x00\x00\x00\x00\x00"))),
+    )
+    with pytest.raises(ValueError, match="truncated ispe"):
+        mm.heif_dims(bad)
