@@ -2031,6 +2031,20 @@ def test_container_builders_roundtrip_fuzz():
         assert [(m["name"], m["size"]) for m in got] == ref
         assert t[got[0]["offset"] : got[0]["offset"] + size] == b"\xaa" * size
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.tuples(st.integers(1, 1 << 16), st.integers(1, 1 << 16)),
+            min_size=1,
+            max_size=5,
+        ),
+        brand=st.sampled_from(["heic", "avif", "mif1"]),
+    )
+    def heif_case(sizes, brand):
+        p = mm.encode_heif_header(brand, sizes)
+        want = max(sizes, key=lambda wh: wh[0] * wh[1])
+        assert mm.heif_dims(p) == (brand, want[0], want[1])
+
     mp4_case()
     tiff_case()
     archive_case()
@@ -2041,6 +2055,7 @@ def test_container_builders_roundtrip_fuzz():
     bigtiff_case()
     zip64_case()
     tar_ext_case()
+    heif_case()
 
 
 def test_build_warc_gz_index_df(spark):
