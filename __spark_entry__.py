@@ -699,7 +699,12 @@ ROTATION_R14_REVALIDATE = [
     "wordcount_topk",
 ]
 
-PRIORITY_WINDOW = ANCHORS + ROTATION_R13_NEW + ROTATION_R13_REVALIDATE
+# r14 (ACTIVE): 12 anchors + the full 38-name r9 staleness cohort = 50.
+# Zero new registrations this round by design (window has no slack);
+# the four staged_r15 queries + queue_source_roundtrip register at r15
+# with the permanent anchor trim 12 -> 10 (arithmetic pinned in
+# tests/test_staged_r15.py and staged_r15.py's module docstring).
+PRIORITY_WINDOW = ANCHORS + ROTATION_R14_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
