@@ -170,22 +170,30 @@ class QueueStreamReader(DataSourceStreamReader):
         if self._prev_end is None:
             # The engine's FIRST call in a run is latestOffset, before
             # initialOffset (MicroBatchExecution lists available
-            # offsets before resolving the batch start), so the
-            # throttle base is derived lazily: the startingOffsets for
-            # a fresh query. After a RESTART partitions(start, end) of
-            # the recovered batch re-seeds it from the offset log; if
-            # the last run ended clean the base transiently restarts
-            # low and ratchets up by max_segs per trigger — empty
-            # already-read ranges plan zero partitions, so this costs
-            # idle triggers, never duplicates (pinned in tests).
-            if self._start_opt == "latest":
+            # offsets before resolving the batch start) — and after a
+            # RESTART initialOffset is never called at all, so at this
+            # point the engine's committed offset is unknown. Capping
+            # against a base derived from startingOffsets here was the
+            # r13 duplicate bug (ADVICE r14): on restart the capped end
+            # could regress BELOW the checkpointed end, the engine
+            # records the regressed offset, and the ratcheting batches
+            # re-read still-on-disk segments the sink already has. The
+            # only durable restart-safe base is the consumer group's
+            # committed marker (written by `commit`, trails the true
+            # committed end by at most one throttled batch, so
+            # base + max_segs >= committed end — never a regression);
+            # without a group the first planned batch of a run is
+            # UNCAPPED (correctness over throttling), and throttling
+            # resumes from the second trigger once partitions(start,
+            # end) / this return have seeded the base from real
+            # engine-visible offsets.
+            seeded = self._restart_throttle_base()
+            if seeded is None:
+                for p, o in self._carry_base().items():
+                    latest[p] = max(latest.get(p, 0), o)
                 self._prev_end = dict(latest)
-            elif self._start_opt and self._start_opt != "earliest":
-                self._prev_end = {
-                    str(k): int(v) for k, v in json.loads(self._start_opt).items()
-                }
-            else:
-                self._prev_end = {p: 0 for p in latest}
+                return latest
+            self._prev_end = seeded
         # carry forward partitions the listing no longer shows
         # (fully GC'd dirs) so offsets stay monotonic
         for p, o in self._prev_end.items():
@@ -196,6 +204,38 @@ class QueueStreamReader(DataSourceStreamReader):
                 latest[p] = min(latest[p], floor + self._max_segs)
         self._prev_end = dict(latest)
         return latest
+
+    def _carry_base(self) -> "dict[str, int]":
+        """startingOffsets as a carry-forward floor (GC'd partitions
+        stay monotonic even on the uncapped first call)."""
+        if self._start_opt and self._start_opt not in ("earliest", "latest"):
+            return {str(k): int(v) for k, v in json.loads(self._start_opt).items()}
+        return {}
+
+    def _restart_throttle_base(self) -> "dict[str, int] | None":
+        """Durable throttle base for the first latestOffset of a run,
+        or None when no restart-safe base exists (then the first batch
+        is uncapped). The group marker is elementwise-maxed with any
+        explicit startingOffsets so a marker older than the requested
+        start can't widen the first batch below it."""
+        if not self._group:
+            return None
+        try:
+            progress = read_group_progress(self._dir, self._group)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        base = {str(p): int(o) for p, o in progress.items()}
+        for p, o in self._carry_base().items():
+            base[p] = max(base.get(p, 0), o)
+        if self._start_opt == "latest":
+            # a FRESH 'latest' query starts at the current end; a
+            # stale group marker below it must not cap the end under
+            # the initial offset (that would later re-plan segments
+            # 'latest' asked to skip) — floor the base at the listing
+            # end, which is also >= any restart's committed end
+            for p, o in _end_offsets(_list_segments(self._dir)).items():
+                base[p] = max(base.get(p, 0), o)
+        return base
 
     def partitions(self, start, end):
         # replay source of truth is the engine's offset log; keep the
@@ -228,9 +268,19 @@ class QueueStreamReader(DataSourceStreamReader):
             return
         cdir = os.path.join(self._dir, "_consumers")
         os.makedirs(cdir, exist_ok=True)
+        merged = {str(k): int(v) for k, v in end.items()}
+        # the marker is documented MONOTONIC progress (retention and
+        # lag reads key on it) — elementwise-max with the existing
+        # file so no code path can move the watermark backwards
+        try:
+            with open(os.path.join(cdir, f"{self._group}.json")) as f:
+                for k, v in json.load(f).items():
+                    merged[str(k)] = max(merged.get(str(k), 0), int(v))
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
         tmp = os.path.join(cdir, f".{self._group}.tmp")
         with open(tmp, "w") as f:
-            json.dump({str(k): int(v) for k, v in end.items()}, f)
+            json.dump(merged, f)
         os.replace(tmp, os.path.join(cdir, f"{self._group}.json"))
 
 
@@ -312,10 +362,46 @@ def register_queue_source(spark) -> None:
 
 
 class _QueueWriteMessage(WriterCommitMessage):
-    """Picklable commit message: [(queue_partition, tmp_path, n_rows)]."""
+    """Picklable commit message:
+    [(queue_partition, tmp_path, n_rows, content_fingerprint)]."""
 
     def __init__(self, files):
         self.files = files
+
+
+def _fingerprint_table(table) -> str:
+    """Order-insensitive content identity of a staged payload table —
+    the key the exactly-once sink uses to pair a REPLAY's freshly
+    staged temps with the crashed attempt's planned offsets (r14, per
+    ADVICE: positional pairing over random uuid temp names assigned
+    content to offsets differently across attempts). Row hashes are
+    vectorized (`pandas.util.hash_pandas_object`, fixed siphash key —
+    process-stable), sorted so task-internal row order doesn't matter,
+    then digested; duplicate rows still shift the digest (multiset
+    semantics). Columns are canonicalized by name. Types pandas can't
+    hash natively (nested lists/maps) fall back to their string form —
+    deterministic for equal values, which is all pairing needs."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    df = table.select(sorted(table.column_names)).to_pandas()
+    try:
+        row_hashes = pd.util.hash_pandas_object(df, index=False)
+    except TypeError:
+        row_hashes = pd.util.hash_pandas_object(df.astype(str), index=False)
+    arr = np.sort(row_hashes.to_numpy(dtype="uint64"))
+    return hashlib.md5(arr.tobytes()).hexdigest()[:16]
+
+
+def _fingerprint_file(path: str) -> str:
+    """Fingerprint of an already-linked segment (FileExistsError
+    verification path only — replays are rare, so the extra read is
+    off the hot path)."""
+    import pyarrow.parquet as pq
+
+    return _fingerprint_table(pq.read_table(path))
 
 
 def _stage_rows(queue_dir: str, schema, iterator):
@@ -352,20 +438,24 @@ def _stage_rows(queue_dir: str, schema, iterator):
     files = []
     for p, rows in sorted(by_part.items()):
         tmp = os.path.join(staging, f"{_uuid.uuid4().hex}-p{p}.parquet")
-        pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), tmp)
-        files.append((p, tmp, len(rows)))
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        pq.write_table(tbl, tmp)
+        files.append((p, tmp, len(rows), _fingerprint_table(tbl)))
     return _QueueWriteMessage(files)
 
 
-def _collect_staged(messages) -> "dict[int, list[str]]":
-    by_part: dict[int, list[str]] = {}
+def _collect_staged(messages) -> "dict[int, list[tuple[str, str]]]":
+    """{queue_partition: [(fingerprint, tmp_path), ...]} sorted by
+    (fingerprint, path) — fingerprint-first so the order is the SAME
+    across attempts that stage the same content under different random
+    temp names (the exactly-once pairing key; path only tie-breaks
+    duplicate-content temps, which are interchangeable)."""
+    by_part: dict[int, list[tuple[str, str]]] = {}
     for m in messages:
         if m is None:
             continue
-        for p, tmp, _n in m.files:
-            by_part.setdefault(p, []).append(tmp)
-    # deterministic segment order under a replay: temp names are random
-    # per attempt, so sort by path for stability WITHIN one attempt
+        for p, tmp, _n, fp in m.files:
+            by_part.setdefault(p, []).append((fp, tmp))
     return {p: sorted(ts) for p, ts in by_part.items()}
 
 
@@ -373,7 +463,7 @@ def _cleanup_staged(messages) -> None:
     for m in messages or []:
         if m is None:
             continue
-        for _p, tmp, _n in m.files:
+        for _p, tmp, _n, _fp in m.files:
             try:
                 os.remove(tmp)
             except FileNotFoundError:
@@ -411,7 +501,7 @@ def _stage_arrow(queue_dir: str, iterator):
         sub = table.filter(pc.equal(part_col, p_scalar)).drop_columns(["partition"])
         tmp = os.path.join(staging, f"{_uuid.uuid4().hex}-p{p}.parquet")
         pq.write_table(sub, tmp)
-        files.append((p, tmp, sub.num_rows))
+        files.append((p, tmp, sub.num_rows, _fingerprint_table(sub)))
     return _QueueWriteMessage(files)
 
 
@@ -430,11 +520,11 @@ class QueueBatchWriter(DataSourceArrowWriter):
     def commit(self, messages):
         from .file_queue import next_offset, queue_partition_dir
 
-        for p, tmps in sorted(_collect_staged(messages).items()):
+        for p, pairs in sorted(_collect_staged(messages).items()):
             pdir = queue_partition_dir(self._dir, p)
             os.makedirs(pdir, exist_ok=True)
             off = next_offset(self._dir, p)
-            for tmp in tmps:
+            for _fp, tmp in pairs:
                 os.link(tmp, os.path.join(pdir, f"seq={off:08d}.parquet"))
                 off += 1
         _cleanup_staged(messages)
@@ -464,6 +554,18 @@ class QueueStreamWriter(DataSourceStreamArrowWriter):
         return os.path.join(d, f"{self._publish_id}={batch_id}.{kind}")
 
     def commit(self, messages, batchId):
+        # Two-phase commit, CONTENT-DETERMINISTIC (r14, per ADVICE):
+        # the intent records (offset, fingerprint) per planned segment,
+        # not bare offsets — temp names are random uuid4 per attempt,
+        # so a replay's fresh temps are paired with the crashed
+        # attempt's offsets by row-content fingerprint, never by
+        # position among random paths. A replay whose task layout
+        # groups the rows DIFFERENTLY (fingerprint multiset mismatch):
+        # if no planned segment was linked yet the stale intent is
+        # discarded and the batch re-planned from the live staging
+        # (safe — nothing is visible to readers); if any link exists
+        # it fails loudly, because linked segments are already
+        # reader-visible and cannot be rewritten.
         from .file_queue import next_offset, queue_partition_dir
 
         marker = self._meta("done", batchId)
@@ -471,38 +573,73 @@ class QueueStreamWriter(DataSourceStreamArrowWriter):
             _cleanup_staged(messages)
             return
         intent_path = self._meta("intent", batchId)
-        staged = _collect_staged(messages)
+        staged = _collect_staged(messages)  # {p: [(fp, tmp)] fp-sorted}
+        plan = None  # {p: [(off, fp)] fp-sorted}
         if os.path.exists(intent_path):
             with open(intent_path) as f:
-                plan = {int(k): v for k, v in json.load(f).items()}
-            # a replay stages fresh temps; pair them positionally with
-            # the planned offsets (same rows — the engine replays the
-            # exact offset range)
-        else:
+                raw = json.load(f)
+            plan = {
+                int(k): sorted(((int(o), fp) for o, fp in v),
+                               key=lambda t: (t[1], t[0]))
+                for k, v in raw.items()
+            }
+            same_shape = set(plan) == set(staged) and all(
+                [fp for _o, fp in plan[p]] == [fp for fp, _t in staged[p]]
+                for p in plan
+            )
+            if not same_shape:
+                linked = [
+                    (p, off)
+                    for p, entries in plan.items()
+                    for off, _fp in entries
+                    if os.path.exists(
+                        os.path.join(
+                            queue_partition_dir(self._dir, p),
+                            f"seq={off:08d}.parquet",
+                        )
+                    )
+                ]
+                if linked:
+                    raise RuntimeError(
+                        f"orders_queue batch {batchId}: replay staged a "
+                        f"different content grouping than the crashed "
+                        f"attempt's intent and segments {linked} are "
+                        f"already published (reader-visible, cannot be "
+                        f"rewritten) — inspect {intent_path!r} against "
+                        f"the partition dirs to resolve"
+                    )
+                os.remove(intent_path)  # nothing linked: re-plan fresh
+                plan = None
+        if plan is None:
             plan = {}
-            for p, tmps in sorted(staged.items()):
+            for p, pairs in sorted(staged.items()):
                 base = next_offset(self._dir, p)
-                plan[p] = list(range(base, base + len(tmps)))
+                plan[p] = [(base + i, fp) for i, (fp, _t) in enumerate(pairs)]
             tmp_intent = intent_path + ".tmp"
             with open(tmp_intent, "w") as f:
                 json.dump({str(k): v for k, v in plan.items()}, f)
             os.replace(tmp_intent, intent_path)
-        for p, tmps in sorted(staged.items()):
-            offsets = plan.get(p)
-            if offsets is None or len(offsets) != len(tmps):
-                raise RuntimeError(
-                    f"orders_queue replay shape mismatch for partition {p}: "
-                    f"intent {offsets}, staged {len(tmps)} files"
-                )
+        for p, pairs in sorted(staged.items()):
             pdir = queue_partition_dir(self._dir, p)
             os.makedirs(pdir, exist_ok=True)
-            for tmp, off in zip(tmps, offsets):
+            # both sides fingerprint-sorted: zip pairs equal content
+            # (duplicate-content temps are interchangeable)
+            for (fp, tmp), (off, _pfp) in zip(pairs, plan[p]):
+                dest = os.path.join(pdir, f"seq={off:08d}.parquet")
                 try:
-                    os.link(tmp, os.path.join(pdir, f"seq={off:08d}.parquet"))
+                    os.link(tmp, dest)
                 except FileExistsError:
-                    # this batch's own earlier attempt linked it (the
-                    # intent records the offset as ours) — idempotent
-                    pass
+                    # linked by this batch's earlier attempt — verify
+                    # it really is OUR content before treating the
+                    # link as done (a foreign writer racing this
+                    # offset must fail loudly, not be adopted)
+                    if _fingerprint_file(dest) != fp:
+                        raise RuntimeError(
+                            f"orders_queue batch {batchId}: existing "
+                            f"segment {dest!r} does not match the "
+                            f"intent fingerprint {fp} — offset "
+                            f"collision with another writer"
+                        ) from None
         tmp_marker = marker + ".tmp"
         with open(tmp_marker, "w") as f:
             f.write("published\n")

@@ -182,10 +182,16 @@ def test_stream_resume_exactly_once_and_group_commit(spark):
 
 
 def test_max_segments_per_trigger_throttles(spark):
+    """Throttling applies once the base is seeded from engine-visible
+    offsets — i.e. from the second planned batch of a run. (The FIRST
+    batch of a groupless run is deliberately uncapped since the r14
+    restart-duplicate fix: with no durable base, capping against
+    startingOffsets could regress below a restarted checkpoint's end.
+    test_throttled_restart_* pin that contract.) Starting on an empty
+    queue, every appended segment therefore drains one per trigger."""
     register_queue_source(spark)
     with tempfile.TemporaryDirectory() as q, \
          tempfile.TemporaryDirectory() as ckpt:
-        _stage(spark, q, {0: 4})
         batches: list[int] = []
 
         def sink(df, batch_id):
@@ -195,6 +201,7 @@ def test_max_segments_per_trigger_throttles(spark):
             spark.readStream.format("orders_queue")
             .option("path", q)
             .option("maxSegmentsPerTrigger", "1")
+            .schema(SCHEMA)
             .load()
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
@@ -202,6 +209,8 @@ def test_max_segments_per_trigger_throttles(spark):
             .start()
         )
         try:
+            _poll(lambda: len(batches) >= 1)  # base seeded on empty log
+            _stage(spark, q, {0: 4})
             _poll(lambda: sum(batches) == 40)
         finally:
             sq.stop()
@@ -210,6 +219,128 @@ def test_max_segments_per_trigger_throttles(spark):
         # one segment (10 rows) per micro-batch, never more
         assert all(b <= 10 for b in batches)
         assert len([b for b in batches if b]) == 4
+
+
+def test_throttled_restart_never_duplicates(spark):
+    """The r14 ADVICE high fix: restarting a maxSegmentsPerTrigger
+    stream used to re-seed the throttle base from startingOffsets
+    (0), return an end offset BELOW the checkpointed end, and re-read
+    still-on-disk segments — duplicating every row in the sink. With a
+    consumer group the base now seeds from the group's committed
+    marker; the restarted stream consumes only the backlog, exactly
+    once, and the durable marker never moves backwards."""
+    register_queue_source(spark)
+    with tempfile.TemporaryDirectory() as q, \
+         tempfile.TemporaryDirectory() as ckpt, \
+         tempfile.TemporaryDirectory() as out:
+        _stage(spark, q, {0: 4})
+
+        def start():
+            return (
+                spark.readStream.format("orders_queue")
+                .option("path", q)
+                .option("group", "thr")
+                .option("maxSegmentsPerTrigger", "1")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+
+        def sink_count():
+            try:
+                return spark.read.schema(SCHEMA).parquet(out).count()
+            except Exception:
+                return 0
+
+        sq = start()
+        try:
+            _poll(lambda: sink_count() == 40)
+            # commits trail by one constructed batch (the trailing-
+            # commit contract), so push one more segment through to
+            # land a rich group marker before stopping
+            queue_append(_segment_df(spark, 0, 4), q, 0)
+            _poll(lambda: sink_count() == 50)
+            _poll(lambda: read_group_progress(q, "thr").get(0, 0) >= 4)
+        finally:
+            sq.stop()
+            sq.awaitTermination(30)
+        marker_before = read_group_progress(q, "thr")
+
+        # restart against the SAME on-disk log (nothing GC'd — the
+        # r13 bug's trigger condition) plus a small backlog
+        queue_append(_segment_df(spark, 0, 5), q, 0)
+        sq = start()
+        try:
+            _poll(lambda: sink_count() == 60)
+            import time
+
+            time.sleep(1.5)  # extra triggers: would surface re-reads
+            assert sink_count() == 60
+            # durable marker is monotonic across the restart
+            assert all(
+                read_group_progress(q, "thr").get(p, 0) >= o
+                for p, o in marker_before.items()
+            )
+        finally:
+            sq.stop()
+            sq.awaitTermination(30)
+        final = spark.read.schema(SCHEMA).parquet(out)
+        assert final.count() == 60
+        assert _rows(final) == _rows(read_queue_batch(spark, q, SCHEMA))
+
+
+def test_throttled_restart_without_group_uncapped_first_batch(spark):
+    """Without a group there is no durable throttle base, so the FIRST
+    batch of a (re)started run is uncapped rather than risking an
+    offset regression — correctness over throttling. The whole backlog
+    lands exactly once; throttling resumes afterwards."""
+    register_queue_source(spark)
+    with tempfile.TemporaryDirectory() as q, \
+         tempfile.TemporaryDirectory() as ckpt, \
+         tempfile.TemporaryDirectory() as out:
+        _stage(spark, q, {0: 3})
+
+        def start():
+            return (
+                spark.readStream.format("orders_queue")
+                .option("path", q)
+                .option("maxSegmentsPerTrigger", "1")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds")
+                .start()
+            )
+
+        def sink_count():
+            try:
+                return spark.read.schema(SCHEMA).parquet(out).count()
+            except Exception:
+                return 0
+
+        sq = start()
+        try:
+            _poll(lambda: sink_count() == 30)
+        finally:
+            sq.stop()
+            sq.awaitTermination(30)
+        queue_append(_segment_df(spark, 0, 3), q, 0)
+        sq = start()
+        try:
+            _poll(lambda: sink_count() == 40)
+            import time
+
+            time.sleep(1.5)
+            assert sink_count() == 40  # no duplicates, ever
+        finally:
+            sq.stop()
+            sq.awaitTermination(30)
+        final = spark.read.schema(SCHEMA).parquet(out)
+        assert _rows(final) == _rows(read_queue_batch(spark, q, SCHEMA))
 
 
 def test_empty_queue_needs_schema(spark):
@@ -348,12 +479,14 @@ def test_stream_writer_exactly_once_replay(spark):
         assert dict(queue_offsets(q)) == mid
 
         # partial-crash resume: intent written, one link done, marker
-        # missing -> the re-commit finishes idempotently
+        # missing -> the re-commit finishes idempotently (intent now
+        # records [offset, content_fingerprint] pairs — r14)
         msg3 = _stage_rows(q, SCHEMA, iter(rows))
         import json as _json
 
         intent = os.path.join(q, "_publishes", "manual=8.intent")
-        plan = {"0": [mid[0]]}
+        fp3 = msg3.files[0][3]
+        plan = {"0": [[mid[0], fp3]]}
         with open(intent, "w") as f:
             _json.dump(plan, f)
         # simulate the crashed attempt's completed link
@@ -364,6 +497,159 @@ def test_stream_writer_exactly_once_replay(spark):
         assert after[0] == mid[0] + 1
         assert os.path.exists(os.path.join(q, "_publishes", "manual=8.done"))
         assert not os.path.exists(intent)
+
+
+def test_stream_writer_replay_pairing_is_content_deterministic(spark):
+    """The r14 ADVICE fix: with MULTIPLE staged temps per queue
+    partition, a replay's fresh random temp names must not reorder the
+    content-to-offset assignment. The intent pins (offset,
+    fingerprint); pairing is by fingerprint, so whichever uuid names
+    the replay draws, each offset gets the same rows."""
+    register_queue_source(spark)
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamWriter,
+        _stage_rows,
+    )
+
+    def rows_for(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.lit(tag).alias("payload"),
+            F.lit(0).cast("int").alias("partition"),
+        ).collect()
+
+    with tempfile.TemporaryDirectory() as q:
+        os.makedirs(os.path.join(q, "partition=0"))
+        w = QueueStreamWriter({"path": q, "publishid": "pair"}, SCHEMA)
+        # two tasks -> two temps for the same queue partition
+        rows_a, rows_b = rows_for(0, 5, "a"), rows_for(5, 9, "b")
+        msg_a = _stage_rows(q, SCHEMA, iter(rows_a))
+        msg_b = _stage_rows(q, SCHEMA, iter(rows_b))
+        # crashed attempt: intent written + the FIRST planned link done
+        w_probe = [msg_a, msg_b]
+        from orders_currency_conversion_etl_spark.streaming.queue_source import (
+            _collect_staged,
+        )
+        staged = _collect_staged(w_probe)[0]
+        import json as _json
+
+        intent = os.path.join(q, "_publishes", "pair=3.intent")
+        os.makedirs(os.path.dirname(intent), exist_ok=True)
+        with open(intent, "w") as f:
+            _json.dump({"0": [[0, staged[0][0]], [1, staged[1][0]]]}, f)
+        first_fp, first_tmp = staged[0]
+        os.link(first_tmp, os.path.join(q, "partition=0", "seq=00000000.parquet"))
+
+        # replay stages the SAME content under fresh random names —
+        # possibly sorting into the opposite path order
+        msg_a2 = _stage_rows(q, SCHEMA, iter(rows_a))
+        msg_b2 = _stage_rows(q, SCHEMA, iter(rows_b))
+        w.commit([msg_b2, msg_a2], batchId=3)
+
+        got = spark.read.format("orders_queue").option("path", q).load()
+        assert got.count() == 9
+        # offset 0 holds exactly the crashed attempt's linked content
+        # which tag landed at offset 0 is fingerprint-order dependent;
+        # the contract: offsets 0 and 1 hold the two DISTINCT row-sets
+        # with no duplication or loss, replay names notwithstanding
+        seg0 = spark.read.parquet(os.path.join(q, "partition=0", "seq=00000000.parquet"))
+        tags0 = {r["payload"] for r in seg0.collect()}
+        seg1 = spark.read.parquet(os.path.join(q, "partition=0", "seq=00000001.parquet"))
+        tags1 = {r["payload"] for r in seg1.collect()}
+        assert tags0 != tags1 and tags0 | tags1 == {"a", "b"}
+        assert seg0.count() + seg1.count() == 9
+        assert len({r["id"] for r in got.collect()}) == 9
+
+
+def test_stream_writer_replay_regroup_replans_when_nothing_linked(spark):
+    """A replay whose task layout GROUPS the rows differently (e.g. 2
+    temps -> 1 temp) used to wedge on a shape-mismatch RuntimeError.
+    With no planned segment linked yet, the stale intent is discarded
+    and the batch re-planned; with a link already visible it still
+    fails loudly (reader-visible segments cannot be rewritten)."""
+    register_queue_source(spark)
+    import json as _json
+
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamWriter,
+        _stage_rows,
+    )
+
+    rows = spark.range(0, 6).select(
+        F.col("id"),
+        F.lit("x").alias("payload"),
+        F.lit(0).cast("int").alias("partition"),
+    ).collect()
+
+    with tempfile.TemporaryDirectory() as q:
+        os.makedirs(os.path.join(q, "partition=0"))
+        w = QueueStreamWriter({"path": q, "publishid": "re"}, SCHEMA)
+        # crashed attempt's intent planned TWO segments; replay stages ONE
+        intent = os.path.join(q, "_publishes", "re=5.intent")
+        os.makedirs(os.path.dirname(intent), exist_ok=True)
+        with open(intent, "w") as f:
+            _json.dump({"0": [[0, "deadbeefdeadbeef"], [1, "feedfacefeedface"]]}, f)
+        msg = _stage_rows(q, SCHEMA, iter(rows))
+        w.commit([msg], batchId=5)  # nothing linked -> re-plan, publish
+        got = spark.read.format("orders_queue").option("path", q).load()
+        assert got.count() == 6
+        assert os.path.exists(os.path.join(q, "_publishes", "re=5.done"))
+
+    with tempfile.TemporaryDirectory() as q:
+        os.makedirs(os.path.join(q, "partition=0"))
+        w = QueueStreamWriter({"path": q, "publishid": "re"}, SCHEMA)
+        msg = _stage_rows(q, SCHEMA, iter(rows))
+        # intent whose fingerprints don't match AND one link already
+        # published -> ambiguous, must fail loudly
+        intent = os.path.join(q, "_publishes", "re=6.intent")
+        os.makedirs(os.path.dirname(intent), exist_ok=True)
+        with open(intent, "w") as f:
+            _json.dump({"0": [[0, "deadbeefdeadbeef"], [1, "feedfacefeedface"]]}, f)
+        os.link(
+            msg.files[0][1], os.path.join(q, "partition=0", "seq=00000000.parquet")
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="already published"):
+            w.commit([msg], batchId=6)
+
+
+def test_stream_writer_link_collision_detected(spark):
+    """FileExistsError on a planned offset is only idempotent when the
+    existing segment IS this batch's content — a foreign writer's
+    segment at the same offset raises instead of being adopted."""
+    register_queue_source(spark)
+    import json as _json
+
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamWriter,
+        _stage_rows,
+    )
+
+    with tempfile.TemporaryDirectory() as q:
+        w = QueueStreamWriter({"path": q, "publishid": "col"}, SCHEMA)
+        mine = spark.range(0, 4).select(
+            F.col("id"), F.lit("mine").alias("payload"),
+            F.lit(0).cast("int").alias("partition"),
+        ).collect()
+        theirs = spark.range(100, 104).select(
+            F.col("id"), F.lit("theirs").alias("payload"),
+            F.lit(0).cast("int").alias("partition"),
+        )
+        # a foreign writer already published seq=0
+        from orders_currency_conversion_etl_spark.streaming.file_queue import (
+            queue_append,
+        )
+        queue_append(theirs.drop("partition"), q, 0)
+        msg = _stage_rows(q, SCHEMA, iter(mine))
+        intent = os.path.join(q, "_publishes", "col=1.intent")
+        os.makedirs(os.path.dirname(intent), exist_ok=True)
+        with open(intent, "w") as f:
+            _json.dump({"0": [[0, msg.files[0][3]]]}, f)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="collision"):
+            w.commit([msg], batchId=1)
 
 
 def test_source_reads_retained_and_compacted_queues(spark):
