@@ -1072,7 +1072,12 @@ def fetch_zip_member(member_bytes: bytes, expected_usize: int) -> bytes:
     elif method == 8:
         d = zlib.decompressobj(-zlib.MAX_WBITS)
         try:
-            data = d.decompress(member_bytes[data_start:], expected_usize)
+            # max_length = expected + 1: a stream that inflates to MORE
+            # than the central directory's size must produce at least
+            # one extra byte so the size check below fails loudly —
+            # capping at exactly expected_usize would silently truncate
+            # an over-long (stale/corrupt) slice into a passing one
+            data = d.decompress(member_bytes[data_start:], expected_usize + 1)
         except zlib.error as e:
             raise ValueError(f"corrupt deflate stream in ZIP member: {e}") from None
     else:

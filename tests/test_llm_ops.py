@@ -2191,6 +2191,15 @@ def test_fetch_zip_member_ranged():
     with pytest.raises(ValueError, match="local file header"):
         ar.fetch_zip_member(b"garbage", 5)
 
+    # r14 ADVICE fix: a deflate stream inflating to MORE than the
+    # caller's expected size must fail loudly, not be silently
+    # truncated to a passing length (zlib max_length is expected+1 so
+    # the over-run is observable)
+    m_a = next(m for m in members if m["name"] == "a.txt")
+    end_a = offs[members.index(m_a) + 1]
+    with pytest.raises(ValueError, match="declares"):
+        ar.fetch_zip_member(z[m_a["offset"]:end_a], 10)
+
 
 def test_pnm_and_ico_dims():
     """Late r13: the netpbm siblings (P4/P5 with comments and odd
