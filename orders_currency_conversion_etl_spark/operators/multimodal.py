@@ -1115,7 +1115,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         return w, h, PPM_MODE, rgb
     is_png = payload.startswith(_PNG_SIG)
     is_jpeg = payload.startswith(b"\xff\xd8")
-    if (is_png or is_jpeg) and _HAS_PIL:
+    is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
+    if (is_png or is_jpeg or is_gif) and _HAS_PIL:
         try:
             with Image.open(io.BytesIO(payload)) as im:
                 return im.width, im.height, im.mode, im.tobytes()
@@ -1125,12 +1126,16 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         return decode_png(payload)
     if is_jpeg:
         return decode_jpeg(payload)
+    if is_gif:  # r14: pure LZW tier (operators/gif_codec.py)
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)
     if _HAS_PIL:  # pragma: no cover - requires PIL
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, im.mode, im.tobytes()
     raise NotImplementedError(
-        "decoding image bytes beyond PPM/PNG/baseline-JPEG requires PIL, "
-        "not available in this environment"
+        "decoding image bytes beyond PPM/PNG/baseline-JPEG/GIF requires "
+        "PIL, not available in this environment"
     )
 
 

@@ -1,0 +1,196 @@
+"""The r14-built GIF LZW codec (operators/gif_codec.py) and its staged
+r16 registration (staged_r16.py): fuzz roundtrips over the container
+knobs, the decode-only deferred-clear branch, cross-checks against the
+header-only gif_dims walk, and the staged query value-exact through
+the registered-then-finalized machinery (the staged_r15 pattern)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from orders_currency_conversion_etl_spark import staged_r16
+from orders_currency_conversion_etl_spark.operators import multimodal as mm
+from orders_currency_conversion_etl_spark.operators.gif_codec import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+from orders_currency_conversion_etl_spark.plans import registry
+
+from oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.01"
+
+
+def _expected_rgb(palette: bytes, indices: bytes) -> bytes:
+    return b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+
+
+def test_gif_roundtrip_fuzz_battery():
+    """Random sizes x palette sizes x interlace x loop-extension: the
+    decode must reproduce the exact palette-mapped pixels, and the
+    header-only gif_dims walk must agree on dimensions."""
+    rng = random.Random(20260816)
+    for trial in range(80):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        ncol = rng.choice([2, 3, 4, 5, 16, 100, 256])
+        pal = bytes(rng.randrange(256) for _ in range(3 * ncol))
+        idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+        gif = encode_gif(
+            w,
+            h,
+            idx,
+            pal,
+            interlace=rng.random() < 0.5,
+            loop_extension=rng.random() < 0.3,
+        )
+        assert mm.gif_dims(gif) == (w, h, "P")
+        gw, gh, mode, rgb = decode_gif(gif)
+        assert (gw, gh, mode) == (w, h, "RGB")
+        assert rgb == _expected_rgb(pal, idx), f"trial {trial}"
+
+
+def test_gif_lzw_table_overflow_clear_roundtrip():
+    """A 96x96 random 256-color image overflows the 4096-entry table;
+    the encoder must emit a clear and the decoder rebuild mid-stream."""
+    rng = random.Random(1)
+    w = h = 96
+    pal = bytes(range(256)) * 3
+    pal = pal[:768]
+    idx = bytes(rng.randrange(256) for _ in range(w * h))
+    gif = encode_gif(w, h, idx, pal)
+    assert decode_gif(gif)[3] == _expected_rgb(pal, idx)
+
+
+def test_gif_lzw_deferred_clear_decode():
+    """Streams from encoders that DON'T clear on a full table keep
+    emitting 12-bit codes against the frozen table — the decoder must
+    stop adding entries at 4096 and keep decoding (spec errata;
+    produced by real encoders)."""
+
+    def lzw_encode_no_clear(min_code_size: int, indices: bytes) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        width = min_code_size + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear, width)
+        run = b""
+        for b in indices:
+            cand = run + bytes([b])
+            if cand in table:
+                run = cand
+                continue
+            emit(table[run], width)
+            if next_code < (1 << 12):  # freeze instead of clearing
+                table[cand] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            run = bytes([b])
+        if run:
+            emit(table[run], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(2)
+    idx = bytes(rng.randrange(256) for _ in range(120 * 120))
+    data = lzw_encode_no_clear(8, idx)
+    assert bytes(_lzw_decode(8, data, len(idx))) == idx
+
+
+def test_gif_lzw_mirrors_encoder_at_width_boundaries():
+    """Exhaustive small-alphabet streams around the code-width growth
+    points (the classic off-by-one territory)."""
+    for mcs in (2, 3, 8):
+        ncol = 1 << mcs
+        for n in (1, 2, ncol, ncol + 1, 5 * ncol, 997):
+            rng = random.Random(n * mcs)
+            idx = bytes(rng.randrange(ncol) for _ in range(n))
+            assert bytes(_lzw_decode(mcs, _lzw_encode(mcs, idx), n)) == idx
+
+
+def test_gif_decode_error_paths_are_loud():
+    pal4 = b"rgbRGBxyzXYZ"
+    gif = encode_gif(3, 2, bytes([0, 1, 2, 3, 0, 1]), pal4)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + gif[4:])
+    # trailer with no image frame
+    no_frame = gif[:13] + gif[13 : 13 + 12] + b"\x3b"
+    with pytest.raises(ValueError, match="no image frame"):
+        decode_gif(no_frame)
+    # truncated data sub-block
+    with pytest.raises(ValueError, match="truncated|ended"):
+        decode_gif(gif[:-4])
+    # pixel count mismatch: descriptor claims a bigger area
+    bigger = bytearray(gif)
+    off = gif.index(b"\x2c")  # image descriptor
+    struct.pack_into("<H", bigger, off + 5, 7)  # width 3 -> 7
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bigger))
+
+
+def test_gif_dispatch_reaches_pure_codec():
+    """decode_image_pixels routes GIF bytes to the pure codec when PIL
+    is absent (this container) instead of raising the PIL gate."""
+    pal = b"abcdefghijkl"
+    idx = bytes([p % 4 for p in range(8 * 5)])
+    gif = encode_gif(8, 5, idx, pal, interlace=True)
+    w, h, mode, rgb = mm.decode_image_pixels(gif)
+    assert (w, h) == (8, 5) and rgb == _expected_rgb(pal, idx)
+
+
+@pytest.mark.parametrize("name", [n for n, _sql, _fn in staged_r16.STAGED])
+def test_staged_r16_query_value_exact(spark, name):
+    """The staged query is value-exact TODAY through the registration
+    machinery (boundary casts + finalized oracle), then unregistered
+    so the live registry and its artifact pins stay untouched."""
+    sql, fn = next((s, f) for n, s, f in staged_r16.STAGED if n == name)
+    assert name not in registry.QUERIES
+    registry.query(name, sql)(fn)
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            for t in registry.ORACLE_TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
+                )
+            cols = [
+                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
+            ]
+        finally:
+            con.close()
+        finalized = registry._wrap_oracle(sql, cols)
+        compare_query(spark, SF, registry.QUERIES[name], finalized)
+    finally:
+        del registry.QUERIES[name]
+        del registry.ORACLES[name]
+    assert name not in registry.QUERIES
+
+
+def test_staged_r16_not_registered_before_window():
+    import __spark_entry__ as mod
+
+    for n, _sql, _fn in staged_r16.STAGED:
+        assert n not in mod.queries(), f"{n} registered before its window"
