@@ -66,20 +66,19 @@ def test_staged_names_are_planned_in_the_window_comment():
 
 
 def test_r14_window_precomputation_is_sound():
-    """The pre-written r14 revalidation cohort: 38 registered names,
-    disjoint from the anchors and from everything the r13 window
-    re-greens (so nothing in it gets a newer row before r14), and
-    12 + 38 == the driver's 50-row window exactly."""
+    """The r14 window is ACTIVE (flipped early r14, exactly as
+    pre-computed late r13): 12 anchors + the full 38-name r9 staleness
+    cohort, 50 unique registered names, nothing else — zero slots for
+    new registrations, which is why the staged queries wait for r15."""
     import __spark_entry__ as mod
 
     cohort = mod.ROTATION_R14_REVALIDATE
     assert len(cohort) == 38 == len(set(cohort))
     live = set(mod.queries())
     assert set(cohort) <= live
-    r13_window = set(mod.PRIORITY_WINDOW)
-    assert len(mod.PRIORITY_WINDOW) == 50
-    assert not (set(cohort) & r13_window)
-    assert len(mod.ANCHORS) + len(cohort) == 50
+    assert mod.PRIORITY_WINDOW == mod.ANCHORS + cohort
+    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    assert not (set(cohort) & set(mod.ANCHORS))
 
 
 def test_rotation_capacity_arithmetic():
