@@ -535,9 +535,128 @@ def test_png_corruption_and_unsupported_are_rejected():
     payload[len(payload) - 20] ^= 0xFF  # flip a byte inside IDAT/CRC zone
     with pytest.raises(ValueError):
         multimodal.decode_png(bytes(payload))
-    # palette PNG (colortype 3) is honestly gated, not silently wrong
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_png(_hand_built_png(3, bytes([0, 0, 0]), w=1, h=1))
+    # r14: colortype 3 decodes now, but a palette PNG WITHOUT a PLTE
+    # chunk is loud, not a crash or a silent wrong answer
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(_hand_built_png(3, bytes([0, 0]), w=1, h=1))
+
+
+def test_png_full_matrix_roundtrip():
+    """r14: encode -> decode across the FULL legal (colortype,
+    bitdepth) matrix x interlace x filter cycling — palette (+tRNS),
+    grayscale 1/2/4/8/16, gray+alpha, RGB(A) 8/16, Adam7. Expected
+    output computed independently from the raw samples (palette map /
+    exact sub-8 scaling / big-endian 16), so an encoder bug can't
+    cancel a decoder bug; interlaced and plain encodings of the same
+    samples must decode identically."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(14)
+
+    def expected(ct, depth, w, h, data, palette=None, trns=None):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        if depth == 16:
+            arr = np.frombuffer(data, dtype=">u2").reshape(h, w, ch)
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
+        if ct == 3:
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            rgb = pal[arr[:, :, 0]]
+            if trns is not None:
+                a = np.full(len(pal), 255, np.uint8)
+                a[: len(trns)] = np.frombuffer(trns, np.uint8)
+                return "RGBA", np.dstack([rgb, a[arr[:, :, 0]]]).tobytes()
+            return "RGB", rgb.tobytes()
+        if depth < 8:
+            mx = (1 << depth) - 1
+            return "L", (arr[:, :, 0].astype(np.uint16) * 255 // mx).astype(
+                np.uint8
+            ).tobytes()
+        base = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ct]
+        if depth == 16:
+            be = np.empty(arr.shape + (2,), np.uint8)
+            be[..., 0] = (arr >> 8) & 0xFF
+            be[..., 1] = arr & 0xFF
+            return base + ";16", be.tobytes()
+        return base, arr.astype(np.uint8).tobytes()
+
+    for ct, depths in {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}.items():
+        for depth in depths:
+            for w, h in [(1, 1), (7, 5), (16, 11), (3, 9)]:
+                ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+                pal = trn = None
+                if ct == 3:
+                    ncol = min(1 << depth, 7)
+                    pal = bytes(rng.randrange(256) for _ in range(3 * ncol))
+                    if rng.random() < 0.5:
+                        trn = bytes(rng.randrange(256) for _ in range(ncol - 1))
+                    data = bytes(rng.randrange(ncol) for _ in range(w * h))
+                elif depth == 16:
+                    data = bytes(rng.randrange(256) for _ in range(w * h * ch * 2))
+                else:
+                    data = bytes(
+                        rng.randrange(1 << min(depth, 8)) for _ in range(w * h * ch)
+                    )
+                em, ep = expected(ct, depth, w, h, data, pal, trn)
+                outs = []
+                for inter in (False, True):
+                    png = multimodal.encode_png(
+                        w, h, data, rng.random() < 0.5, colortype=ct,
+                        bitdepth=depth, palette=pal, trns=trn, interlace=inter,
+                    )
+                    assert multimodal.png_dims(png)[:2] == (w, h)
+                    gw, gh, mode, px = multimodal.decode_png(png)
+                    assert (gw, gh, mode) == (w, h, em), (ct, depth, inter)
+                    assert px == ep, (ct, depth, w, h, inter)
+                    outs.append(px)
+                assert outs[0] == outs[1]  # Adam7 == plain, same samples
+
+
+def test_png_matrix_error_paths():
+    import struct
+    import zlib
+
+    # illegal (colortype, depth) combos are loud at the encoder AND
+    # the decoder (independent constructions)
+    with pytest.raises(ValueError, match="illegal|invalid"):
+        multimodal.encode_png(1, 1, b"\x00" * 3, colortype=2, bitdepth=4)
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
+    bad = multimodal._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="illegal"):
+        multimodal.decode_png(bad)
+    # palette index beyond PLTE is loud
+    png = multimodal.encode_png(
+        2, 1, bytes([0, 1]), colortype=3, bitdepth=8, palette=b"abcdef"
+    )
+    # hand-shrink the palette: rebuild with a 1-entry PLTE
+    body = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    sl = bytes([0, 0, 1])
+    evil = multimodal._PNG_SIG + chunk(b"IHDR", body) + chunk(
+        b"PLTE", b"abc"
+    ) + chunk(b"IDAT", zlib.compress(sl)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        multimodal.decode_png(evil)
+    # a short interlaced stream is loud (Adam7 pass accounting)
+    png = multimodal.encode_png(
+        9, 9, bytes(range(243)) * 1, colortype=2, bitdepth=8, interlace=True
+    )
+    # truncate the IDAT: reassemble with half the filtered stream
+    full = zlib.decompress(png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 8])
+    ihdr9 = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+    short = multimodal._PNG_SIG + chunk(b"IHDR", ihdr9) + chunk(
+        b"IDAT", zlib.compress(full[: len(full) // 2])
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="pixel stream"):
+        multimodal.decode_png(short)
 
 
 def test_png_decode_images_routes_without_pil(spark):
@@ -884,7 +1003,8 @@ def test_dims_parsers_cover_formats_the_full_decoders_gate():
     gray = b"\xff\xd8" + seg(0xFFC2, struct.pack(">BHHB", 8, 9, 7, 1) + bytes([1, 0x11, 0]))
     assert mm.jpeg_dims(gray + b"\xff\xd9") == (7, 9, "L")
 
-    # palette PNG (colortype 3): decode_png gates it, png_dims reports it
+    # palette PNG (colortype 3): r14 decodes it; a header-only stream
+    # (no PLTE/IDAT) is a loud ValueError, and png_dims reports mode P
     def chunk(tag, body):
         return struct.pack(">I", len(body)) + tag + body + struct.pack(
             ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
@@ -892,8 +1012,8 @@ def test_dims_parsers_cover_formats_the_full_decoders_gate():
 
     ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 3, 0, 0, 0)
     pal_png = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(pal_png + b"")  # no IDAT either, but IHDR gates first
+    with pytest.raises(ValueError, match="missing IHDR or IDAT"):
+        mm.decode_png(pal_png + b"")
     assert mm.png_dims(pal_png) == (11, 13, "P")
 
     # corrupt IHDR CRC is still an error, not a silent wrong answer
