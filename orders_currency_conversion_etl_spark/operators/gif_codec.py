@@ -284,6 +284,145 @@ def decode_gif(payload: bytes) -> "tuple[int, int, str, bytes]":
     raise ValueError("GIF ended without trailer or image")
 
 
+def gif_frames(payload: bytes) -> "list[dict]":
+    """Animation enumeration, HEADER tier: walk every frame's graphic
+    control extension + image descriptor and SEEK over the LZW data by
+    its own sub-block length framing — O(frames + data/255 block
+    headers), no LZW decode, no palette map. Per frame: left/top/
+    width/height, interlace flag, local-palette size (0 = uses
+    global), delay in centiseconds, disposal method and transparency
+    index (None when unset) from the preceding GCE, if any. The
+    companion :func:`decode_gif` decodes the FIRST frame; full
+    animation compositing (disposal restore, partial-frame overlay) is
+    out of scope — enumeration is what corpus triage needs."""
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    frames: "list[dict]" = []
+    gce: "dict | None" = None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            return frames
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: fixed 4-byte body
+                if pos + 6 > len(payload) or payload[pos] != 4:
+                    raise ValueError("malformed GIF graphic control extension")
+                gflags = payload[pos + 1]
+                delay = payload[pos + 2] | (payload[pos + 3] << 8)
+                tindex = payload[pos + 4] if gflags & 0x01 else None
+                gce = {
+                    "delay_cs": delay,
+                    "disposal": (gflags >> 2) & 0x07,
+                    "transparent_index": tindex,
+                }
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("unterminated GIF graphic control extension")
+                pos += 1
+            else:  # comment/application/plain-text: skip sub-blocks
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("truncated GIF extension")
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        iflags = payload[pos + 8]
+        pos += 9
+        local_colors = (2 << (iflags & 0x07)) if iflags & 0x80 else 0
+        pos += 3 * local_colors
+        pos += 1  # LZW minimum code size
+        while True:  # seek over data sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            pos += sz
+        frames.append(
+            {
+                "left": left,
+                "top": top,
+                "width": w,
+                "height": h,
+                "interlaced": bool(iflags & 0x40),
+                "local_colors": local_colors,
+                "delay_cs": gce["delay_cs"] if gce else 0,
+                "disposal": gce["disposal"] if gce else 0,
+                "transparent_index": gce["transparent_index"] if gce else None,
+            }
+        )
+        gce = None
+    raise ValueError("GIF ended without trailer")
+
+
+def encode_gif_animation(
+    frames: "list[tuple[int, int, bytes]]",
+    palette: bytes,
+    delays_cs: "list[int] | None" = None,
+    loop: bool = True,
+) -> bytes:
+    """Multi-frame GIF89a writer for the enumeration roundtrips: each
+    frame is (width, height, indices) rendered full-canvas at (0, 0)
+    against one global palette, with a graphic control extension per
+    frame carrying its delay. The canvas is the largest frame."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if delays_cs is not None and len(delays_cs) != len(frames):
+        raise ValueError("one delay per frame")
+    n_colors = len(palette) // 3
+    if len(palette) % 3 or not 0 < n_colors <= 256:
+        raise ValueError("palette must be 1..256 packed RGB triples")
+    size_exp = max(1, (n_colors - 1).bit_length())
+    table = palette + b"\x00" * (3 * ((1 << size_exp) - n_colors))
+    cw = max(w for w, _h, _i in frames)
+    chh = max(h for _w, h, _i in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", cw, chh)
+    out.append(0x80 | (size_exp - 1))
+    out += b"\x00\x00"
+    out += table
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code_size = max(2, size_exp)
+    for i, (w, h, idx) in enumerate(frames):
+        if len(idx) != w * h:
+            raise ValueError(f"frame {i}: indices length {len(idx)} != {w}x{h}")
+        if idx and max(idx) >= n_colors:
+            raise ValueError(f"frame {i}: pixel index beyond palette")
+        delay = delays_cs[i] if delays_cs else 0
+        out += bytes([0x21, 0xF9, 4, 0x00, delay & 0xFF, (delay >> 8) & 0xFF, 0, 0])
+        out.append(0x2C)
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x00)
+        out.append(min_code_size)
+        lzw = _lzw_encode(min_code_size, idx)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif(
     width: int,
     height: int,

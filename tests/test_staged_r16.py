@@ -194,3 +194,38 @@ def test_staged_r16_not_registered_before_window():
 
     for n, _sql, _fn in staged_r16.STAGED:
         assert n not in mod.queries(), f"{n} registered before its window"
+
+
+def test_gif_animation_enumeration_roundtrip():
+    """gif_frames walks every frame's GCE + descriptor and SEEKS over
+    the LZW data (header tier, no decode); decode_gif still decodes
+    the FIRST frame of an animation."""
+    from orders_currency_conversion_etl_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    pal = b"abcdefghijkl"  # 4 colors
+    f0 = (6, 4, bytes([p % 4 for p in range(24)]))
+    f1 = (4, 4, bytes([3 - (p % 4) for p in range(16)]))
+    f2 = (6, 2, bytes([1] * 12))
+    gif = encode_gif_animation([f0, f1, f2], pal, delays_cs=[10, 20, 300])
+    frames = gif_frames(gif)
+    assert [(f["width"], f["height"]) for f in frames] == [(6, 4), (4, 4), (6, 2)]
+    assert [f["delay_cs"] for f in frames] == [10, 20, 300]
+    assert all(f["local_colors"] == 0 and not f["interlaced"] for f in frames)
+    # first-frame decode agrees with the single-frame codec's pixels
+    w, h, mode, rgb = decode_gif(gif)
+    assert (w, h, mode) == (6, 4, "RGB")
+    assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in f0[2])
+    # single-frame streams enumerate as one frame with default GCE
+    from orders_currency_conversion_etl_spark.operators.gif_codec import encode_gif
+
+    single = encode_gif(5, 3, bytes([0] * 15), pal, interlace=True)
+    (only,) = gif_frames(single)
+    assert (only["width"], only["height"], only["interlaced"]) == (5, 3, True)
+    assert only["delay_cs"] == 0 and only["transparent_index"] is None
+    # truncated mid-frame is loud
+    with pytest.raises(ValueError, match="truncated|ended"):
+        gif_frames(gif[:-6])
