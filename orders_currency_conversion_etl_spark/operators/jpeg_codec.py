@@ -12,9 +12,19 @@ Scope (documented, enforced, honestly gated):
 - baseline sequential DCT (SOF0), 8-bit, grayscale or 3-component
   YCbCr with NO chroma subsampling (all sampling factors 1x1 — what
   :func:`encode_jpeg` emits);
+- PROGRESSIVE DCT (SOF2, r14): multi-scan coefficient accumulation
+  per ITU T.81 §G — DC first/refinement, AC first/refinement with
+  spectral selection, successive approximation, EOB runs and
+  refinement correction bits; incomplete scan scripts reconstruct
+  from whatever arrived (the progressive-preview contract).
+  :func:`encode_jpeg_progressive` writes a 14-scan script covering
+  every scan type for the roundtrip pin, and the decisive oracle is
+  cross-PIPELINE: progressive and baseline encodings share the exact
+  quantized coefficients, so their decodes must match byte-for-byte;
 - restart markers (DRI/RSTn) handled on decode;
-- progressive (SOF2), arithmetic coding, 12-bit, and subsampled
-  streams raise ``NotImplementedError`` naming the limitation.
+- arithmetic coding, 12-bit, hierarchical (SOF3/5/...), and
+  subsampled streams raise ``NotImplementedError`` naming the
+  limitation.
 
 JPEG is lossy by design, so unlike the PNG path there is no byte
 round-trip to pin. Correctness rests on three independent legs
@@ -266,10 +276,12 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes:
-    """Minimal baseline JFIF writer: 3 components, 4:4:4 (no chroma
-    subsampling), Annex K Huffman tables, quality-scaled Annex K quant
-    tables. Deterministic: same pixels -> same bytes."""
+def _component_coefficients(width: int, height: int, rgb: bytes, quality: int):
+    """Shared front half of both encoders: RGB -> YCbCr -> pad ->
+    blockwise DCT -> quantize -> zigzag. Returns (zz_planes, qy, qc)
+    where ``zz_planes[ci]`` is an int64 array of shape
+    (blocks_h, blocks_w, 64). The progressive writer serializing THESE
+    exact values is what makes the cross-pipeline oracle exact."""
     if len(rgb) != width * height * 3:
         raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
     a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
@@ -277,11 +289,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-
     qy, qc = _scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHROM, quality)
-    dc_l, ac_l = _canonical_codes(*_DC_LUM_SPEC), _canonical_codes(*_AC_LUM_SPEC)
-    dc_c, ac_c = _canonical_codes(*_DC_CHROM_SPEC), _canonical_codes(*_AC_CHROM_SPEC)
-
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
 
     def pad(comp: np.ndarray) -> np.ndarray:
@@ -295,17 +303,51 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
         out[:, width:] = out[:, width - 1 : width]
         return out
 
-    planes = [(pad(y), qy, dc_l, ac_l), (pad(cb), qc, dc_c, ac_c), (pad(cr), qc, dc_c, ac_c)]
+    bh, bw = ph // 8, pw // 8
+    zz_planes = []
+    for plane, qt in ((pad(y), qy), (pad(cb), qc), (pad(cr), qc)):
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ux,ijxy,vy->ijuv", _T, blocks, _T)
+        quant = np.round(coef / qt).astype(np.int64)
+        zz_planes.append(quant[:, :, _ZROWS, _ZCOLS])
+    return zz_planes, qy, qc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_dqt(tid: int, qt: np.ndarray) -> bytes:
+    return _jpeg_seg(
+        0xFFDB, bytes([tid]) + qt[_ZROWS, _ZCOLS].astype(np.uint8).tobytes()
+    )
+
+
+def _jpeg_dht(cls: int, tid: int, spec: "tuple[list[int], list[int]]") -> bytes:
+    bits, vals = spec
+    return _jpeg_seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes:
+    """Minimal baseline JFIF writer: 3 components, 4:4:4 (no chroma
+    subsampling), Annex K Huffman tables, quality-scaled Annex K quant
+    tables. Deterministic: same pixels -> same bytes."""
+    zz_planes, qy, qc = _component_coefficients(width, height, rgb, quality)
+    dc_l, ac_l = _canonical_codes(*_DC_LUM_SPEC), _canonical_codes(*_AC_LUM_SPEC)
+    dc_c, ac_c = _canonical_codes(*_DC_CHROM_SPEC), _canonical_codes(*_AC_CHROM_SPEC)
+    bh, bw = zz_planes[0].shape[:2]
+    planes = [
+        (zz_planes[0], dc_l, ac_l),
+        (zz_planes[1], dc_c, ac_c),
+        (zz_planes[2], dc_c, ac_c),
+    ]
 
     w = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (plane, qt, dct_codes, act_codes) in enumerate(planes):
-                block = plane[by : by + 8, bx : bx + 8] - 128.0
-                coef = _T @ block @ _T.T
-                quant = np.round(coef / qt).astype(np.int64)
-                zz = quant[_ZROWS, _ZCOLS]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (zplane, dct_codes, act_codes) in enumerate(planes):
+                zz = zplane[by, bx]
                 # DC
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
@@ -335,30 +377,244 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
                     w.write(code, length)
     scan = w.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dqt(tid: int, qt: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + qt[_ZROWS, _ZCOLS].astype(np.uint8).tobytes())
-
-    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = spec
-        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-
-    sof = seg(
+    sof = _jpeg_seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos = _jpeg_seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     return (
-        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        b"\xff\xd8" + app0 + _jpeg_dqt(0, qy) + _jpeg_dqt(1, qc)
         + sof
-        + dht(0, 0, _DC_LUM_SPEC) + dht(1, 0, _AC_LUM_SPEC)
-        + dht(0, 1, _DC_CHROM_SPEC) + dht(1, 1, _AC_CHROM_SPEC)
+        + _jpeg_dht(0, 0, _DC_LUM_SPEC) + _jpeg_dht(1, 0, _AC_LUM_SPEC)
+        + _jpeg_dht(0, 1, _DC_CHROM_SPEC) + _jpeg_dht(1, 1, _AC_CHROM_SPEC)
         + sos + scan + b"\xff\xd9"
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (r14): a fixed 14-scan script that exercises all
+# four scan types of ITU T.81 §G — DC first (Al=1), DC refinement,
+# and per component AC first + AC refinement over two spectral bands.
+# AC scans need EOBn symbols Annex K's tables don't carry, so each AC
+# scan emits a custom DHT built from the symbols it actually uses
+# (equal-length canonical code, all-ones code left unused).
+# --------------------------------------------------------------------------
+
+
+def _equal_length_spec(symbols: "list[int]") -> "tuple[list[int], list[int]]":
+    """Canonical Huffman spec giving every symbol the same length
+    L = ceil(log2(n+1)) — valid (Kraft < 1) and decodable; the +1
+    keeps the all-ones code unused per JPEG convention."""
+    syms = sorted(set(symbols)) or [0x00]
+    L = len(syms).bit_length()  # ceil(log2(n+1)): 2^L > n
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+class _ProgressiveACWriter:
+    """AC scan emitter with the EOB-run / buffered-correction-bit
+    accounting of T.81 §G.1.2.2-3 (the same bookkeeping public
+    encoders use): correction bits for already-nonzero coefficients
+    are buffered and flushed after the next newly-nonzero coefficient
+    or with the pending EOB run."""
+
+    def __init__(self, writer: "_BitWriter | None", codes: "dict | None"):
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+        self.pending_bits: "list[int]" = []
+        self.used: "set[int]" = set()
+
+    def _emit(self, sym: int) -> None:
+        self.used.add(sym)
+        if self.w is not None:
+            code, length = self.codes[sym]
+            self.w.write(code, length)
+
+    def _emit_bits(self, val: int, n: int) -> None:
+        if self.w is not None and n:
+            self.w.write(val, n)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self._emit(r << 4)
+            self._emit_bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self._emit_bits(b, 1)
+        self.pending_bits = []
+
+    def ac_first_block(self, zz, ss: int, se: int, al: int) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
+            if t == 0:
+                run += 1
+                continue
+            self.flush_eobrun()
+            while run > 15:
+                self._emit(0xF0)
+                run -= 16
+            size, bitsval = _magnitude(t)
+            self._emit((run << 4) | size)
+            self._emit_bits(bitsval, size)
+            run = 0
+        if run:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine_block(self, zz, ss: int, se: int, al: int) -> None:
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        # last NEWLY-nonzero index: ZRLs are only emitted while one
+        # remains ahead — trailing zeros/corrections fold into the EOB
+        # run instead (T.81 G.1.2.3's "not if foldable into EOB")
+        new_last = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                new_last = i
+        run = 0
+        buffered: "list[int]" = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            # ZRLs are due EAGERLY at any nonzero position (history or
+            # new) so each emitted symbol's appended correction bits
+            # are exactly the history positions the decoder traverses
+            # for THAT symbol's 16-zero window
+            while run > 15 and i <= new_last:
+                self.flush_eobrun()
+                self._emit(0xF0)
+                run -= 16
+                for bit in buffered:
+                    self._emit_bits(bit, 1)
+                buffered = []
+            if a > 1:  # history: correction bit, buffered
+                buffered.append(a & 1)
+                continue
+            # newly nonzero (magnitude exactly 1 at this precision)
+            self.flush_eobrun()
+            self._emit((run << 4) | 1)
+            self._emit_bits(1 if vals[i] >= 0 else 0, 1)
+            for bit in buffered:
+                self._emit_bits(bit, 1)
+            buffered = []
+            run = 0
+        if run > 0 or buffered:
+            # the tail (zero-history positions and/or corrections past
+            # the last newly-nonzero coefficient) folds into the EOB
+            # run; its correction bits ride along and are emitted
+            # right after the EOBn code, in block order
+            self.eobrun += 1
+            self.pending_bits.extend(buffered)
+            if self.eobrun == 0x7FFF or len(self.pending_bits) > 900:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 75
+) -> bytes:
+    """Progressive JFIF writer (SOF2): the same quantized coefficients
+    as :func:`encode_jpeg` (shared :func:`_component_coefficients`)
+    serialized as a 14-scan script that exercises every §G scan type —
+
+      1. DC first, interleaved, Al=1
+      2. DC refinement, interleaved, Ah=1 Al=0
+      3-8.  per component: AC first Ss=1..5 and Ss=6..63, Al=1
+      9-14. per component: AC refinement over the same bands, Ah=1
+
+    AC scans carry EOBn symbols Annex K has no codes for, so each AC
+    scan runs a DRY pass to collect its symbol set and emits a custom
+    equal-length DHT before its SOS. Decoding this stream must equal
+    decoding the baseline encoding of the same pixels BYTE-FOR-BYTE —
+    the cross-pipeline oracle pinned in tests."""
+    zz_planes, qy, qc = _component_coefficients(width, height, rgb, quality)
+    bh, bw = zz_planes[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_dqt(0, qy) + _jpeg_dqt(1, qc)
+    out += _jpeg_seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+
+    def sos(comps: "list[tuple[int, int, int]]", ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for cid, dc_tid, ac_tid in comps:
+            body += bytes([cid, (dc_tid << 4) | ac_tid])
+        return _jpeg_seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first (Al=1), interleaved, Annex K DC tables
+    out += _jpeg_dht(0, 0, _DC_LUM_SPEC) + _jpeg_dht(0, 1, _DC_CHROM_SPEC)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    w = _BitWriter()
+    dc_specs = [
+        _canonical_codes(*_DC_LUM_SPEC),
+        _canonical_codes(*_DC_CHROM_SPEC),
+        _canonical_codes(*_DC_CHROM_SPEC),
+    ]
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                v = int(zz_planes[ci][by, bx, 0]) >> 1  # arithmetic, Al=1
+                diff = v - pred[ci]
+                pred[ci] = v
+                size, bitsval = _magnitude(diff)
+                code, length = dc_specs[ci][size]
+                w.write(code, length)
+                if size:
+                    w.write(bitsval, size)
+    out += w.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0), one raw bit per block/comp
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                w.write(int(zz_planes[ci][by, bx, 0]) & 1, 1)
+    out += w.flush()
+
+    # AC scans: per component, two spectral bands, first then refine
+    bands = [(1, 5), (6, 63)]
+    for ah, al in ((0, 1), (1, 0)):
+        for ci in range(3):
+            for ss, se in bands:
+                plane = zz_planes[ci]
+                # dry pass: which AC symbols does this scan use?
+                dry = _ProgressiveACWriter(None, None)
+                for by in range(bh):
+                    for bx in range(bw):
+                        if ah == 0:
+                            dry.ac_first_block(plane[by, bx], ss, se, al)
+                        else:
+                            dry.ac_refine_block(plane[by, bx], ss, se, al)
+                dry.flush_eobrun()
+                spec = _equal_length_spec(sorted(dry.used))
+                out += _jpeg_dht(1, 0, spec)
+                out += sos([(ci + 1, 0, 0)], ss, se, ah, al)
+                w = _BitWriter()
+                live = _ProgressiveACWriter(w, _canonical_codes(*spec))
+                for by in range(bh):
+                    for bx in range(bw):
+                        if ah == 0:
+                            live.ac_first_block(plane[by, bx], ss, se, al)
+                        else:
+                            live.ac_refine_block(plane[by, bx], ss, se, al)
+                live.flush_eobrun()
+                out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -435,18 +691,46 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
-    """Parse a baseline JFIF stream -> (w, h, 'RGB'|'L', pixels).
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Offset of the marker terminating an entropy-coded segment:
+    stuffed 0x00, RSTn and fill bytes belong to the scan; anything
+    else ends it."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
 
-    Supports SOF0 8-bit, 1 or 3 components with all sampling factors
-    1x1, optional restart intervals. Everything else raises
-    NotImplementedError naming the limitation."""
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Parse a JFIF stream -> (w, h, 'RGB'|'L', pixels).
+
+    Supports SOF0 baseline AND SOF2 progressive (r14, ITU T.81 §G —
+    DC/AC first + refinement scans, spectral selection, successive
+    approximation, EOB runs), 8-bit, 1 or 3 components with all
+    sampling factors 1x1, optional restart intervals. A progressive
+    stream ending early (fewer scans than the script implies) is
+    reconstructed from what arrived — the progressive-preview
+    contract. Everything else raises NotImplementedError naming the
+    limitation."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    coefs = None  # progressive accumulator: [ci][by][bx] -> list[64]
+    any_scan = False
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -476,7 +760,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
                 vals = list(body[i + 17 : i + 17 + nvals])
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + nvals
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
             prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
@@ -492,24 +776,179 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG with {nc} components unsupported")
             frame = (w_, h, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG supported")
+            progressive = marker == 0xFFC2
+            if progressive:
+                bh, bw = -(-h // 8), -(-w_ // 8)
+                coefs = [
+                    [[[0] * 64 for _ in range(bw)] for _ in range(bh)]
+                    for _ in range(nc)
+                ]
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xFFDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xFFDA:
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = []
             for c in range(ns):
                 cid, tids = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cid, tids >> 4, tids & 0x0F))
             scan_start = pos + 2 + length
-            return _decode_scan(
-                payload, scan_start, frame, scan_comps, qtables, htables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    payload, scan_start, frame, scan_comps, qtables, htables,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            _progressive_scan(
+                payload, scan_start, frame, scan_comps, htables, coefs,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
             )
+            any_scan = True
+            pos = _entropy_end(payload, scan_start)
+            continue
         pos += 2 + length
+    if progressive and any_scan:
+        return _reconstruct_progressive(frame, coefs, qtables)
     raise ValueError("JPEG stream ended before SOS")
+
+
+def _progressive_scan(
+    payload, start, frame, scan_comps, htables, coefs, ss, se, ah, al,
+    restart_interval,
+):
+    """Apply ONE progressive scan's coefficient deltas (T.81 §G.2):
+    DC first/refine (possibly interleaved), AC first/refine (single
+    component per spec, with EOB runs and refinement correction
+    bits)."""
+    w, h, comps = frame
+    cid_index = {cid: i for i, (cid, _qid) in enumerate(comps)}
+    bh, bw = -(-h // 8), -(-w // 8)
+    reader = _BitReader(payload, start)
+    p1 = 1 << al
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        pred = [0] * len(scan_comps)
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.sync_restart()
+                    pred = [0] * len(scan_comps)
+                for si, (cid, dc_tid, _ac) in enumerate(scan_comps):
+                    block = coefs[cid_index[cid]][by][bx]
+                    if ah == 0:
+                        size = _huff_decode(reader, htables[(0, dc_tid)])
+                        pred[si] += _extend(reader.bits(size), size)
+                        block[0] = pred[si] << al
+                    elif reader.bits(1):
+                        block[0] |= p1
+                mcu += 1
+        return
+    if len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    cid, _dc_tid, ac_tid = scan_comps[0]
+    table = htables[(1, ac_tid)]
+    plane = coefs[cid_index[cid]]
+    eobrun = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            mcu += 1
+            block = plane[by][bx]
+            if ah == 0:  # AC first
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    block[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement (the libjpeg-shaped traversal: corrections
+            # are read at every already-nonzero position passed over)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                            break
+                        newval = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG AC refinement symbol with size != 1"
+                            )
+                        newval = p1 if reader.bits(1) else -p1
+                    while k <= se:
+                        if block[k] != 0:
+                            if reader.bits(1) and (abs(block[k]) & p1) == 0:
+                                block[k] += p1 if block[k] >= 0 else -p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if block[k] != 0:
+                        if reader.bits(1) and (abs(block[k]) & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qtables):
+    """All scans applied: dequantize + IDCT every block (vectorized
+    einsum over the whole block grid) and color-convert."""
+    w, h, comps = frame
+    nc = len(comps)
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = []
+    for ci, (_cid, qid) in enumerate(comps):
+        qt = qtables[qid]
+        zz = np.array(coefs[ci], dtype=np.int64).reshape(bh, bw, 64)
+        quant = (zz * qt[_ZROWS, _ZCOLS]).astype(np.float64)
+        nat = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        nat[:, :, _ZROWS, _ZCOLS] = quant
+        blocks = np.einsum("ux,ijuv,vy->ijxy", _T, nat, _T) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    if nc == 1:
+        pix = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return w, h, "L", pix.tobytes()
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, "RGB", pix.tobytes()
 
 
 def _decode_scan(payload, start, frame, scan_comps, qtables, htables, restart_interval):

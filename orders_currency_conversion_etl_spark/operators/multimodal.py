@@ -1281,8 +1281,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Full pixel decode with native-first dispatch (r11, VERDICT r10
     ask #1): when PIL is installed it handles PNG and JPEG — libpng /
     libjpeg are ~100x the pure-Python codecs and also cover the
-    variants they gate (progressive/subsampled JPEG; the PNG codec
-    covers its full legal matrix as of r14, incl. palette/interlace)
+    variants they gate (subsampled JPEG; progressive SOF2 and the
+    full PNG legal matrix decode pure-Python as of r14)
     — with the stdlib codecs as the dependency-free fallback if
     PIL itself fails on a stream. Without PIL the pure codecs run, and
     a NotImplementedError from them (a format variant they honestly
@@ -1320,8 +1320,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, im.mode, im.tobytes()
     raise NotImplementedError(
-        "decoding image bytes beyond PPM/PNG/baseline-JPEG/GIF requires "
-        "PIL, not available in this environment"
+        "decoding image bytes beyond PPM/PNG/JPEG(SOF0+SOF2)/GIF "
+        "requires PIL, not available in this environment"
     )
 
 

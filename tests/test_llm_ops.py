@@ -749,8 +749,9 @@ def test_jpeg_roundtrip_error_bounds():
 
 
 def test_jpeg_unsupported_streams_are_gated():
-    """Progressive (SOF2) and subsampled streams raise a named
-    NotImplementedError instead of silently mis-decoding."""
+    """Subsampled and hierarchical streams raise a named
+    NotImplementedError instead of silently mis-decoding (progressive
+    SOF2 decodes as of r14 — covered below)."""
     import struct
 
     from orders_currency_conversion_etl_spark.operators.jpeg_codec import (
@@ -761,19 +762,150 @@ def test_jpeg_unsupported_streams_are_gated():
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    sof2 = b"\xff\xd8" + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(sof2 + b"\xff\xd9")
     subsampled = b"\xff\xd8" + seg(
         0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(subsampled + b"\xff\xd9")
+    lossless = b"\xff\xd8" + seg(
+        0xFFC3, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(lossless + b"\xff\xd9")
     # and decode_image_batch routes JPEG magic through the codec
     from orders_currency_conversion_etl_spark.operators.jpeg_codec import decode_jpeg as dj
 
     p = encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
     assert dj(p)[:3] == (8, 8, "RGB")
+
+
+def test_jpeg_progressive_matches_baseline_byte_for_byte():
+    """r14: the decisive cross-pipeline oracle — the progressive
+    encoder serializes the EXACT quantized coefficients the baseline
+    encoder produces (shared _component_coefficients), so decoding the
+    14-scan SOF2 stream must reproduce the baseline decode
+    byte-for-byte. Covers DC first/refine, AC first/refine over two
+    spectral bands, EOB runs, ZRLs and correction bits across image
+    shapes that produce dense, sparse and multi-block streams."""
+    import random
+
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    rng = random.Random(41)
+    shapes = [(1, 1), (8, 8), (7, 5), (17, 9), (32, 24), (41, 13)]
+    for w, h in shapes:
+        for kind in ("noise", "solid", "gradient", "sparse"):
+            if kind == "noise":
+                rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            elif kind == "solid":
+                rgb = bytes([rng.randrange(256)] * 3) * (w * h)
+            elif kind == "gradient":
+                a = np.fromfunction(
+                    lambda y, x, c: (x * 7 + y * 5 + c * 30) % 256, (h, w, 3)
+                )
+                rgb = a.astype(np.uint8).tobytes()
+            else:
+                a = np.zeros((h, w, 3), np.uint8)
+                a[:: max(1, h // 3), :: max(1, w // 4)] = 200
+                rgb = a.tobytes()
+            q = rng.choice([30, 60, 75, 90])
+            base = jc.decode_jpeg(jc.encode_jpeg(w, h, rgb, q))
+            prog = jc.decode_jpeg(jc.encode_jpeg_progressive(w, h, rgb, q))
+            assert base == prog, (w, h, kind, q)
+
+
+def test_jpeg_progressive_eobn_symbols_are_exercised():
+    """Multi-block sparse images must produce EOBn (r>0) runs in the
+    AC-first scans — otherwise the fixtures only ever pin EOB0 and the
+    run-length decode path goes untested."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    a = np.zeros((40, 40, 3), np.uint8)
+    a[0, 0] = 255  # one busy block, the rest empty -> long EOB runs
+    zz, _qy, _qc = jc._component_coefficients(40, 40, a.tobytes(), 75)
+    dry = jc._ProgressiveACWriter(None, None)
+    for by in range(zz[0].shape[0]):
+        for bx in range(zz[0].shape[1]):
+            dry.ac_first_block(zz[0][by, bx], 1, 63, 1)
+    dry.flush_eobrun()
+    assert any(sym & 0x0F == 0 and (sym >> 4) > 0 for sym in dry.used), dry.used
+    # and the full pipeline on the same image stays byte-exact
+    base = jc.decode_jpeg(jc.encode_jpeg(40, 40, a.tobytes(), 75))
+    prog = jc.decode_jpeg(jc.encode_jpeg_progressive(40, 40, a.tobytes(), 75))
+    assert base == prog
+
+
+def test_jpeg_progressive_ac_refinement_hand_vector():
+    """HAND-DERIVED spec vector for the AC-refinement bit order (T.81
+    §G.1.2.3) — an encoder/decoder PAIR could round-trip under a
+    consistent-but-wrong order, so the decoder is pinned against a
+    stream written out by hand from the spec's procedure.
+
+    Band Ss=1..Se=4, Al=0. Prior-scan block state [_, 4, 0, -2, 0];
+    true values [_, 5, +1, -2, 0]. Encoder emits: RS(run=0,size=1)
+    '01', sign '1', buffered correction for k=1 '1', EOB0 '00',
+    correction for k=3 '0' -> bits 0111000 + pad 1 = 0x71."""
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    spec = ([0, 2] + [0] * 14, [0x00, 0x01])  # 2-bit codes: 00, 01
+    table = jc._decode_table(*spec)
+    frame = (8, 8, [(1, 0)])
+    coefs = [[[[0] * 64]]]
+    coefs[0][0][0][1] = 4
+    coefs[0][0][0][3] = -2
+    jc._progressive_scan(
+        b"\x71", 0, frame, [(1, 0, 0)], {(1, 0): table}, coefs,
+        1, 4, 1, 0, 0,
+    )
+    assert coefs[0][0][0][:5] == [0, 5, 1, -2, 0]
+
+
+def test_jpeg_progressive_preview_contract():
+    """A progressive stream truncated after its two DC scans still
+    reconstructs — to exactly the DC-only image (flat 8x8 blocks of
+    the dequantized DC), computed independently here."""
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    w, h = 19, 11
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    prog = jc.encode_jpeg_progressive(w, h, rgb, 75)
+    # cut just before the first custom AC DHT (the 3rd 0xFFC4 marker;
+    # entropy data cannot contain a raw FF C4 — FF is always stuffed)
+    dht_offsets = []
+    i = 0
+    while True:
+        i = prog.find(b"\xff\xc4", i)
+        if i < 0:
+            break
+        dht_offsets.append(i)
+        i += 2
+    truncated = prog[: dht_offsets[2]] + b"\xff\xd9"
+    got = jc.decode_jpeg(truncated)
+    assert got[:3] == (w, h, "RGB")
+
+    # independent expectation: AC zeroed, DC dequantized, IDCT, YCbCr
+    zz, qy, qc = jc._component_coefficients(w, h, rgb, 75)
+    bh, bw = zz[0].shape[:2]
+    planes = []
+    for ci, qt in ((0, qy), (1, qc), (2, qc)):
+        dc = zz[ci][:, :, 0].astype(np.float64) * qt[0, 0]
+        nat = np.zeros((bh, bw, 8, 8))
+        nat[:, :, 0, 0] = dc
+        blocks = np.einsum("ux,ijuv,vy->ijxy", jc._T, nat, jc._T) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    exp = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    assert got[3] == exp.tobytes()
 
 
 def test_jpeg_decode_images_routes_without_pil(spark):
@@ -1182,11 +1314,13 @@ def test_decode_image_pixels_prefers_pil_when_present(monkeypatch):
     assert mm.decode_image_pixels(jpg)[:3] == (8, 8, "RGB")
     import struct
 
-    sof2 = b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 11) + struct.pack(
+    # r14: progressive SOF2 is SUPPORTED — the surviving honest gate
+    # is chroma subsampling (any SOF), which must still propagate
+    sub = b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 11) + struct.pack(
         ">BHHB", 8, 8, 8, 1
-    ) + bytes([1, 0x11, 0]) + b"\xff\xd9"
+    ) + bytes([1, 0x22, 0]) + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
-        mm.decode_image_pixels(sof2)
+        mm.decode_image_pixels(sub)
     with pytest.raises(NotImplementedError):
         mm.decode_image_pixels(b"RIFFxxxxWEBP")  # unknown format, no PIL
 
