@@ -10,8 +10,12 @@ north-star EXT surface for multimodal columns.
 
 Scope (documented, enforced, honestly gated):
 - baseline sequential DCT (SOF0), 8-bit, grayscale or 3-component
-  YCbCr with NO chroma subsampling (all sampling factors 1x1 — what
-  :func:`encode_jpeg` emits);
+  YCbCr — 4:4:4 (what :func:`encode_jpeg` emits) AND chroma-
+  subsampled 4:2:0 / 4:2:2 / 4:4:0 (r14: sampling factors 1 or 2,
+  interleaved-MCU traversal per T.81 A.2.3, nearest-neighbor chroma
+  upsampling; :func:`encode_jpeg_subsampled` writes the fixtures and
+  a hand-assembled two-MCU stream pins the block order against the
+  spec rather than against this encoder);
 - PROGRESSIVE DCT (SOF2, r14): multi-scan coefficient accumulation
   per ITU T.81 §G — DC first/refinement, AC first/refinement with
   spectral selection, successive approximation, EOB runs and
@@ -22,9 +26,9 @@ Scope (documented, enforced, honestly gated):
   cross-PIPELINE: progressive and baseline encodings share the exact
   quantized coefficients, so their decodes must match byte-for-byte;
 - restart markers (DRI/RSTn) handled on decode;
-- arithmetic coding, 12-bit, hierarchical (SOF3/5/...), and
-  subsampled streams raise ``NotImplementedError`` naming the
-  limitation.
+- arithmetic coding, 12-bit, hierarchical (SOF3/5/...), sampling
+  factors above 2, and progressive-with-subsampling raise
+  ``NotImplementedError`` naming the limitation.
 
 JPEG is lossy by design, so unlike the PNG path there is no byte
 round-trip to pin. Correctness rests on three independent legs
@@ -276,12 +280,7 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 
-def _component_coefficients(width: int, height: int, rgb: bytes, quality: int):
-    """Shared front half of both encoders: RGB -> YCbCr -> pad ->
-    blockwise DCT -> quantize -> zigzag. Returns (zz_planes, qy, qc)
-    where ``zz_planes[ci]`` is an int64 array of shape
-    (blocks_h, blocks_w, 64). The progressive writer serializing THESE
-    exact values is what makes the cross-pipeline oracle exact."""
+def _rgb_to_ycbcr(width: int, height: int, rgb: bytes):
     if len(rgb) != width * height * 3:
         raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
     a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
@@ -289,28 +288,48 @@ def _component_coefficients(width: int, height: int, rgb: bytes, quality: int):
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _edge_pad(comp: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Hand-rolled edge pad: np.pad's Python-side setup cost (~60 us)
+    dominated tiny-image encode (r11 profile)."""
+    h, w = comp.shape
+    if ph == h and pw == w:
+        return comp
+    out = np.empty((ph, pw), dtype=comp.dtype)
+    out[:h, :w] = comp
+    out[h:, :w] = comp[h - 1 :, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _dct_quant_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(H, W) padded plane -> (H/8, W/8, 64) zigzag quantized int64."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ux,ijxy,vy->ijuv", _T, blocks, _T)
+    return np.round(coef / qt).astype(np.int64)[:, :, _ZROWS, _ZCOLS]
+
+
+def _component_coefficients(width: int, height: int, rgb: bytes, quality: int):
+    """Shared front half of the 4:4:4 encoders: RGB -> YCbCr -> pad ->
+    blockwise DCT -> quantize -> zigzag. Returns (zz_planes, qy, qc)
+    where ``zz_planes[ci]`` is an int64 array of shape
+    (blocks_h, blocks_w, 64). The progressive writer serializing THESE
+    exact values is what makes the cross-pipeline oracle exact."""
+    y, cb, cr = _rgb_to_ycbcr(width, height, rgb)
     qy, qc = _scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHROM, quality)
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-
-    def pad(comp: np.ndarray) -> np.ndarray:
-        # hand-rolled edge pad: np.pad's Python-side setup cost (~60 us)
-        # dominated tiny-image encode (r11 profile)
-        if ph == height and pw == width:
-            return comp
-        out = np.empty((ph, pw), dtype=comp.dtype)
-        out[:height, :width] = comp
-        out[height:, :width] = comp[height - 1 :, :]
-        out[:, width:] = out[:, width - 1 : width]
-        return out
-
-    bh, bw = ph // 8, pw // 8
-    zz_planes = []
-    for plane, qt in ((pad(y), qy), (pad(cb), qc), (pad(cr), qc)):
-        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-        coef = np.einsum("ux,ijxy,vy->ijuv", _T, blocks, _T)
-        quant = np.round(coef / qt).astype(np.int64)
-        zz_planes.append(quant[:, :, _ZROWS, _ZCOLS])
-    return zz_planes, qy, qc
+    return (
+        [
+            _dct_quant_blocks(_edge_pad(y, ph, pw), qy),
+            _dct_quant_blocks(_edge_pad(cb, ph, pw), qc),
+            _dct_quant_blocks(_edge_pad(cr, ph, pw), qc),
+        ],
+        qy,
+        qc,
+    )
 
 
 def _jpeg_seg(marker: int, body: bytes) -> bytes:
@@ -326,6 +345,35 @@ def _jpeg_dqt(tid: int, qt: np.ndarray) -> bytes:
 def _jpeg_dht(cls: int, tid: int, spec: "tuple[list[int], list[int]]") -> bytes:
     bits, vals = spec
     return _jpeg_seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def _emit_entropy_block(w, zz, pred, ci, dct_codes, act_codes) -> None:
+    """One block's baseline entropy coding (DC diff + AC run-length)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bitsval = _magnitude(diff)
+    code, length = dct_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(bitsval, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bitsval = _magnitude(v)
+        code, length = act_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(bitsval, size)
+        run = 0
+    if run:
+        code, length = act_codes[0x00]  # EOB
+        w.write(code, length)
 
 
 def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes:
@@ -347,40 +395,81 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 75) -> bytes
     for by in range(bh):
         for bx in range(bw):
             for ci, (zplane, dct_codes, act_codes) in enumerate(planes):
-                zz = zplane[by, bx]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, bitsval = _magnitude(diff)
-                code, length = dct_codes[size]
-                w.write(code, length)
-                if size:
-                    w.write(bitsval, size)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = act_codes[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    size, bitsval = _magnitude(v)
-                    code, length = act_codes[(run << 4) | size]
-                    w.write(code, length)
-                    w.write(bitsval, size)
-                    run = 0
-                if run:
-                    code, length = act_codes[0x00]  # EOB
-                    w.write(code, length)
+                _emit_entropy_block(
+                    w, zplane[by, bx], pred, ci, dct_codes, act_codes
+                )
     scan = w.flush()
 
     sof = _jpeg_seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
         + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = _jpeg_seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + _jpeg_dqt(0, qy) + _jpeg_dqt(1, qc)
+        + sof
+        + _jpeg_dht(0, 0, _DC_LUM_SPEC) + _jpeg_dht(1, 0, _AC_LUM_SPEC)
+        + _jpeg_dht(0, 1, _DC_CHROM_SPEC) + _jpeg_dht(1, 1, _AC_CHROM_SPEC)
+        + sos + scan + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_subsampled(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 75,
+    factors: "tuple[int, int]" = (2, 2),
+) -> bytes:
+    """Chroma-subsampled baseline JFIF writer (r14): luma carries
+    sampling ``factors`` (``(2, 2)`` = 4:2:0, ``(2, 1)`` = 4:2:2,
+    ``(1, 2)`` = 4:4:0), chroma is box-averaged down by the same
+    factors and coded 1x1 — the interleaved-MCU layout of T.81 A.2.3
+    (luma's v x h blocks in raster order, then one Cb and one Cr block
+    per MCU). Exists so the subsampled DECODE path has a real fixture;
+    the test expectation recomputes downsample/DCT/quant/IDCT/upsample
+    independently."""
+    hs, vs = factors
+    if hs not in (1, 2) or vs not in (1, 2) or (hs, vs) == (1, 1):
+        raise ValueError("factors must subsample: (2, 2), (2, 1) or (1, 2)")
+    y, cb, cr = _rgb_to_ycbcr(width, height, rgb)
+    qy, qc = _scaled_q(_Q_LUM, quality), _scaled_q(_Q_CHROM, quality)
+    mcus_x = -(-width // (8 * hs))
+    mcus_y = -(-height // (8 * vs))
+    ypad = _edge_pad(y, mcus_y * vs * 8, mcus_x * hs * 8)
+
+    def down(c: np.ndarray) -> np.ndarray:
+        ch, cw = -(-height // vs), -(-width // hs)
+        cpad = _edge_pad(c, ch * vs, cw * hs)
+        return cpad.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+
+    cbp = _edge_pad(down(cb), mcus_y * 8, mcus_x * 8)
+    crp = _edge_pad(down(cr), mcus_y * 8, mcus_x * 8)
+    zzy = _dct_quant_blocks(ypad, qy)
+    zzcb = _dct_quant_blocks(cbp, qc)
+    zzcr = _dct_quant_blocks(crp, qc)
+
+    dc_l, ac_l = _canonical_codes(*_DC_LUM_SPEC), _canonical_codes(*_AC_LUM_SPEC)
+    dc_c, ac_c = _canonical_codes(*_DC_CHROM_SPEC), _canonical_codes(*_AC_CHROM_SPEC)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for v in range(vs):
+                for u in range(hs):
+                    _emit_entropy_block(
+                        w, zzy[my * vs + v, mx * hs + u], pred, 0, dc_l, ac_l
+                    )
+            _emit_entropy_block(w, zzcb[my, mx], pred, 1, dc_c, ac_c)
+            _emit_entropy_block(w, zzcr[my, mx], pred, 2, dc_c, ac_c)
+    scan = w.flush()
+
+    sof = _jpeg_seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = _jpeg_seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -716,8 +805,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
 
     Supports SOF0 baseline AND SOF2 progressive (r14, ITU T.81 §G —
     DC/AC first + refinement scans, spectral selection, successive
-    approximation, EOB runs), 8-bit, 1 or 3 components with all
-    sampling factors 1x1, optional restart intervals. A progressive
+    approximation, EOB runs), 8-bit, 1 or 3 components, sampling
+    factors 1 or 2 for baseline (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0; r14 —
+    progressive still requires 1x1), optional restart intervals. A
+    progressive
     stream ending early (fewer scans than the script implies) is
     reconstructed from what arrived — the progressive-preview
     contract. Everything else raises NotImplementedError naming the
@@ -765,17 +856,27 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, str, bytes]:
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} unsupported")
             comps = []
+            sampling = []
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (sampling factors != 1x1) unsupported — "
+                        f"JPEG sampling factors {hs}x{vs} unsupported — "
+                        "only 1/2 (4:4:4, 4:2:2, 4:4:0, 4:2:0); install PIL"
+                    )
+                if marker == 0xFFC2 and samp != 0x11:
+                    raise NotImplementedError(
+                        "progressive JPEG with chroma subsampling unsupported — "
                         "re-encode 4:4:4 or install PIL"
                     )
                 comps.append((cid, qid))
+                sampling.append((hs, vs))
+            if nc == 1:
+                sampling = [(1, 1)]  # a single component is never subsampled
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG with {nc} components unsupported")
-            frame = (w_, h, comps)
+            frame = (w_, h, comps, sampling)
             progressive = marker == 0xFFC2
             if progressive:
                 bh, bw = -(-h // 8), -(-w_ // 8)
@@ -826,7 +927,7 @@ def _progressive_scan(
     DC first/refine (possibly interleaved), AC first/refine (single
     component per spec, with EOB runs and refinement correction
     bits)."""
-    w, h, comps = frame
+    w, h, comps, _sampling = frame
     cid_index = {cid: i for i, (cid, _qid) in enumerate(comps)}
     bh, bw = -(-h // 8), -(-w // 8)
     reader = _BitReader(payload, start)
@@ -927,7 +1028,7 @@ def _progressive_scan(
 def _reconstruct_progressive(frame, coefs, qtables):
     """All scans applied: dequantize + IDCT every block (vectorized
     einsum over the whole block grid) and color-convert."""
-    w, h, comps = frame
+    w, h, comps, _sampling = frame
     nc = len(comps)
     bh, bw = -(-h // 8), -(-w // 8)
     planes = []
@@ -952,52 +1053,82 @@ def _reconstruct_progressive(frame, coefs, qtables):
 
 
 def _decode_scan(payload, start, frame, scan_comps, qtables, htables, restart_interval):
-    w, h, comps = frame
+    """Baseline interleaved scan: MCUs of h_i x v_i blocks per
+    component (T.81 A.2.3), generalized for chroma subsampling (r14 —
+    previously all factors had to be 1x1)."""
+    w, h, comps, sampling = frame
     nc = len(comps)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(nc)]
+    hmax = max(hs for hs, _vs in sampling)
+    vmax = max(vs for _hs, vs in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component block planes sized to the full MCU grid
+    planes = [
+        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for hs, vs in sampling
+    ]
     qid_by_cid = dict(comps)
+    ci_by_cid = {cid: i for i, (cid, _q) in enumerate(comps)}
     reader = _BitReader(payload, start)
     pred = [0] * nc
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_restart()
                 pred = [0] * nc
-            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
+            for cid, dc_tid, ac_tid in scan_comps:
+                ci = ci_by_cid[cid]
+                hs, vs = sampling[ci]
                 dc_table = htables[(0, dc_tid)]
                 ac_table = htables[(1, ac_tid)]
                 qt = qtables[qid_by_cid[cid]]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _huff_decode(reader, dc_table)
-                diff = _extend(reader.bits(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, ac_table)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past end of block")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coef = np.zeros((8, 8), dtype=np.float64)
-                coef[_ZROWS, _ZCOLS] = zz * qt[_ZROWS, _ZCOLS]
-                block = _T.T @ coef @ _T + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
+                for v in range(vs):  # raster order within the MCU
+                    for u in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode(reader, dc_table)
+                        diff = _extend(reader.bits(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_table)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past end of block")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        coef[_ZROWS, _ZCOLS] = zz * qt[_ZROWS, _ZCOLS]
+                        block = _T.T @ coef @ _T + 128.0
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + u) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
             mcu += 1
+    return _assemble_pixels(planes, w, h, nc, sampling, hmax, vmax)
 
+
+def _assemble_pixels(planes, w, h, nc, sampling, hmax, vmax):
+    """Upsample subsampled component planes to full resolution
+    (nearest-neighbor replication — a spec-legal decoder choice, and
+    the one the test expectations compute independently), crop, and
+    color-convert."""
+    full = []
+    for ci, plane in enumerate(planes):
+        hs, vs = sampling[ci]
+        if (hs, vs) != (hmax, vmax):
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(plane[:h, :w])
     if nc == 1:
-        pix = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        pix = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, "L", pix.tobytes()
-    y, cb, cr = (p[:h, :w] for p in planes)
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -1281,8 +1281,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Full pixel decode with native-first dispatch (r11, VERDICT r10
     ask #1): when PIL is installed it handles PNG and JPEG — libpng /
     libjpeg are ~100x the pure-Python codecs and also cover the
-    variants they gate (subsampled JPEG; progressive SOF2 and the
-    full PNG legal matrix decode pure-Python as of r14)
+    variants they gate (sampling factors above 2; progressive SOF2,
+    2x-subsampled baseline and the full PNG legal matrix all decode
+    pure-Python as of r14)
     — with the stdlib codecs as the dependency-free fallback if
     PIL itself fails on a stream. Without PIL the pure codecs run, and
     a NotImplementedError from them (a format variant they honestly

@@ -762,21 +762,128 @@ def test_jpeg_unsupported_streams_are_gated():
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    # 2x2 factors decode as of r14; 3/4 factors stay honestly gated
     subsampled = b"\xff\xd8" + seg(
-        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(subsampled + b"\xff\xd9")
+    # progressive + subsampling is still a named gate
+    prog_sub = b"\xff\xd8" + seg(
+        0xFFC2, struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog_sub + b"\xff\xd9")
     lossless = b"\xff\xd8" + seg(
         0xFFC3, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(lossless + b"\xff\xd9")
     # and decode_image_batch routes JPEG magic through the codec
-    from orders_currency_conversion_etl_spark.operators.jpeg_codec import decode_jpeg as dj
-
     p = encode_jpeg(8, 8, bytes([50, 60, 70]) * 64)
-    assert dj(p)[:3] == (8, 8, "RGB")
+    assert decode_jpeg(p)[:3] == (8, 8, "RGB")
+
+
+def test_jpeg_subsampled_roundtrip_vs_independent_expectation():
+    """r14: 4:2:0 / 4:2:2 / 4:4:0 decode — encode_jpeg_subsampled's
+    stream must decode to EXACTLY the expectation recomputed here from
+    the raw pixels (box-average downsample -> DCT/quant -> dequant ->
+    IDCT -> nearest upsample -> YCbCr inverse), independent of the
+    decoder's own plumbing."""
+    import random
+
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    def expected(w, h, rgb, q, hs, vs):
+        y, cb, cr = jc._rgb_to_ycbcr(w, h, rgb)
+        qy, qc = jc._scaled_q(jc._Q_LUM, q), jc._scaled_q(jc._Q_CHROM, q)
+        mx, my = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+        def codec(plane, qt):
+            zz = jc._dct_quant_blocks(plane, qt)
+            bh, bw = zz.shape[:2]
+            quant = (zz * qt[jc._ZROWS, jc._ZCOLS]).astype(float)
+            nat = np.zeros((bh, bw, 8, 8))
+            nat[:, :, jc._ZROWS, jc._ZCOLS] = quant
+            blocks = np.einsum("ux,ijuv,vy->ijxy", jc._T, nat, jc._T) + 128.0
+            return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+        def down(c):
+            ch, cw = -(-h // vs), -(-w // hs)
+            cp = jc._edge_pad(c, ch * vs, cw * hs)
+            return cp.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+
+        ydec = codec(jc._edge_pad(y, my * vs * 8, mx * hs * 8), qy)
+        cbup = np.repeat(np.repeat(codec(jc._edge_pad(down(cb), my * 8, mx * 8), qc), vs, 0), hs, 1)
+        crup = np.repeat(np.repeat(codec(jc._edge_pad(down(cr), my * 8, mx * 8), qc), vs, 0), hs, 1)
+        Y, CB, CR = ydec[:h, :w], cbup[:h, :w], crup[:h, :w]
+        r = Y + 1.402 * (CR - 128)
+        g = Y - 0.344136 * (CB - 128) - 0.714136 * (CR - 128)
+        b = Y + 1.772 * (CB - 128)
+        return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8).tobytes()
+
+    rng = random.Random(8)
+    for _ in range(12):
+        w, h = rng.randint(1, 37), rng.randint(1, 37)
+        factors = rng.choice([(2, 2), (2, 1), (1, 2)])
+        q = rng.choice([50, 75, 90])
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        got = jc.decode_jpeg(jc.encode_jpeg_subsampled(w, h, rgb, q, factors))
+        assert got[:3] == (w, h, "RGB")
+        assert got[3] == expected(w, h, rgb, q, *factors), (w, h, factors, q)
+
+
+def test_jpeg_subsampled_hand_assembled_mcu_order():
+    """HAND-ASSEMBLED two-MCU 4:2:0 stream (unit quant, DC-only flat
+    blocks, neutral chroma): pins the MCU traversal and the
+    within-MCU Y-block raster order against values computed from the
+    spec by hand — my encoder/decoder pair could agree on a wrong
+    order; this stream was not produced by the encoder."""
+    import struct
+
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # unit quant table (zigzag of all ones)
+    dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 16, 32, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table: symbols {0, 4} at 2 bits -> '00', '01'; AC: {EOB} 1 bit
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 4]))
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    # Scan, hand-packed MSB-first. Per Y block with DC diff 8:
+    # DC code '01' + bits '1000' + AC EOB '0'. Per chroma block with
+    # diff 0: '00' + '0'. MCU = Y00 Y01 Y10 Y11 Cb Cr.
+    bits = ""
+    for _mcu in range(2):
+        bits += ("01" + "1000" + "0") * 4 + "000" + "000"
+    bits += "1" * (-len(bits) % 8)  # pad with 1s
+    scan = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    payload = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+    w, h, mode, px = jc.decode_jpeg(payload)
+    assert (w, h, mode) == (32, 16, "RGB")
+    # Y DC chain per MCU-raster: 8,16,24,32 (MCU0) 40,48,56,64 (MCU1)
+    # -> flat value 128 + dc/8 per 8x8 quadrant; chroma neutral 128 so
+    # R=G=B=Y exactly
+    exp = np.empty((16, 32), dtype=np.uint8)
+    vals = [[129, 130, 133, 134], [131, 132, 135, 136]]
+    for qy_ in range(2):
+        for qx in range(4):
+            exp[qy_ * 8 : qy_ * 8 + 8, qx * 8 : qx * 8 + 8] = vals[qy_][qx]
+    got = np.frombuffer(px, np.uint8).reshape(16, 32, 3)
+    assert (got[:, :, 0] == exp).all() and (got == got[:, :, :1]).all()
 
 
 def test_jpeg_progressive_matches_baseline_byte_for_byte():
@@ -853,7 +960,7 @@ def test_jpeg_progressive_ac_refinement_hand_vector():
 
     spec = ([0, 2] + [0] * 14, [0x00, 0x01])  # 2-bit codes: 00, 01
     table = jc._decode_table(*spec)
-    frame = (8, 8, [(1, 0)])
+    frame = (8, 8, [(1, 0)], [(1, 1)])
     coefs = [[[[0] * 64]]]
     coefs[0][0][0][1] = 4
     coefs[0][0][0][3] = -2
@@ -1123,9 +1230,10 @@ def test_dims_parsers_cover_formats_the_full_decoders_gate():
         mm.decode_jpeg(sof2 + b"\xff\xd9")
     assert mm.jpeg_dims(sof2 + b"\xff\xd9") == (17, 31, "RGB")
 
-    # subsampled baseline (SOF0 with 2x2 luma factors)
+    # baseline with 3x1 luma factors: still decoder-gated (r14 decodes
+    # factors 1/2), dims remain a header fact
     sub = b"\xff\xd8" + seg(
-        0xFFC0, struct.pack(">BHHB", 8, 64, 48, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        0xFFC0, struct.pack(">BHHB", 8, 64, 48, 3) + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(sub + b"\xff\xd9")
