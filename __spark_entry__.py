@@ -699,6 +699,77 @@ ROTATION_R14_REVALIDATE = [
     "wordcount_topk",
 ]
 
+#   r15 (planned, list pre-computed late r14): after the r14 driver
+#       run the newest-green histogram is r10:36 / r11:38 / r12:38 /
+#       r13:38 / r14:50 (recomputed from CORRECTNESS_r01..r13 plus the
+#       active r14 window, late-r14 session). The 36-name r10 cohort
+#       turns 5 rounds old at r15 and is due; with the four staged_r15
+#       registrations the window is EXACTLY
+#         ANCHORS_R15 (10) + ROTATION_R15_NEW (4) + ROTATION_R15_REVALIDATE (36) = 50.
+#       The anchor trim 12 -> 10 is PERMANENT (budget arithmetic in
+#       tests/test_staged_r15.py). Demote AGG_PRICING_SUMMARY (the A1
+#       family has dozens of non-anchor greens rotating through) and
+#       GENERATE_ORDERS_SEEDED (seed-stable since r1, its family is a
+#       single self-contained generator) — both keep their 5-round
+#       rotation guarantee as ordinary names (newest green r14 ->
+#       next due r19). The r15 session does:
+#         1. import orders_currency_conversion_etl_spark.staged_r15
+#            and call staged_r15.register_all() next to the other
+#            registering imports;
+#         2. ANCHORS -> remove the two names above (permanently);
+#         3. PRIORITY_WINDOW = ANCHORS + ROTATION_R15_NEW + ROTATION_R15_REVALIDATE
+#         4. regenerate the four registry-keyed artifacts (commands in
+#            .claude/skills/verify/SKILL.md) — they are name-pinned to
+#            the registry and will fail test_artifact_sync otherwise;
+#         5. record extras introduction baselines for the four new
+#            names on a quiet rig (bench_extras pattern);
+#         6. staged_r16.py (2 names) stays staged until r16.
+ROTATION_R15_NEW = [
+    "archive_gzip_members",
+    "archive_warc_gz_index",
+    "lake_rowgroup_stats",
+    "queue_source_roundtrip",
+]
+ROTATION_R15_REVALIDATE = [
+    # the full newest-green-row=r10 cohort (36):
+    "activity_streaks",
+    "agg_bitwise_battery",
+    "agg_boolean_battery",
+    "corpus_shuffle_shards",
+    "curation_pipeline",
+    "dau_wau_rolling",
+    "dedup_cluster_histogram",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "events_anomaly_mad",
+    "events_error_rate_hourly",
+    "outlier_events_iqr",
+    "sample_stratified_hash",
+    "text_chunk_documents",
+    "text_decontaminate",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_expensive_orders",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_split",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_orders",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_top3_per_customer",
+]
+
 # r14 (ACTIVE): 12 anchors + the full 38-name r9 staleness cohort = 50.
 # Zero new registrations this round by design (window has no slack);
 # the four staged_r15 queries + queue_source_roundtrip register at r15

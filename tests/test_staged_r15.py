@@ -81,6 +81,30 @@ def test_r14_window_precomputation_is_sound():
     assert not (set(cohort) & set(mod.ANCHORS))
 
 
+def test_r15_window_precomputation_is_sound():
+    """The pre-written r15 window (late r14): 10 anchors (the two
+    named demotions applied) + the four staged registrations + the
+    full 36-name r10 staleness cohort = 50 exactly. The cohort must be
+    registered names, disjoint from the anchors and from the ACTIVE
+    r14 window (so nothing in it gets a newer green row before r15),
+    and the NEW list must equal the staged_r15 slate name-for-name."""
+    import __spark_entry__ as mod
+
+    new = mod.ROTATION_R15_NEW
+    cohort = mod.ROTATION_R15_REVALIDATE
+    assert sorted(new) == sorted(n for n, _s, _f in staged_r15.STAGED)
+    assert len(cohort) == 36 == len(set(cohort))
+    live = set(mod.queries())
+    assert set(cohort) <= live
+    assert not (set(cohort) & set(mod.PRIORITY_WINDOW))
+    demoted = {"agg_pricing_summary", "generate_orders_seeded"}
+    assert demoted <= set(mod.ANCHORS)  # still anchors at r14
+    anchors_r15 = [a for a in mod.ANCHORS if a not in demoted]
+    assert len(anchors_r15) + len(new) + len(cohort) == 50
+    # and the names sit where the plan says they sit
+    assert not (set(new) & live)  # staged, not yet registered
+
+
 def test_rotation_capacity_arithmetic():
     """The 5-round staleness invariant is only satisfiable while
     non-anchor registry names fit the rotation budget
