@@ -229,3 +229,35 @@ def test_gif_animation_enumeration_roundtrip():
     # truncated mid-frame is loud
     with pytest.raises(ValueError, match="truncated|ended"):
         gif_frames(gif[:-6])
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame carrying a LOCAL color table maps its pixels through it,
+    not the global one — hand-built stream (the encoder only writes
+    global tables, so this branch needs an independent fixture)."""
+    from orders_currency_conversion_etl_spark.operators.gif_codec import (
+        _lzw_encode,
+        decode_gif,
+        gif_frames,
+    )
+
+    w, h = 4, 2
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    global_pal = b"GGGgggXXXxxx"  # 4 entries — must NOT be used
+    local_pal = b"abcdefghijkl"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 1)  # GCT present, 4 entries
+    out += b"\x00\x00" + global_pal
+    out.append(0x2C)
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x80 | 1)  # LOCAL table present, 4 entries
+    out += local_pal
+    out.append(2)  # min code size
+    lzw = _lzw_encode(2, idx)
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    gw, gh, mode, rgb = decode_gif(bytes(out))
+    assert (gw, gh, mode) == (w, h, "RGB")
+    assert rgb == b"".join(local_pal[3 * i : 3 * i + 3] for i in idx)
+    (frame,) = gif_frames(bytes(out))
+    assert frame["local_colors"] == 4
