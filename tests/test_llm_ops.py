@@ -2669,3 +2669,33 @@ def test_heif_avif_dims():
     )
     with pytest.raises(ValueError, match="truncated ispe"):
         mm.heif_dims(bad)
+
+
+def test_jpeg_progressive_restart_interval_resets_dc_pred():
+    """Hand-built SOF2 stream with DRI=1: a DC-first scan whose two
+    blocks are separated by RST0 must reset the DC predictor — both
+    blocks code diff=8 and must both land at DC 8 (flat 129 with a
+    unit quant table); without the reset the second block would be 16
+    (flat 130), so the fixture discriminates."""
+    import struct
+
+    import numpy as np
+
+    from orders_currency_conversion_etl_spark.operators import jpeg_codec as jc
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 4]))
+    dri = seg(0xFFDD, struct.pack(">H", 1))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    # per block: DC size-4 code '01' + bits '1000', padded with 1s
+    block = bytes([0b01100011])
+    scan = block + b"\xff\xd0" + block
+    payload = b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+    w, h, mode, px = jc.decode_jpeg(payload)
+    assert (w, h, mode) == (16, 8, "L")
+    got = np.frombuffer(px, np.uint8)
+    assert (got == 129).all()  # pred reset: both blocks DC=8 -> 129
