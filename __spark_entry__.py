@@ -54,6 +54,12 @@ from orders_currency_conversion_etl_spark.streaming import attribution as _attri
 from orders_currency_conversion_etl_spark.streaming import dedup_stream as _dedup_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import file_queue as _file_queue  # noqa: F401
+from orders_currency_conversion_etl_spark import staged_r15 as _staged_r15
+
+# r15 registration (pinned late r13 in staged_r15.py's docstring and
+# tests/test_staged_r15.py): the four staged queries join the registry
+# here — 200 -> 204 names.
+_staged_r15.register_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -123,14 +129,10 @@ ANCHORS = [
     # flagship ETL + incremental (S6/P*/J1-J3/F1-F4)
     "flagship_conversion",
     "incremental_unprocessed",
-    # aggregation family (A1-A3)
-    "agg_pricing_summary",
     # window family (W1-W2)
     "window_running_total",
     # as-of join (J4)
     "join_asof_rates",
-    # seeded generator (F9-F11)
-    "generate_orders_seeded",
     # streaming batch twin (T1)
     "events_hourly_stats",
     # TPC-H representative (the r2/r3 q6 drift watch)
@@ -770,12 +772,14 @@ ROTATION_R15_REVALIDATE = [
     "window_top3_per_customer",
 ]
 
-# r14 (ACTIVE): 12 anchors + the full 38-name r9 staleness cohort = 50.
-# Zero new registrations this round by design (window has no slack);
-# the four staged_r15 queries + queue_source_roundtrip register at r15
-# with the permanent anchor trim 12 -> 10 (arithmetic pinned in
-# tests/test_staged_r15.py and staged_r15.py's module docstring).
-PRIORITY_WINDOW = ANCHORS + ROTATION_R14_REVALIDATE
+# r15 (ACTIVE): 10 anchors + the 4 staged_r15 registrations + the full
+# 36-name r10 staleness cohort = 50, exactly as pre-computed late r14.
+# The anchor trim 12 -> 10 is PERMANENT (steady-state budget
+# non_anchor_names <= (50 - len(ANCHORS)) * 5: 194 <= 200 after the
+# four registrations; 12 anchors would give 192 > 190). The demoted
+# agg_pricing_summary / generate_orders_seeded have newest green r14
+# -> next due r19 as ordinary rotation names.
+PRIORITY_WINDOW = ANCHORS + ROTATION_R15_NEW + ROTATION_R15_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,9 +1,16 @@
-"""The staged r15 registrations (staged_r15.py) are value-exact against
-their oracles TODAY, through the exact machinery registration will
-apply — each test registers the query with the real decorator (boundary
-casts), compares via the driver-replica harness against the FINALIZED
-oracle, then removes the entry so the live registry (and the artifact-
-sync pins keyed to it) is untouched."""
+"""The r15 registrations (staged late r13 in staged_r15.py, ACTIVATED
+at r15 via ``staged_r15.register_all()`` in ``__spark_entry__``) stay
+value-exact against their oracles through the LIVE registry machinery —
+exactly what the driver runs. The window/capacity pins below encode the
+post-registration arithmetic: registry 204, anchors permanently 10,
+r15 window = 10 anchors + 4 new + the 36-name r10 cohort = 50.
+
+History: before r15 these tests pinned the PRE-registration state
+(staged names absent from the registry, 12 anchors, capacity proof that
+registering under 12 anchors would overflow the 5-round budget). That
+era's pins are preserved in git history; the activation flipped them to
+the steady-state form here.
+"""
 
 from __future__ import annotations
 
@@ -16,106 +23,81 @@ from oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
 
+STAGED_NAMES = [n for n, _sql, _fn in staged_r15.STAGED]
 
-@pytest.mark.parametrize(
-    "name", [n for n, _sql, _fn in staged_r15.STAGED]
-)
-def test_staged_query_value_exact(spark, name):
-    sql, fn = next(
-        (s, f) for n, s, f in staged_r15.STAGED if n == name
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod  # registers the full 204-name registry
+
+    return mod
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_registered_query_value_exact(spark, entry_mod, name):
+    """Each r15-registered query remains value-exact against its
+    FINALIZED oracle through the live registry path (boundary casts on
+    both engines) — the same compare the driver's hash gate replays."""
+    assert name in registry.QUERIES  # registered by __spark_entry__
+    finalized = entry_mod.oracle_sql()[name]
+    compare_query(spark, SF, registry.QUERIES[name], finalized)
+
+
+def test_register_all_is_idempotent(entry_mod):
+    """register_all() re-applies dict assignments; a second call (e.g.
+    a test importing staged_r15 after __spark_entry__) must not grow
+    the registry or change the registered objects' behavior."""
+    before = dict(registry.QUERIES)
+    staged_r15.register_all()
+    assert set(registry.QUERIES) == set(before)
+    for n in STAGED_NAMES:
+        assert n in registry.QUERIES and n in registry.ORACLES
+
+
+def test_r15_registration_landed_in_the_window(entry_mod):
+    """The four staged names are registered AND sit in the active
+    driver window exactly where the late-r14 plan put them — directly
+    after the anchors, before the revalidation cohort."""
+    q = entry_mod.queries()
+    for n in STAGED_NAMES:
+        assert n in q, f"{n} missing from the registry"
+    assert sorted(entry_mod.ROTATION_R15_NEW) == sorted(STAGED_NAMES)
+    window = list(q)[:50]
+    assert window == (
+        entry_mod.ANCHORS
+        + entry_mod.ROTATION_R15_NEW
+        + entry_mod.ROTATION_R15_REVALIDATE
     )
-    assert name not in registry.QUERIES  # really unregistered today
-    registry.query(name, sql)(fn)
-    try:
-        # finalize THIS oracle exactly as finalized_oracles() would,
-        # without touching its registry-wide cache (these tests must
-        # leave the live registry and its caches untouched)
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            for t in registry.ORACLE_TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
-                )
-            cols = [
-                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
-            ]
-        finally:
-            con.close()
-        finalized = registry._wrap_oracle(sql, cols)
-        compare_query(spark, SF, registry.QUERIES[name], finalized)
-    finally:
-        del registry.QUERIES[name]
-        del registry.ORACLES[name]
-    assert name not in registry.QUERIES
 
 
-def test_staged_names_are_planned_in_the_window_comment():
-    """The rotation plan in __spark_entry__ must keep naming the r15
-    path while these stay staged — a stale plan is how a window
-    overflow happens."""
-    import __spark_entry__ as mod
-    import inspect
-
-    src = inspect.getsource(mod)
-    assert "r15" in src and "ROTATION_R13_NEW" in src
-    for n, _sql, _fn in staged_r15.STAGED:
-        assert n not in mod.queries(), f"{n} registered before its window"
-
-
-def test_r14_window_precomputation_is_sound():
-    """The r14 window is ACTIVE (flipped early r14, exactly as
-    pre-computed late r13): 12 anchors + the full 38-name r9 staleness
-    cohort, 50 unique registered names, nothing else — zero slots for
-    new registrations, which is why the staged queries wait for r15."""
-    import __spark_entry__ as mod
-
-    cohort = mod.ROTATION_R14_REVALIDATE
-    assert len(cohort) == 38 == len(set(cohort))
-    live = set(mod.queries())
-    assert set(cohort) <= live
-    assert mod.PRIORITY_WINDOW == mod.ANCHORS + cohort
-    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
-    assert not (set(cohort) & set(mod.ANCHORS))
-
-
-def test_r15_window_precomputation_is_sound():
-    """The pre-written r15 window (late r14): 10 anchors (the two
-    named demotions applied) + the four staged registrations + the
-    full 36-name r10 staleness cohort = 50 exactly. The cohort must be
-    registered names, disjoint from the anchors and from the ACTIVE
-    r14 window (so nothing in it gets a newer green row before r15),
-    and the NEW list must equal the staged_r15 slate name-for-name."""
-    import __spark_entry__ as mod
-
-    new = mod.ROTATION_R15_NEW
-    cohort = mod.ROTATION_R15_REVALIDATE
-    assert sorted(new) == sorted(n for n, _s, _f in staged_r15.STAGED)
-    assert len(cohort) == 36 == len(set(cohort))
-    live = set(mod.queries())
-    assert set(cohort) <= live
-    assert not (set(cohort) & set(mod.PRIORITY_WINDOW))
+def test_r15_window_is_sound(entry_mod):
+    """The ACTIVE r15 window: 10 anchors (the two pinned demotions
+    applied permanently) + 4 registrations + the full 36-name r10
+    staleness cohort = 50 unique registered names, pairwise disjoint."""
+    mod = entry_mod
+    assert len(mod.ANCHORS) == 10
     demoted = {"agg_pricing_summary", "generate_orders_seeded"}
-    assert demoted <= set(mod.ANCHORS)  # still anchors at r14
-    anchors_r15 = [a for a in mod.ANCHORS if a not in demoted]
-    assert len(anchors_r15) + len(new) + len(cohort) == 50
-    # and the names sit where the plan says they sit
-    assert not (set(new) & live)  # staged, not yet registered
+    assert not (demoted & set(mod.ANCHORS))  # trim is permanent
+    live = set(mod.queries())
+    assert demoted <= live  # demoted, not de-registered
+    cohort = mod.ROTATION_R15_REVALIDATE
+    assert len(cohort) == 36 == len(set(cohort))
+    assert set(cohort) <= live
+    assert mod.PRIORITY_WINDOW == (
+        mod.ANCHORS + mod.ROTATION_R15_NEW + cohort
+    )
+    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
 
 
-def test_rotation_capacity_arithmetic():
-    """The 5-round staleness invariant is only satisfiable while
-    non-anchor registry names fit the rotation budget
-    (window - anchors) * 5. Today: 188 <= 190. Registering the 4
-    staged queries under 12 permanent anchors would break this
-    (192 > 190) — which is why the staged plan makes the r15 anchor
-    trim to 10 PERMANENT (budget 200). This test fails the moment
-    someone grows the registry past the current anchors' budget, so
-    the capacity decision can never be skipped silently."""
-    import __spark_entry__ as mod
-
+def test_rotation_capacity_arithmetic(entry_mod):
+    """The 5-round staleness invariant needs non_anchor_names <=
+    (window - anchors) * 5. Post-registration: 194 <= 200 at the
+    permanent 10 anchors — with the proof that the old 12-anchor form
+    would NOT fit (192 > 190), i.e. the trim was forced, not cosmetic.
+    This test fails the moment someone grows the registry past the
+    anchors' budget, so the capacity decision can never be skipped
+    silently."""
+    mod = entry_mod
     window = 50
     anchors = len(mod.ANCHORS)
     non_anchor = len(mod.queries()) - anchors
@@ -124,7 +106,6 @@ def test_rotation_capacity_arithmetic():
         f"{non_anchor} non-anchor names exceed the {budget}-name rotation "
         f"budget at {anchors} anchors — shrink ANCHORS or de-register"
     )
-    # and the staged registration is only feasible with the planned trim
-    staged_total = non_anchor + len(staged_r15.STAGED)
-    assert staged_total > budget  # documents WHY the trim is needed
-    assert staged_total <= (window - 10) * 5  # 10 anchors suffice
+    # the permanent trim was forced: 12 anchors cannot hold this registry
+    total = len(mod.queries())
+    assert total - 12 > (window - 12) * 5
