@@ -631,6 +631,8 @@ def decode_png(payload: bytes) -> tuple[int, int, str, bytes]:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         rgb = pal[idx]
         if trns is not None:
+            if len(trns) > len(pal):
+                raise ValueError("PNG tRNS longer than PLTE")
             alpha = np.full(len(pal), 255, dtype=np.uint8)
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return w, h, "RGBA", np.dstack([rgb, alpha[idx]]).tobytes()

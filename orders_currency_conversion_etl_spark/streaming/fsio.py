@@ -31,6 +31,20 @@ import re
 
 _SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/")
 
+#: Schemes whose write primitive is a single PUT (the store's atomic
+#: unit — readers see the old or the new object, never a partial) and
+#: whose rename is a non-atomic copy+delete. Everything else is a real
+#: filesystem where the opposite holds: rename is atomic, in-place
+#: truncate-and-write is not.
+_OBJECT_STORE_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift",
+}
+
+
+def _scheme(path: str) -> str:
+    return path.split(":", 1)[0].lower() if _SCHEME.match(path) else ""
+
 
 def is_remote(path: str) -> bool:
     """True when the path names a Hadoop filesystem scheme (including
@@ -67,7 +81,10 @@ def list_dir(path: str) -> "list[str]":
     if not is_remote(path):
         try:
             return os.listdir(path)
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # a stray regular file where a directory is expected is the
+            # same "nothing to maintain" case as an absent directory
+            # (the pre-r14 os.path.isdir guards no-op'd on both)
             return []
     fs, jpath, _ = _fs(path)
     if not fs.exists(jpath):
@@ -109,11 +126,20 @@ def read_text(path: str) -> str:
 
 
 def write_text_atomic(path: str, text: str) -> None:
-    """Whole-file marker write. Local: tmp + os.replace (atomic).
-    Remote: FS create(overwrite) — visible on close(), which is a
-    single PUT on object stores (their atomic unit) and an atomic
-    create on HDFS; markers are single small files precisely so this
-    is the only write primitive retention needs."""
+    """Whole-file marker write, READ-atomic on every branch: a
+    concurrent reader sees the complete old text or the complete new
+    text, never empty/partial (``_low_watermark`` parses these markers
+    and a partial read would fall back to floor 0 — exactly the
+    corruption the marker exists to prevent).
+
+    Local: tmp + os.replace. Object stores (s3a/gs/abfs/...): a single
+    PUT via FS create — the store's atomic unit; rename there is
+    copy+delete, which is WORSE. Real remote filesystems (hdfs://,
+    file://, viewfs://...): create(overwrite=True) truncates the live
+    file in place, so instead write a dot-named temp sibling and rename
+    it into place (atomic on HDFS and local), with the
+    FileContext OVERWRITE form for filesystems whose plain rename
+    refuses an existing destination."""
     if not is_remote(path):
         import uuid
 
@@ -124,12 +150,49 @@ def write_text_atomic(path: str, text: str) -> None:
             fh.write(text)
         os.replace(tmp, path)
         return
-    fs, jpath, _ = _fs(path)
-    out = fs.create(jpath, True)
+    fs, jpath, jvm = _fs(path)
+    if _scheme(path) in _OBJECT_STORE_SCHEMES:
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    import uuid
+
+    jtmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), f".{jpath.getName()}.tmp-{uuid.uuid4().hex}"
+    )
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    try:
+        if not fs.rename(jtmp, jpath):
+            # HDFS's FileSystem.rename refuses an existing destination;
+            # FileContext.rename(..., Rename.OVERWRITE) is its atomic
+            # replace form.
+            _rename_overwrite(jvm, fs, jtmp, jpath)
+    except Exception:
+        fs.delete(jtmp, False)
+        raise
+
+
+def _rename_overwrite(jvm, fs, jsrc, jdst) -> None:
+    """FileContext.rename with Rename.OVERWRITE (atomic replace on
+    HDFS/local). py4j varargs need an explicit Java array."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    gw = spark.sparkContext._gateway
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_enum, 1)
+    opts[0] = rename_enum.OVERWRITE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), fs.getConf()
+    )
+    fc.rename(jsrc, jdst, opts)
 
 
 def require_local(path: str, op: str) -> None:
@@ -148,11 +211,25 @@ def require_local(path: str, op: str) -> None:
 
 def strip_file_scheme(path: str) -> str:
     """``file:///x`` / ``file:/x`` -> ``/x`` for os-level operations on
-    paths that are local disk behind a scheme."""
+    paths that are local disk behind a scheme. A ``file://`` URI with a
+    remote authority (``file://host/p``) or no path component at all
+    (``file://x``) raises ValueError loudly — silently dropping the
+    host would point the broker at a DIFFERENT machine's path."""
     if path.startswith("file://"):
         rest = path[len("file://"):]
-        # file://host/p is not supported; file:///p -> /p
-        return rest if rest.startswith("/") else "/" + rest.split("/", 1)[1]
+        if rest.startswith("/"):
+            return rest  # empty authority: file:///p -> /p
+        host, sep, p = rest.partition("/")
+        if not sep:
+            raise ValueError(
+                f"malformed file:// URI (authority but no path): {path!r}"
+            )
+        if host not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URI with remote authority {host!r} is not local "
+                f"disk — unsupported here: {path!r}"
+            )
+        return "/" + p
     if path.startswith("file:"):
         return path[len("file:"):]
     return path

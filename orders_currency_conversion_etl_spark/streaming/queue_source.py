@@ -151,6 +151,22 @@ class QueueStreamReader(DataSourceStreamReader):
         self._start_opt = start
         self._max_segs = int(options.get("maxsegmentspertrigger", 0)) or None
         self._group = options.get("group")
+        if self._max_segs and not self._group:
+            # Without a consumer group there is no durable restart-safe
+            # throttle base, so the FIRST planned batch after every
+            # (re)start is UNCAPPED (correctness over throttling — see
+            # latestOffset). That must be an explicit choice, not a
+            # surprise when a restart ingests the whole backlog at once.
+            import warnings
+
+            warnings.warn(
+                "orders_queue: maxSegmentsPerTrigger is set without a "
+                "'group' option — the first micro-batch after any "
+                "restart is uncapped (no durable throttle base). Set "
+                ".option('group', <name>) to keep the cap across "
+                "restarts.",
+                stacklevel=2,
+            )
         self._prev_end: "dict[str, int] | None" = None
 
     def initialOffset(self):

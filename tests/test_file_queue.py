@@ -966,3 +966,66 @@ def test_queue_drain_session_amortizes_across_publishes(spark):
             assert got.count() == 40
             # exactly-once: every (partition, seq, row) distinct
             assert got.select("id").distinct().count() == 40
+
+
+def test_fsio_marker_write_is_rename_based_on_real_filesystems(spark):
+    """ADVICE r15: on real filesystems (file://, hdfs://) the marker
+    write must NOT truncate the destination in place — a concurrent
+    _low_watermark reader of a fully-GC'd partition would parse the
+    empty/partial file, fall back to floor 0, and hand out an
+    already-used offset. The FS branch writes a dot-named temp sibling
+    and renames it into place; temp residue would be a failed rename."""
+    import tempfile as _tf
+
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    with _tf.TemporaryDirectory() as d:
+        p = "file://" + os.path.join(d, ".lowwater")
+        fsio.write_text_atomic(p, "7")
+        fsio.write_text_atomic(p, "8000")  # overwrite of a LIVE marker
+        assert fsio.read_text(p) == "8000"
+        # rename-based: no temp sibling survives (Hadoop's checksummed
+        # LocalFileSystem adds a .crc sidecar for the FINAL name only —
+        # a lingering *.tmp-* entry would mean a failed rename)
+        assert [f for f in os.listdir(d) if ".tmp-" in f] == []
+        assert ".lowwater" in os.listdir(d)
+        # object-store schemes keep the single-PUT branch (their atomic
+        # unit); the rename path must not be forced onto them
+        assert fsio._scheme("s3a://b/k") in fsio._OBJECT_STORE_SCHEMES
+        assert fsio._scheme("hdfs://nn/p") not in fsio._OBJECT_STORE_SCHEMES
+
+
+def test_fsio_strip_file_scheme_rejects_malformed_authority():
+    """ADVICE r15: file://host/p silently dropped the host (pointing
+    the broker at a DIFFERENT machine's path) and file://x raised a
+    bare IndexError. Both are now loud ValueErrors; the legal forms
+    still strip exactly."""
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    assert fsio.strip_file_scheme("file:///q/p") == "/q/p"
+    assert fsio.strip_file_scheme("file://localhost/q/p") == "/q/p"
+    assert fsio.strip_file_scheme("file:/q/p") == "/q/p"
+    assert fsio.strip_file_scheme("/q/p") == "/q/p"
+    with pytest.raises(ValueError, match="remote authority"):
+        fsio.strip_file_scheme("file://otherhost/q/p")
+    with pytest.raises(ValueError, match="no path"):
+        fsio.strip_file_scheme("file://x")
+
+
+def test_fsio_list_dir_tolerates_stray_regular_file():
+    """ADVICE r15: maintenance helpers no-op when a stray regular file
+    sits where a partition directory is expected (the pre-r14
+    os.path.isdir guard semantics), instead of NotADirectoryError."""
+    import tempfile as _tf
+
+    from orders_currency_conversion_etl_spark.streaming import file_queue as fq
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    with _tf.TemporaryDirectory() as d:
+        stray = os.path.join(d, "partition=0")
+        with open(stray, "w") as fh:
+            fh.write("not a directory")
+        assert fsio.list_dir(stray) == []
+        assert fsio.list_dir(os.path.join(d, "absent")) == []
+        # and the queue-level maintenance helpers stay no-op too
+        assert fq.queue_offsets(d) == {0: 0}

@@ -657,6 +657,16 @@ def test_png_matrix_error_paths():
     ) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="pixel stream"):
         multimodal.decode_png(short)
+    # tRNS longer than the PLTE entry count is the codec's named error,
+    # not an opaque numpy broadcast failure (ADVICE r15)
+    ihdr1 = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    overlong = multimodal._PNG_SIG + chunk(b"IHDR", ihdr1) + chunk(
+        b"PLTE", b"abc"
+    ) + chunk(b"tRNS", b"\x00\x01") + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="tRNS longer than PLTE"):
+        multimodal.decode_png(overlong)
 
 
 def test_png_decode_images_routes_without_pil(spark):

