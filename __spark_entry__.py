@@ -732,6 +732,76 @@ ROTATION_R15_NEW = [
     "lake_rowgroup_stats",
     "queue_source_roundtrip",
 ]
+
+#   r16 (planned, list pre-computed early r15): after the r15 driver
+#       run the newest-green histogram is r11:38 / r12:38 / r13:38 /
+#       r14:40 / r15:50 (sums to 204; recomputed from
+#       CORRECTNESS_r01..r14 plus the active r15 window, early-r15
+#       session — the r14 bucket is the r14 window minus the 10
+#       anchors re-greened at r15, i.e. the 38-name r9 cohort + the 2
+#       demoted anchors). The 38-name r11 cohort turns 5 rounds old at
+#       r16 and is due; with the two staged_r16 registrations
+#       (multimodal_gif_decode, multimodal_png_palette_decode) the
+#       window is EXACTLY
+#         ANCHORS (10) + ROTATION_R16_NEW (2) + ROTATION_R16_REVALIDATE (38) = 50.
+#       Capacity after registration: 206 names, non-anchor 196 <=
+#       (50 - 10) * 5 = 200 — four slots of headroom left for r17+.
+#       The r16 session does:
+#         1. import staged_r16 and call staged_r16.register_all()
+#            next to the staged_r15 call;
+#         2. PRIORITY_WINDOW = ANCHORS + ROTATION_R16_NEW + ROTATION_R16_REVALIDATE
+#         3. regenerate the registry-keyed artifacts (oracle sweeps,
+#            CODEGEN_AUDIT, PARTITION_INVARIANCE, PLANCHECK_BROADCASTS);
+#         4. record extras introduction baselines for the two names on
+#            that session's rig (bench_extras pattern);
+#         5. update tests/test_staged_r16.py from its pre-registration
+#            pins to steady-state pins (the test_staged_r15.py r15
+#            rewrite is the model).
+ROTATION_R16_NEW = [
+    "multimodal_gif_decode",
+    "multimodal_png_palette_decode",
+]
+ROTATION_R16_REVALIDATE = [
+    # the full newest-green-row=r11 cohort (38):
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "agg_distinct_by_status",
+    "agg_having_big_customers",
+    "agg_min_by_max_by",
+    "agg_pivot_status",
+    "agg_revenue_by_nation",
+    "agg_statistics",
+    "dedup_semantic_clustered",
+    "events_sliding_stats",
+    "events_time_rollup_sets",
+    "explode_part_types",
+    "flagship_queue_drain",
+    "fuzzy_match_adjacent_docs",
+    "histogram_value_bins",
+    "join_null_safe",
+    "join_skewed_fact_salted",
+    "monthly_revenue_yoy",
+    "multimodal_audio_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "pack_sequences_greedy",
+    "part_cooccurrence_topk",
+    "posexplode_leading_tokens",
+    "profile_columns",
+    "regression_price_drift",
+    "reorder_interval_by_priority",
+    "rfm_segmentation",
+    "sample_fixed_k_per_group",
+    "shipping_leadtime_histogram",
+    "source_vocab_jaccard",
+    "supplier_share_of_nation",
+    "text_corpus_stats",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_repetition_filter",
+    "topk_nulls_last",
+]
 ROTATION_R15_REVALIDATE = [
     # the full newest-green-row=r10 cohort (36):
     "activity_streaks",

@@ -196,6 +196,28 @@ def test_staged_r16_not_registered_before_window():
         assert n not in mod.queries(), f"{n} registered before its window"
 
 
+def test_r16_window_precomputation_is_sound():
+    """The pre-computed r16 window (early r15): 10 anchors + the two
+    staged_r16 registrations + the full 38-name r11 staleness cohort =
+    50 exactly. The cohort must be registered names, disjoint from the
+    anchors and from the ACTIVE r15 window (so nothing in it gets a
+    newer green row before r16), the NEW list must equal the staged
+    slate name-for-name, and the post-registration capacity must fit
+    the 5-round budget (206 - 10 = 196 <= (50 - 10) * 5 = 200)."""
+    import __spark_entry__ as mod
+
+    new = mod.ROTATION_R16_NEW
+    cohort = mod.ROTATION_R16_REVALIDATE
+    assert sorted(new) == sorted(n for n, _s, _f in staged_r16.STAGED)
+    assert len(cohort) == 38 == len(set(cohort))
+    live = set(mod.queries())
+    assert set(cohort) <= live
+    assert not (set(cohort) & set(mod.PRIORITY_WINDOW))
+    assert not (set(new) & live)  # staged, not yet registered
+    assert len(mod.ANCHORS) + len(new) + len(cohort) == 50
+    assert (len(live) + len(new)) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
+
+
 def test_gif_animation_enumeration_roundtrip():
     """gif_frames walks every frame's GCE + descriptor and SEEKS over
     the LZW data (header tier, no decode); decode_gif still decodes
