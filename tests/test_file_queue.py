@@ -1029,3 +1029,25 @@ def test_fsio_list_dir_tolerates_stray_regular_file():
         assert fsio.list_dir(os.path.join(d, "absent")) == []
         # and the queue-level maintenance helpers stay no-op too
         assert fq.queue_offsets(d) == {0: 0}
+
+
+def test_fsio_filecontext_overwrite_rename_path(spark):
+    """The HDFS fallback inside write_text_atomic: plain
+    FileSystem.rename refuses an existing destination there, and the
+    code falls back to FileContext.rename(..., Rename.OVERWRITE).
+    Local rename happens to succeed, so exercise the fallback DIRECTLY
+    against an existing destination — it must atomically replace."""
+    import tempfile as _tf
+
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    with _tf.TemporaryDirectory() as d:
+        dst = "file://" + os.path.join(d, "marker")
+        src = "file://" + os.path.join(d, ".marker.tmp-x")
+        fsio.write_text_atomic(dst, "old")
+        fsio.write_text_atomic(src, "new")
+        fs, jdst, jvm = fsio._fs(dst)
+        _, jsrc, _ = fsio._fs(src)
+        fsio._rename_overwrite(jvm, fs, jsrc, jdst)
+        assert fsio.read_text(dst) == "new"
+        assert not fs.exists(jsrc)
