@@ -1,0 +1,269 @@
+"""Registration-ready r18 queries — staged at r15, NOT imported by
+``__spark_entry__`` until r18 (r16 and r17 windows are exactly filled
+by the staged_r16/staged_r17 slates plus their due cohorts).
+
+Window math (the staged_r15..r17 convention): the r18 due cohort is
+the 38-name r13 bucket, leaving exactly ``50 - 10 - 38 = 2`` slots —
+these two queries. Capacity after registration: 210 names, non-anchor
+200 <= (50 - 10) * 5 = 200 — the budget is then EXACTLY full: r19 and
+r20 have zero slots (r14/r15 buckets are 40 non-anchor names each) and
+NO further registration is possible without retiring a query or
+widening the window. This module deliberately spends the last two
+slots of the build's horizon.
+
+At r18: (1) import this module's :func:`register_all` in
+``__spark_entry__`` next to the staged_r15/r16/r17 calls, (2) set
+``ROTATION_R18_NEW = [n for n, _s, _f in staged_r18.STAGED]`` and
+``PRIORITY_WINDOW = ANCHORS + ROTATION_R18_NEW + ROTATION_R18_REVALIDATE``
+(the r13 cohort, recompute from CORRECTNESS_r01..r17 + the active r17
+window), (3) regenerate the registry-keyed artifacts, (4) record
+extras introduction baselines, (5) update tests/test_staged_r18.py to
+steady-state pins (the test_staged_r15.py rewrite is the model).
+
+Both queries are value-exact against their oracles TODAY through the
+registration machinery (``tests/test_staged_r18.py``).
+
+What they register (the same move as r17's video dispatch: first
+DRIVER-hard signals for parser families that today have only pytest
+pins):
+
+* ``multimodal_audio_info`` — the unified audio dispatch
+  (:func:`operators.multimodal.audio_info`): per document, synthesize
+  WAV (pcm16/float32/mulaw fmt-tag stripes) / OGG (Vorbis and Opus
+  identification pages) / native FLAC (STREAMINFO bit-packing) / MP3
+  (ID3v2-skip stripe + Layer-III frame header) cycling on
+  ``doc_id % 4``, and parse back codec/channels/sample_rate. First
+  driver rows for the FLAC and MP3 walks and for the dispatch itself
+  (``multimodal_ogg_info`` covers OGG alone; WAV info previously
+  rode inside full decode).
+
+* ``multimodal_image_dims`` — the header-only image dispatch
+  (:func:`operators.multimodal.image_dims`) over the four format
+  families with no driver signal: netpbm P4/P5/P6 (token scan),
+  ICO (directory walk, largest entry, the 0-means-256 favicon quirk
+  on a ninth stripe), BMP (BITMAPINFOHEADER, 24/32/8 bpp modes,
+  negative top-down height stripe), HEIF/AVIF (meta/iprp/ipco/ispe
+  ISO-BMFF walk, thumbnail ispe skipped). Every branch O(header),
+  pixel bytes never synthesized beyond a token placeholder.
+
+Scale shape for both: one mapInPandas stage over ``documents``, no
+shuffle at any scale; the fixtures are a few hundred bytes per row
+regardless of SF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .operators import multimodal as mm
+from .sources import catalog
+
+# ------------------------------------------------------------------
+# 1. multimodal_audio_info — the WAV/OGG/FLAC/MP3 dispatch, oracled
+# ------------------------------------------------------------------
+
+AUDIO_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+# sample_rate cycles the MPEG-1 Layer-III legal set so ONE stripe
+# formula covers every container; channels alternate mono/stereo.
+AUDIO_INFO_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN CASE CAST(strlen(text) % 3 AS INT)
+                             WHEN 0 THEN 'pcm16'
+                             WHEN 1 THEN 'float32'
+                             ELSE 'mulaw' END
+            WHEN 1 THEN CASE WHEN strlen(text) % 2 = 0
+                             THEN 'vorbis' ELSE 'opus' END
+            WHEN 2 THEN 'flac'
+            ELSE 'mp3'
+       END AS codec,
+       CAST(1 + strlen(text) % 2 AS INT) AS channels,
+       CAST(CASE CAST(strlen(text) % 3 AS INT)
+                 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000
+            END AS INT) AS sample_rate
+FROM documents
+"""
+
+
+def multimodal_audio_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified audio info through :func:`multimodal.audio_info`: WAV
+    fmt-chunk walk (all three supported tags), OGG Vorbis/Opus
+    identification pages, FLAC STREAMINFO bit-unpacking, MP3 frame
+    header behind an ID3v2 syncsafe skip — every branch's parse under
+    one value hash."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _info(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                n = len(text)
+                ch = 1 + n % 2
+                rate = (44100, 48000, 32000)[n % 3]
+                if doc_id % 4 == 0:
+                    fmt = ("pcm16", "float32", "mulaw")[n % 3]
+                    payload = mm.encode_wav(rate, [0, 1] * ch, ch, fmt)
+                elif doc_id % 4 == 1:
+                    payload = mm.encode_ogg_id_page(
+                        "vorbis" if n % 2 == 0 else "opus", ch, rate
+                    )
+                elif doc_id % 4 == 2:
+                    payload = mm.encode_flac_header(ch, rate)
+                else:
+                    payload = mm.encode_mp3_header(
+                        ch, rate, id3_size=(n % 7) * 3
+                    )
+                codec, gch, grate = mm.audio_info(payload)
+                rows.append((doc_id, codec, gch, grate))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_INFO_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(_info, schema=AUDIO_INFO_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# 2. multimodal_image_dims — netpbm/ICO/BMP/HEIF dispatch, oracled
+# ------------------------------------------------------------------
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+IMAGE_DIMS_ORACLE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 1
+                 THEN CASE WHEN strlen(text) % 9 = 0
+                           THEN 256 ELSE 1 + strlen(text) % 255 END
+                 ELSE 1 + strlen(text) % 300 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 1
+                 THEN CASE WHEN strlen(text) % 9 = 0
+                           THEN 256 ELSE 1 + (strlen(text) // 3) % 255 END
+                 ELSE 1 + (strlen(text) // 7) % 200 END AS INT) AS height,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN CASE CAST(strlen(text) % 3 AS INT)
+                             WHEN 0 THEN '1' WHEN 1 THEN 'L' ELSE 'RGB' END
+            WHEN 1 THEN 'RGBA'
+            WHEN 2 THEN CASE CAST(strlen(text) % 3 AS INT)
+                             WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'P' END
+            ELSE 'RGB'
+       END AS mode
+FROM documents
+"""
+
+
+def _ico_bytes(w: int, h: int) -> bytes:
+    """Two-entry ICONDIR: a 1x1 thumb + the (w, h) primary — the
+    largest-entry selection and the 0-means-256 quirk both live in
+    the entry bytes (256 encodes as 0)."""
+    import struct
+
+    def entry(ew: int, eh: int) -> bytes:
+        return struct.pack(
+            "<BBBBHHII", ew % 256, eh % 256, 0, 0, 1, 32, 16, 22
+        )
+
+    return struct.pack("<HHH", 0, 1, 2) + entry(1, 1) + entry(w, h)
+
+
+def _bmp_bytes(w: int, h: int, bpp: int, topdown: bool) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER (40), no pixel data — the
+    dims walk never reads past the header."""
+    import struct
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if topdown else h, 1, bpp, 0, 0, 0, 0, 0, 0
+    )
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
+    return file_hdr + info
+
+
+def _pnm_bytes(kind: int, w: int, h: int) -> bytes:
+    """P4/P5 header with a comment line (pnm_dims' token-scan skip
+    branch) and a placeholder pixel byte; P6 stays comment-free —
+    ``image_dims`` routes ``P6\\n`` to the STRICT ppm parser, which
+    per its contract takes the plain ``P6/W H/MAX`` layout only."""
+    comment = "" if kind == 6 else "# fixture\n"
+    return (
+        f"P{kind}\n{comment}{w} {h}\n".encode()
+        + (b"" if kind == 4 else b"255\n")
+        + b"\x00"
+    )
+
+
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only dims through :func:`multimodal.image_dims` for the
+    four families without prior driver signal: netpbm (comment-
+    tolerant token scan), ICO (largest directory entry + 256 quirk),
+    BMP (info header, top-down negative height on an odd stripe),
+    HEIF/AVIF (ispe walk with a thumbnail entry to skip)."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                n = len(text)
+                if doc_id % 4 == 1:
+                    if n % 9 == 0:
+                        w = h = 256
+                    else:
+                        w, h = 1 + n % 255, 1 + (n // 3) % 255
+                    payload = _ico_bytes(w, h)
+                else:
+                    w, h = 1 + n % 300, 1 + (n // 7) % 200
+                    if doc_id % 4 == 0:
+                        payload = _pnm_bytes((4, 5, 6)[n % 3], w, h)
+                    elif doc_id % 4 == 2:
+                        payload = _bmp_bytes(
+                            w, h, (24, 32, 8)[n % 3], topdown=(n % 2 == 1)
+                        )
+                    else:
+                        payload = mm.encode_heif_header(
+                            "heic" if n % 2 == 0 else "avif",
+                            [(1, 1), (w, h)],
+                        )
+                gw, gh, mode = mm.image_dims(payload)
+                rows.append((doc_id, gw, gh, mode))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_DIMS_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(_dims, schema=IMAGE_DIMS_SCHEMA)
+
+
+STAGED = [
+    ("multimodal_audio_info", AUDIO_INFO_ORACLE, multimodal_audio_info),
+    ("multimodal_image_dims", IMAGE_DIMS_ORACLE, multimodal_image_dims),
+]
+
+
+def register_all() -> None:
+    """Apply the registry decorator to every staged query — the ONE
+    call the r18 session adds (plus the window edit; module docstring
+    has the full checklist)."""
+    from .plans.registry import query
+
+    for name, sql, fn in STAGED:
+        query(name, sql)(fn)
