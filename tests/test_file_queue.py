@@ -1051,3 +1051,42 @@ def test_fsio_filecontext_overwrite_rename_path(spark):
         fsio._rename_overwrite(jvm, fs, jsrc, jdst)
         assert fsio.read_text(dst) == "new"
         assert not fs.exists(jsrc)
+
+
+def test_fsio_strip_file_scheme_properties():
+    """Property pins (hypothesis): scheme-less paths are identity;
+    file:/p and file:///p strip to /p; any non-localhost authority is
+    a loud ValueError, never a silent host drop or IndexError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    segment = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(st.lists(segment, min_size=1, max_size=4))
+    @settings(max_examples=50, deadline=None)
+    def roundtrip(parts):
+        p = "/" + "/".join(parts)
+        assert fsio.strip_file_scheme(p) == p
+        assert fsio.strip_file_scheme("file:" + p) == p
+        assert fsio.strip_file_scheme("file://" + p) == p
+        assert fsio.strip_file_scheme("file://localhost" + p) == p
+
+    @given(segment, st.lists(segment, min_size=1, max_size=3))
+    @settings(max_examples=50, deadline=None)
+    def bad_authority(host, parts):
+        if host == "localhost":
+            return
+        p = f"file://{host}/" + "/".join(parts)
+        with pytest.raises(ValueError):
+            fsio.strip_file_scheme(p)
+
+    roundtrip()
+    bad_authority()
