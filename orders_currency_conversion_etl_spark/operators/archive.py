@@ -63,25 +63,16 @@ def _zip64_extra_values(extra: bytes, needed: int) -> list[int]:
     raise ValueError("ZIP64 sentinel without a 0x0001 extra field")
 
 
-def zip_members(payload: bytes) -> list[dict]:
-    """Central-directory walk -> one dict per member:
-    ``{name, compressed_size, uncompressed_size, method, offset}``.
-    Reads the EOCD record (scanned backward through the maximal
-    65 557-byte comment tail, per APPNOTE 4.3.16) and the central
-    directory only — local headers and member data are never touched.
-    The EOCD entry count must match the walked count (a truncated or
-    spliced directory fails loudly). ZIP64 (r13): when the EOCD
-    carries 0xFFFF/0xFFFFFFFF sentinels the walk follows the EOCD64
-    locator (APPNOTE 4.3.15) to the EOCD64 record for the real
-    count/size/offset, and per-entry sentinels resolve through the
-    0x0001 extended-information extra field — the >4 GiB / >65 535-
-    member form every real corpus drop uses."""
+def _zip_cd_bounds(payload: bytes) -> "tuple[int, int, int]":
+    """EOCD(64) walk -> (n_total, cd_off, cd_size): the EOCD record is
+    scanned backward through the maximal 65 557-byte comment tail per
+    APPNOTE 4.3.16; ZIP64 sentinels follow the EOCD64 locator (4.3.15)
+    to the real count/size/offset."""
     tail_start = max(0, len(payload) - (22 + 65535))
     eocd = payload.rfind(_EOCD_SIG, tail_start)
     if eocd < 0 or eocd + 22 > len(payload):
         raise ValueError("not a ZIP payload (no end-of-central-directory record)")
     n_total, cd_size, cd_off = struct.unpack("<HII", payload[eocd + 10 : eocd + 20])
-    n_total_64 = None
     if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
         # ZIP64: the 20-byte locator sits immediately before the EOCD.
         loc = eocd - 20
@@ -94,11 +85,31 @@ def zip_members(payload: bytes) -> list[dict]:
             payload[eocd64_off : eocd64_off + 4] != _EOCD64_SIG
         ):
             raise ValueError("EOCD64 locator points past or at a non-EOCD64 record")
-        n_total_64, cd_size64, cd_off64 = struct.unpack(
+        n_total, cd_size, cd_off = struct.unpack(
             "<QQQ", payload[eocd64_off + 32 : eocd64_off + 56]
         )
-        cd_off, cd_size = cd_off64, cd_size64
-        n_total = n_total_64
+    return n_total, cd_off, cd_size
+
+
+def zip_cd_start(payload: bytes) -> int:
+    """Offset where the central directory begins — the exclusive end
+    of the LAST member's local bytes, i.e. the ranged-fetch slice
+    bound for the final member (every other member's bound is the
+    next member's offset)."""
+    return _zip_cd_bounds(payload)[1]
+
+
+def zip_members(payload: bytes) -> list[dict]:
+    """Central-directory walk -> one dict per member:
+    ``{name, compressed_size, uncompressed_size, method, offset}``.
+    Reads the EOCD record and the central directory only — local
+    headers and member data are never touched. The EOCD entry count
+    must match the walked count (a truncated or spliced directory
+    fails loudly). ZIP64 (r13): EOCD sentinels resolve through the
+    EOCD64 locator/record and per-entry sentinels through the 0x0001
+    extended-information extra field — the >4 GiB / >65 535-member
+    form every real corpus drop uses."""
+    n_total, cd_off, cd_size = _zip_cd_bounds(payload)
     pos, end = cd_off, cd_off + cd_size
     if end > len(payload):
         raise ValueError("ZIP central directory overruns the payload")
@@ -1088,6 +1099,122 @@ def fetch_zip_member(member_bytes: bytes, expected_usize: int) -> bytes:
             f"declares {expected_usize} — stale or corrupt slice"
         )
     return data
+
+
+ZIP_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("method", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("compressed_size", T.LongType()),
+        T.StructField("uncompressed_size", T.LongType()),
+        T.StructField("slice_end", T.LongType()),
+    ]
+)
+
+
+def build_zip_index_df(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """ZIP's side-car index build AS A PLAN (r15 — the
+    :func:`build_warc_gz_index_df` twin): one central-directory walk
+    per archive in a single ``mapInPandas`` stage, emitting the
+    CDX-shaped rows later fetches prune against. ``slice_end`` is the
+    exclusive byte bound of each member's local bytes — the next
+    member's local-header offset in offset order, and
+    :func:`zip_cd_start` for the last member — so a fetch can slice
+    ``payload[offset : slice_end]`` without parsing anything. The
+    walk is O(central directory), never O(payload): member data is
+    not touched until a fetch asks for that member."""
+    base = df.select(
+        F.col(id_col).alias("archive_id"), F.col(payload_col).alias("payload")
+    )
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                payload = bytes(payload)
+                members = zip_members(payload)
+                bounds = sorted(m["offset"] for m in members) + [
+                    zip_cd_start(payload)
+                ]
+                ends = {
+                    off: bounds[i + 1] for i, off in enumerate(bounds[:-1])
+                }
+                for i, m in enumerate(members):
+                    rows.append(
+                        (
+                            aid,
+                            i,
+                            m["name"],
+                            m["method"],
+                            m["offset"],
+                            m["compressed_size"],
+                            m["uncompressed_size"],
+                            ends[m["offset"]],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZIP_INDEX_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(_index, schema=ZIP_INDEX_SCHEMA)
+
+
+ZIP_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def fetch_zip_members_df(archives: DataFrame, index: DataFrame) -> DataFrame:
+    """The pruned-fetch half for ZIP AS A PLAN (r15 — the
+    :func:`fetch_warc_gz_records_df` twin): join a (pre-filtered)
+    slice of the index back to its archives, cut each member's local
+    bytes with a JVM-side binary ``substr`` (whole archives never
+    cross the Python boundary), and complete the extraction in an
+    Arrow-batched ``mapInPandas`` via :func:`fetch_zip_member` — local
+    header parsed independently, stored/deflate handled, the central
+    directory's uncompressed size verified so a stale index fails
+    loudly. Scale shape: the index filter prunes BEFORE the join, the
+    join moves only wanted index rows (broadcast when small), and
+    Arrow ships member-sized slices — fetching 100 members out of a
+    multi-GiB model-checkpoint archive transfers ~100 member-KiBs,
+    not the archive."""
+    sliced = index.join(archives, "archive_id").select(
+        "archive_id",
+        "idx",
+        "name",
+        "uncompressed_size",
+        F.expr(
+            "substr(payload, CAST(offset AS INT) + 1, "
+            "CAST(slice_end - offset AS INT))"
+        ).alias("member_bytes"),
+    )
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, idx, name, usize, member in zip(
+                pdf["archive_id"],
+                pdf["idx"],
+                pdf["name"],
+                pdf["uncompressed_size"],
+                pdf["member_bytes"],
+            ):
+                rows.append(
+                    (aid, idx, name, fetch_zip_member(bytes(member), int(usize)))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZIP_FETCH_SCHEMA.fields]
+            )
+
+    return sliced.mapInPandas(_fetch, schema=ZIP_FETCH_SCHEMA)
 
 
 _COMPRESSION_MAGICS = (

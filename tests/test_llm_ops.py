@@ -2709,3 +2709,104 @@ def test_jpeg_progressive_restart_interval_resets_dc_pred():
     assert (w, h, mode) == (16, 8, "L")
     got = np.frombuffer(px, np.uint8)
     assert (got == 129).all()  # pred reset: both blocks DC=8 -> 129
+
+
+def test_build_zip_index_df(spark):
+    """r15: ZIP's side-car index build as a Spark plan — one central-
+    directory walk per archive, CDX-shaped rows with slice bounds
+    (next member's offset; zip_cd_start for the last member)."""
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    archives = []
+    contents = {}
+    for aid in range(3):
+        members = [
+            (f"m{aid}/{i}.bin", bytes([65 + aid + i]) * (4 + 3 * i))
+            for i in range(aid + 2)
+        ]
+        contents[aid] = dict(members)
+        archives.append((aid, ar.build_zip(members)))
+    df = spark.createDataFrame(
+        archives,
+        T.StructType(
+            [
+                T.StructField("archive_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    idx = ar.build_zip_index_df(df, "archive_id", "payload")
+    rows = sorted(
+        (r["archive_id"], r["idx"], r["name"], r["offset"], r["slice_end"])
+        for r in idx.collect()
+    )
+    # per archive: idx ordered, offsets strictly increasing, each
+    # slice_end == next offset, last slice_end == cd_start
+    for aid, payload in archives:
+        mine = [r for r in rows if r[0] == aid]
+        assert [r[1] for r in mine] == list(range(len(contents[aid])))
+        offs = [r[3] for r in mine]
+        assert offs == sorted(offs)
+        for (_, _, _, _, end), nxt in zip(mine, offs[1:]):
+            assert end == nxt
+        assert mine[-1][4] == ar.zip_cd_start(payload)
+        assert {r[2] for r in mine} == set(contents[aid])
+
+
+def test_fetch_zip_members_df(spark):
+    """r15: the pruned ZIP fetch as a Spark plan — filter the index,
+    join back to archives, JVM substr slices local bytes, Python
+    completes only those members (stored AND deflate), sizes verified
+    against the central directory."""
+    import io
+    import zipfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    # archive 0: stored (our builder); archive 1: deflate (stdlib)
+    stored = ar.build_zip([("s0", b"stored-A" * 5), ("s1", b"stored-B")])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(zipfile.ZipInfo("d0", (1980, 1, 1, 0, 0, 0)), b"deflate " * 30)
+        zf.writestr(zipfile.ZipInfo("d1", (1980, 1, 1, 0, 0, 0)), b"")
+    arch_df = spark.createDataFrame(
+        [(0, stored), (1, buf.getvalue())], schema
+    )
+    idx = ar.build_zip_index_df(arch_df, "archive_id", "payload").cache()
+
+    got = ar.fetch_zip_members_df(arch_df, idx)
+    assert sorted(
+        (r["archive_id"], r["name"], bytes(r["data"])) for r in got.collect()
+    ) == [
+        (0, "s0", b"stored-A" * 5),
+        (0, "s1", b"stored-B"),
+        (1, "d0", b"deflate " * 30),
+        (1, "d1", b""),
+    ]
+
+    # pruned fetch: one member only
+    one = ar.fetch_zip_members_df(
+        arch_df, idx.filter((F.col("archive_id") == 1) & (F.col("name") == "d0"))
+    )
+    assert [bytes(r["data"]) for r in one.collect()] == [b"deflate " * 30]
+
+    # a stale index (wrong size) fails loudly inside the fetch
+    import pyspark.errors
+
+    stale = idx.withColumn(
+        "uncompressed_size", F.col("uncompressed_size") + F.lit(1)
+    )
+    with pytest.raises(Exception, match="stale or corrupt slice"):
+        ar.fetch_zip_members_df(arch_df, stale).collect()
+    idx.unpersist()
