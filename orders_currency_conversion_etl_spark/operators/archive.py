@@ -1217,6 +1217,87 @@ def fetch_zip_members_df(archives: DataFrame, index: DataFrame) -> DataFrame:
     return sliced.mapInPandas(_fetch, schema=ZIP_FETCH_SCHEMA)
 
 
+TAR_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("typeflag", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def build_tar_index_df(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """TAR's side-car index build AS A PLAN (r15 — completing the
+    container trio with :func:`build_zip_index_df` and
+    :func:`build_warc_gz_index_df`): one checksum-verified header walk
+    per archive in a single ``mapInPandas`` stage, emitting
+    (offset, size) coordinates for every member's data blocks. The
+    walk is O(headers) — it seeks over data blocks, so a multi-GiB
+    archive costs 512 bytes of reading per member."""
+    base = df.select(
+        F.col(id_col).alias("archive_id"), F.col(payload_col).alias("payload")
+    )
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                for i, m in enumerate(tar_members(bytes(payload))):
+                    rows.append(
+                        (aid, i, m["name"], m["typeflag"], m["offset"], m["size"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TAR_INDEX_SCHEMA.fields]
+            )
+
+    return base.mapInPandas(_index, schema=TAR_INDEX_SCHEMA)
+
+
+def fetch_tar_members_df(archives: DataFrame, index: DataFrame) -> DataFrame:
+    """The pruned TAR fetch as a 100% JVM plan: tar member data is
+    stored verbatim (no per-member compression), so the extraction IS
+    the slice — join the (pre-filtered) index to its archives and cut
+    each member with a binary ``substr``; nothing crosses the Python
+    boundary at all, making this the cheapest fetch of the three
+    container families (ZIP inflates, .warc.gz gunzips — both per
+    Arrow batch; tar is whole-stage-codegen'd). A stale index fails
+    loudly JVM-side: ``assert_true`` pins the sliced length to the
+    index's size (a truncated archive or wrong offset yields a short
+    slice). Honest boundary: tar stores data verbatim with no
+    per-member checksum, so a stale size within the member's 512-byte
+    zero-padding window slices padding bytes undetected — unlike ZIP
+    (central-directory size re-verified against the inflate) and WARC
+    (record identity re-matched). That is the format's limit, not the
+    plan's: plain tar has nothing to verify against."""
+    return (
+        index.join(archives, "archive_id")
+        .select(
+            "archive_id",
+            "idx",
+            "name",
+            F.expr(
+                "substr(payload, CAST(offset AS INT) + 1, CAST(size AS INT))"
+            ).alias("data"),
+            "size",
+        )
+        .select(
+            "archive_id",
+            "idx",
+            "name",
+            F.when(
+                F.assert_true(
+                    F.octet_length("data") == F.col("size"),
+                    F.lit("tar member slice shorter than its size — stale or corrupt index"),
+                ).isNull(),
+                F.col("data"),
+            ).alias("data"),
+        )
+    )
+
+
 _COMPRESSION_MAGICS = (
     (b"\x1f\x8b", "gzip"),
     (b"BZh", "bzip2"),

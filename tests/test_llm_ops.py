@@ -2810,3 +2810,66 @@ def test_fetch_zip_members_df(spark):
     with pytest.raises(Exception, match="stale or corrupt slice"):
         ar.fetch_zip_members_df(arch_df, stale).collect()
     idx.unpersist()
+
+
+def test_tar_index_and_fetch_df(spark):
+    """r15: the container trio's third plan-form pair — tar's fetch is
+    a PURE JVM plan (member data is stored verbatim, so extraction is
+    a binary substr; no Python stage at all), with assert_true pinning
+    the sliced length to the index's size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    contents = {
+        0: [("a.txt", b"alpha" * 7), ("dir/b.bin", b"\x00\x01" * 50)],
+        1: [("only", b"x")],
+    }
+    arch_df = spark.createDataFrame(
+        [(aid, ar.build_tar(ms)) for aid, ms in contents.items()], schema
+    )
+    idx = ar.build_tar_index_df(arch_df, "archive_id", "payload").cache()
+    assert sorted(
+        (r["archive_id"], r["idx"], r["name"], r["size"]) for r in idx.collect()
+    ) == [(0, 0, "a.txt", 35), (0, 1, "dir/b.bin", 100), (1, 0, "only", 1)]
+
+    got = ar.fetch_tar_members_df(arch_df, idx)
+    assert sorted(
+        (r["archive_id"], r["name"], bytes(r["data"])) for r in got.collect()
+    ) == sorted(
+        (aid, n, d) for aid, ms in contents.items() for n, d in ms
+    )
+
+    # the FETCH side adds no Python operator: over a materialized
+    # index (so the build stage's MapInPandas is out of the lineage)
+    # the whole fetch plan is JVM-only
+    mat_idx = spark.createDataFrame(idx.collect(), ar.TAR_INDEX_SCHEMA)
+    plan = (
+        ar.fetch_tar_members_df(arch_df, mat_idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan
+
+    # pruned fetch: one member
+    one = ar.fetch_tar_members_df(
+        arch_df, idx.filter((F.col("archive_id") == 0) & (F.col("idx") == 1))
+    )
+    assert [bytes(r["data"]) for r in one.collect()] == [b"\x00\x01" * 50]
+
+    # stale index fails loudly JVM-side once the claimed size overruns
+    # the archive (a +1 would still slice tar's 512-byte zero padding
+    # and pass the length check — padding bytes ARE present on disk)
+    stale = idx.withColumn("size", F.col("size") + F.lit(1_000_000))
+    with pytest.raises(Exception, match="stale or corrupt index"):
+        ar.fetch_tar_members_df(arch_df, stale).collect()
+    idx.unpersist()
