@@ -2873,3 +2873,45 @@ def test_tar_index_and_fetch_df(spark):
     with pytest.raises(Exception, match="stale or corrupt index"):
         ar.fetch_tar_members_df(arch_df, stale).collect()
     idx.unpersist()
+
+
+def test_decompress_payloads_df(spark):
+    """r15: wire-format decompression as a plan — gzip/bzip2/xz dumps
+    sniffed and inflated in one mapInPandas stage; an unsupported
+    codec fails the task loudly with the codec named."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    from pyspark.sql import types as T
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    schema = T.StructType(
+        [
+            T.StructField("payload_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    originals = {0: b"gzip body " * 9, 1: b"bzip2 body " * 9, 2: b"xz body " * 9}
+    rows = [
+        (0, _gzip.compress(originals[0])),
+        (1, _bz2.compress(originals[1])),
+        (2, _lzma.compress(originals[2])),
+    ]
+    out = ar.decompress_payloads_df(
+        spark.createDataFrame(rows, schema), "payload_id", "payload"
+    ).collect()
+    assert sorted((r["payload_id"], r["codec"], bytes(r["data"])) for r in out) == [
+        (0, "gzip", originals[0]),
+        (1, "bzip2", originals[1]),
+        (2, "xz", originals[2]),
+    ]
+
+    # zstd magic sniffs correctly and fails the task with the codec named
+    zstd_like = b"\x28\xb5\x2f\xfd" + b"\x00" * 16
+    bad = ar.decompress_payloads_df(
+        spark.createDataFrame([(9, zstd_like)], schema), "payload_id", "payload"
+    )
+    with pytest.raises(Exception, match="zstd"):
+        bad.collect()
