@@ -1,0 +1,171 @@
+"""Bloom-filter semi-join pruning (r15) — cut a fact table's shuffle
+volume BEFORE a sort-merge join when the dim side is too big to
+broadcast as rows but its KEY SET fits a few-MB bitmap.
+
+This is the pattern behind Spark's own runtime row-level filtering
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`, SPARK-32268) and
+every warehouse's join pruning: at 100 TB the expensive part of
+`fact JOIN dim` is shuffling the fact rows that will NOT match. A
+broadcast hash join avoids the shuffle but needs the dim's ROWS to fit
+on every executor; a Bloom bitmap needs ~10 bits per KEY at 1% false
+positives — an order of magnitude smaller than the keys themselves
+(no 64-bit values, no hash-table overhead) — so it extends the
+"broadcast something" range by ~10x: 10^8 dim keys = a 120 MB
+hash-join build side, but a 12 MB bitmap. The pruned fact then
+shuffles only matching rows (+ the fp fraction) into the real join,
+which still produces EXACT results — Bloom filters have no false
+negatives, so pruning is semantics-free.
+
+Execution split (the heavy-hitters pattern from operators/sketches.py):
+the per-row hashing runs JVM-SIDE under whole-stage codegen — one
+``md5`` per key parsed into two independent 32-bit halves (h1, h2),
+double-hashed to k positions as ``h1 + i*h2 mod m`` (Kirsch &
+Mitzenmacher 2006: two independent hashes suffice for all k) — and
+Python only does vectorized numpy BIT arithmetic per Arrow batch: the
+build ORs per-partition bitmaps (one m/8-byte array per partition,
+reduced to one), the probe tests k bits per row against a broadcast
+bitmap. No per-row Python hashing anywhere.
+
+md5 is used for PORTABILITY (same reason the Misra-Gries and sample
+operators use it): the bitmap is a persistable artifact and any engine
+that can md5 can rebuild or probe it — no dependence on Spark's
+internal xxhash seeds across versions.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> "tuple[int, int]":
+    """Standard sizing -> (num_bits, k): m = -n ln p / (ln 2)^2 rounded
+    up to a byte multiple, k = (m/n) ln 2 clamped to [1, 16]."""
+    if n_keys <= 0:
+        raise ValueError("bloom_params needs n_keys > 0")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("bloom_params needs 0 < fpp < 1")
+    m = math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / n_keys * math.log(2))))
+    return m, k
+
+
+def _h1h2(key: Column) -> "list[Column]":
+    """One JVM-side md5 per key -> two independent 32-bit halves.
+    Whole-stage-codegen'd; the SAME derivation must be used by build
+    and probe (both call this), or membership breaks."""
+    digest = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("__bloom_h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("__bloom_h2"),
+    ]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, num_bits: int, k: int) -> np.ndarray:
+    """(rows, k) bit positions via double hashing — pure numpy."""
+    i = np.arange(k, dtype=np.uint64)
+    # uint64 arithmetic wraps mod 2^64, then mod m: positions stay
+    # uniform because h1/h2 are uniform on 32 bits and m << 2^32
+    return (
+        h1.astype(np.uint64)[:, None] + i[None, :] * h2.astype(np.uint64)[:, None]
+    ) % np.uint64(num_bits)
+
+
+def build_bloom(df: DataFrame, key_col: str, num_bits: int, k: int) -> bytes:
+    """Distributed bitmap build: stage 1 folds each partition's keys
+    into ONE m/8-byte bitmap row (numpy bitwise, per Arrow batch);
+    stage 2 ORs the per-partition bitmaps on a single reducer. Driver
+    receives exactly one bitmap — O(m/8) bytes, independent of row
+    count. Cost: one scan + one md5 per key + a #partitions-row
+    shuffle of bitmaps."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a byte multiple")
+    hashed = df.select(*_h1h2(F.col(key_col)))
+    bitmap_schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
+
+    def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(num_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = _positions(
+                pdf["__bloom_h1"].to_numpy(), pdf["__bloom_h2"].to_numpy(),
+                num_bits, k,
+            ).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    partials = hashed.mapInPandas(_fold, schema=bitmap_schema)
+
+    def _reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(num_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            for raw in pdf["bitmap"]:
+                bm |= np.frombuffer(bytes(raw), dtype=np.uint8)
+        yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    rows = partials.coalesce(1).mapInPandas(_reduce, schema=bitmap_schema).collect()
+    return bytes(rows[0]["bitmap"]) if rows else bytes(num_bits // 8)
+
+
+def prune_with_bloom(
+    fact: DataFrame, key_col: str, bitmap: bytes, num_bits: int, k: int
+) -> DataFrame:
+    """Filter ``fact`` to rows whose key MIGHT be in the bitmap —
+    exact-join-safe (no false negatives) scan-side pruning to run
+    BEFORE the real join's shuffle. The bitmap rides to executors as a
+    broadcast variable (one copy per executor, not per task); hashing
+    is the JVM md5 derivation shared with :func:`build_bloom`, and the
+    membership test is k vectorized bit lookups per Arrow batch."""
+    if len(bitmap) * 8 != num_bits:
+        raise ValueError(
+            f"bitmap is {len(bitmap) * 8} bits, num_bits says {num_bits}"
+        )
+    spark = fact.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf(T.BooleanType())
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), num_bits, k)
+        hits = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hits.all(axis=1))
+
+    h1, h2 = _h1h2(F.col(key_col))
+    return (
+        fact.withColumn("__bh1", h1)
+        .withColumn("__bh2", h2)
+        .where(_might_contain(F.col("__bh1"), F.col("__bh2")))
+        .drop("__bh1", "__bh2")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame, dim: DataFrame, key_col: str, fpp: float = 0.01,
+    n_keys: "int | None" = None,
+) -> DataFrame:
+    """The composed pattern: size a bitmap from the dim's key count
+    (counted if not given), build it distributively, prune the fact,
+    then finish with the EXACT semi join — the join now shuffles only
+    matching fact rows plus the fp fraction. Use when the dim's rows
+    exceed the broadcast threshold but ~10 bits/key fits executor
+    memory; below the threshold Spark's own broadcast semi join is
+    already optimal (and AQE picks it without help)."""
+    if n_keys is None:
+        n_keys = dim.select(key_col).distinct().count()
+    if n_keys == 0:
+        return fact.where(F.lit(False))
+    num_bits, k = bloom_params(n_keys, fpp)
+    bitmap = build_bloom(dim.select(key_col), key_col, num_bits, k)
+    pruned = prune_with_bloom(fact, key_col, bitmap, num_bits, k)
+    return pruned.join(dim.select(key_col).distinct(), key_col, "left_semi")

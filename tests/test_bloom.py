@@ -1,0 +1,99 @@
+"""Bloom-filter semi-join pruning (operators/bloom.py): no false
+negatives ever (join-exactness), measured false-positive rate within
+bound, distributed build == single-partition build, JVM-side hashing
+(plan-asserted), and the composed bloom_semi_join exact against the
+plain semi join."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from orders_currency_conversion_etl_spark.operators import bloom
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bloom_params_standard_sizing():
+    m, k = bloom.bloom_params(10_000, 0.01)
+    # theory: ~9.585 bits/key, k ~ 7 at 1%
+    assert 9 * 10_000 <= m <= 10.5 * 10_000
+    assert k == 7
+    assert m % 8 == 0
+    with pytest.raises(ValueError):
+        bloom.bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom.bloom_params(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    dim = spark.range(0, 2_000).select(
+        (F.col("id") * 3).cast("long").alias("key")
+    )
+    num_bits, k = bloom.bloom_params(2_000, 0.01)
+    bitmap = bloom.build_bloom(dim, "key", num_bits, k)
+    assert len(bitmap) == num_bits // 8
+
+    fact = spark.range(0, 30_000).select(F.col("id").alias("key"))
+    pruned = {r["key"] for r in bloom.prune_with_bloom(
+        fact, "key", bitmap, num_bits, k
+    ).collect()}
+    members = {i * 3 for i in range(2_000) if i * 3 < 30_000}
+    # exactness: every true member survives pruning
+    assert members <= pruned
+    # fp rate on the non-members within a loose 3x of the target 1%
+    non_members = 30_000 - len(members)
+    fp = (len(pruned) - len(members)) / non_members
+    assert fp <= 0.03, fp
+
+
+def test_bloom_build_is_partition_invariant(spark):
+    keys = spark.range(0, 5_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    num_bits, k = bloom.bloom_params(5_000, 0.02)
+    bm_many = bloom.build_bloom(keys.repartition(16), "key", num_bits, k)
+    bm_one = bloom.build_bloom(keys.coalesce(1), "key", num_bits, k)
+    assert bm_many == bm_one  # OR-merge is order/partitioning-free
+
+
+def test_bloom_hashing_is_jvm_side(spark):
+    """The per-row md5 double-hash runs under codegen; Python only sees
+    two long columns per Arrow batch (the sketches.py split)."""
+    fact = spark.range(0, 100).select(F.col("id").alias("key"))
+    num_bits, k = bloom.bloom_params(100, 0.01)
+    bitmap = bloom.build_bloom(fact, "key", num_bits, k)
+    pruned = bloom.prune_with_bloom(fact, "key", bitmap, num_bits, k)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the vectorized bit test
+    assert "md5" in plan  # hashing stayed in the JVM projection
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_bloom_semi_join_exact_vs_plain_semi(spark):
+    """The composed pattern returns EXACTLY the plain semi join's rows
+    on real tables: prune + exact semi == exact semi."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet").where(
+        F.col("c_acctbal") > 7000
+    ).select(F.col("c_custkey").alias("o_custkey"))
+
+    got = bloom.bloom_semi_join(orders, customer, "o_custkey", fpp=0.01)
+    expected = orders.join(customer.distinct(), "o_custkey", "left_semi")
+    assert got.count() == expected.count()
+    a = {r["o_orderkey"] for r in got.select("o_orderkey").collect()}
+    b = {r["o_orderkey"] for r in expected.select("o_orderkey").collect()}
+    assert a == b
+
+    # degenerate dims
+    empty = customer.where(F.lit(False))
+    assert bloom.bloom_semi_join(orders, empty, "o_custkey").count() == 0
+
+
+def test_bloom_validation_errors(spark):
+    fact = spark.range(3).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="byte multiple"):
+        bloom.build_bloom(fact, "key", 13, 2)
+    with pytest.raises(ValueError, match="bitmap is"):
+        bloom.prune_with_bloom(fact, "key", b"\x00" * 4, 64, 2)
