@@ -1,0 +1,128 @@
+"""Count-min sketch (r15) — mergeable point-frequency state for ANY
+key, completing the sketch family's coverage triangle:
+
+- HLL (`sketches.py`): how many DISTINCT keys — no per-key answers;
+- Misra-Gries (`sketches.py`): WHICH keys are the top-k — nothing
+  about keys outside the summary;
+- count-min (here): "how often did THIS key occur", for every key,
+  with a one-sided epsilon-additive guarantee (Cormode & Muthukrishnan
+  2005): estimate >= true always, and estimate <= true + eps*N with
+  probability 1 - delta, at width w = ceil(e/eps), depth d =
+  ceil(ln(1/delta)).
+
+Why it matters at 100 TB: the grid is w*d int64 counters — a few
+hundred KB — however many rows or distinct keys flow through. Build it
+once per day/partition of a corpus, persist the grids, and answer
+"frequency of key X over any date range" by element-wise ADDING the
+grids (commutative + associative, so partition- and order-invariant)
+and taking one min-over-rows lookup; no re-scan of the data. The same
+property makes the distributed build exact: per-partition grids fold
+locally (numpy, per Arrow batch) and a single reducer SUMS them — the
+result is byte-identical to a single-partition build (pinned).
+
+Execution split mirrors ``operators/bloom.py`` (whose JVM md5
+double-hash derivation this module shares): hashing runs JVM-side
+under whole-stage codegen; Python does only vectorized numpy
+scatter-adds per Arrow batch. md5 keeps persisted grids PORTABLE
+across engines and Spark versions, the same policy as the sample /
+heavy-hitter / bloom keys.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bloom import _h1h2, _positions
+
+
+def cm_params(eps: float, delta: float) -> "tuple[int, int]":
+    """Standard sizing -> (width, depth): w = ceil(e/eps) counters per
+    row, d = ceil(ln(1/delta)) rows."""
+    if not (0.0 < eps < 1.0) or not (0.0 < delta < 1.0):
+        raise ValueError("cm_params needs 0 < eps < 1 and 0 < delta < 1")
+    return math.ceil(math.e / eps), math.ceil(math.log(1.0 / delta))
+
+
+def build_countmin(df: DataFrame, key_col: str, width: int, depth: int) -> np.ndarray:
+    """Distributed (depth, width) int64 grid: stage 1 scatter-adds each
+    partition's keys into a local grid (numpy ``np.add.at`` per Arrow
+    batch), stage 2 SUMS the per-partition grids on one reducer. The
+    driver receives exactly one grid — O(depth*width*8) bytes,
+    independent of row count. Counter positions are the bloom module's
+    JVM-side md5 double-hash: row i probes column
+    (h1 + i*h2) mod width."""
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    if depth > 16:
+        raise ValueError("depth > 16 exceeds the double-hash derivation's design range")
+    hashed = df.select(*_h1h2(F.col(key_col)))
+    grid_schema = T.StructType([T.StructField("grid", T.BinaryType())])
+
+    def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = _positions(
+                pdf["__bloom_h1"].to_numpy(), pdf["__bloom_h2"].to_numpy(),
+                width, depth,
+            )  # (rows, depth) columns per row of the grid
+            for d in range(depth):
+                np.add.at(grid[d], pos[:, d].astype(np.int64), 1)
+        if any_rows:
+            yield pd.DataFrame({"grid": [grid.tobytes()]})
+
+    partials = hashed.mapInPandas(_fold, schema=grid_schema)
+
+    def _reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            for raw in pdf["grid"]:
+                grid += np.frombuffer(bytes(raw), dtype=np.int64).reshape(depth, width)
+        yield pd.DataFrame({"grid": [grid.tobytes()]})
+
+    rows = partials.coalesce(1).mapInPandas(_reduce, schema=grid_schema).collect()
+    if not rows:
+        return np.zeros((depth, width), dtype=np.int64)
+    return (
+        np.frombuffer(bytes(rows[0]["grid"]), dtype=np.int64)
+        .reshape(depth, width)
+        .copy()
+    )
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise ADD — the mergeable-state operation. Grids built
+    over disjoint row sets merge into exactly the grid a single build
+    over the union would produce."""
+    if a.shape != b.shape:
+        raise ValueError(f"grid shapes differ: {a.shape} vs {b.shape}")
+    return a + b
+
+
+def cm_estimate(grid: np.ndarray, keys: "list") -> "list[int]":
+    """Point-frequency estimates (min over rows) for the given keys —
+    driver-side, O(depth) per key. Hashing replays the JVM derivation
+    in Python (md5 hex halves), so estimates agree with grids built by
+    :func:`build_countmin` byte-for-byte."""
+    import hashlib
+
+    depth, width = grid.shape
+    out = []
+    for key in keys:
+        digest = hashlib.md5(str(key).encode()).hexdigest()
+        h1, h2 = int(digest[:8], 16), int(digest[8:16], 16)
+        est = min(
+            int(grid[i, (h1 + i * h2) % width]) for i in range(depth)
+        )
+        out.append(est)
+    return out
