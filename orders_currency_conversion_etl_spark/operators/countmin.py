@@ -113,7 +113,11 @@ def cm_estimate(grid: np.ndarray, keys: "list") -> "list[int]":
     """Point-frequency estimates (min over rows) for the given keys —
     driver-side, O(depth) per key. Hashing replays the JVM derivation
     in Python (md5 hex halves), so estimates agree with grids built by
-    :func:`build_countmin` byte-for-byte."""
+    :func:`build_countmin` byte-for-byte FOR INT AND STRING KEYS —
+    the supported key types. (Python ``str()`` and Spark's string cast
+    diverge on booleans ('True' vs 'true') and floats ('0.1' vs
+    Spark's formatting), so hash keys must be ints or strings; cast
+    upstream if needed.)"""
     import hashlib
 
     depth, width = grid.shape
