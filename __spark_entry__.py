@@ -842,6 +842,192 @@ ROTATION_R15_REVALIDATE = [
     "window_top3_per_customer",
 ]
 
+
+#   r17-r20 (the COMPLETE remaining horizon, pre-computed and pinned
+#       early r15): each cohort below is fully determined TODAY because
+#       the r16-r18 windows are themselves pinned and pairwise disjoint
+#       from the later cohorts (anchors re-green every round and never
+#       enter a cohort). Derivation: newest-green recomputed from
+#       CORRECTNESS_r01..r14, names in the active r15 window greened at
+#       r15, then each pinned window greened in sequence. Window sums:
+#         r17 = 10 anchors + staged_r17 (2) + R17_REVALIDATE (38) = 50
+#         r18 = 10 anchors + staged_r18 (2) + R18_REVALIDATE (38) = 50
+#         r19 = 10 anchors + R19_REVALIDATE (40) = 50  (zero slots)
+#         r20 = 10 anchors + R20_REVALIDATE (40) = 50  (zero slots)
+#       R19 is the r14 bucket (the 38-name r9 staleness cohort + the two
+#       anchors demoted at r15); R20 is the r15 bucket (the four r15
+#       registrations + the 36-name r10 cohort). After r20 every
+#       registered name's newest green is r16+ and the 5-round invariant
+#       holds through the end of the build. CAVEAT: the pins assume each
+#       window greens; a red row re-enters rotation early and displaces
+#       the alphabetically-last cohort member (handle in-session).
+#       tests/test_rotation_horizon.py re-derives all four lists from
+#       the CORRECTNESS record and fails on any drift.
+ROTATION_R17_REVALIDATE = [
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "agg_hll_rolling_accuracy",
+    "agg_percentiles",
+    "agg_rollup_region_nation",
+    "attribution_windowed_stats",
+    "cohort_retention_weekly",
+    "filter_composite_predicates",
+    "heavy_hitters_mg",
+    "join_asof_forward_rates",
+    "join_fact_to_fact_revenue",
+    "knn_ivf",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "layout_hilbert_stats",
+    "layout_zorder_stats",
+    "mix_sources_token_budget",
+    "multimodal_ogg_info",
+    "multimodal_webp_dims",
+    "pagerank_parts_materialized",
+    "queue_backfill_slice",
+    "queue_dedup_drain",
+    "queue_roundtrip_convert",
+    "regex_functions",
+    "sample_seeded",
+    "scalar_subquery_revenue_share",
+    "scd2_pointintime_lookup",
+    "sessionize_gap_summary",
+    "split_leakage_safe",
+    "subquery_above_customer_avg",
+    "text_vocab_encode",
+    "timeseries_gapfill_ffill",
+    "tpch_q9_product_profit",
+    "union_by_name_missing_cols",
+    "unpivot_status_counts",
+    "window_cume_nth",
+    "window_lag_delta",
+    "window_lead_first",
+]
+ROTATION_R18_REVALIDATE = [
+    "archive_tar_members",
+    "archive_warc_records",
+    "archive_zip_members",
+    "case_bucket_totalprice",
+    "cast_matrix",
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_incremental_lsh",
+    "dedup_longest_substring",
+    "dedup_stream_first_delivery",
+    "dq_expectations_orders",
+    "filter_empty_shortcircuit",
+    "funnel_user_conversion",
+    "grouped_zscore_pandas",
+    "higher_order_array_funcs",
+    "hll_segment_overlap",
+    "join_anti_customers_without_orders",
+    "join_full_outer_nation_counts",
+    "join_interval_attribution",
+    "join_salted_skew",
+    "knn_ivf_materialized",
+    "knn_lsh_multiprobe",
+    "map_column_access",
+    "multimodal_mp4_dims",
+    "multimodal_tiff_dims",
+    "null_handling_functions",
+    "quantile_sketch_accuracy",
+    "quantile_sketch_rolling",
+    "queue_compacted_drain",
+    "queue_lag_report",
+    "set_except_segments",
+    "set_intersect_segments",
+    "string_functions",
+    "text_bpe_token_count",
+    "triangles_parts_materialized",
+    "window_ntile_percent_rank",
+    "window_range_frame",
+]
+ROTATION_R19_REVALIDATE = [
+    "agg_mode_median",
+    "agg_pricing_summary",
+    "curation_pipeline_lsh",
+    "date_functions",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_hr",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroids",
+    "events_session_window",
+    "generate_orders_seeded",
+    "incremental_rollup_merge",
+    "incremental_unprocessed_at_scale",
+    "join_semi_customers_with_orders",
+    "json_extract_props",
+    "kmeans_embeddings",
+    "knn_brute_force",
+    "knn_ivf_nprobe",
+    "knn_lsh_materialized",
+    "knn_recall_at_k",
+    "merge_upsert_orders",
+    "mix_sources_temperature",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pandas_udf_geomean",
+    "sample_weighted_es",
+    "scd2_priority_history",
+    "set_union_segments",
+    "snapshot_diff_cdc",
+    "split_train_val_test",
+    "text_unigram_logprob",
+    "tfidf_top_terms_per_source",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "triangles_parts",
+    "window_latest_order_per_customer",
+    "wordcount_topk",
+]
+ROTATION_R20_REVALIDATE = [
+    "activity_streaks",
+    "agg_bitwise_battery",
+    "agg_boolean_battery",
+    "archive_gzip_members",
+    "archive_warc_gz_index",
+    "corpus_shuffle_shards",
+    "curation_pipeline",
+    "dau_wau_rolling",
+    "dedup_cluster_histogram",
+    "embedding_norm_stats",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "events_anomaly_mad",
+    "events_error_rate_hourly",
+    "lake_rowgroup_stats",
+    "outlier_events_iqr",
+    "queue_source_roundtrip",
+    "sample_stratified_hash",
+    "text_chunk_documents",
+    "text_decontaminate",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_expensive_orders",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_split",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_orders",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_top3_per_customer",
+]
+
 # r15 (ACTIVE): 10 anchors + the 4 staged_r15 registrations + the full
 # 36-name r10 staleness cohort = 50, exactly as pre-computed late r14.
 # The anchor trim 12 -> 10 is PERMANENT (steady-state budget
