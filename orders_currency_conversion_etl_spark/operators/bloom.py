@@ -87,7 +87,11 @@ def build_bloom(df: DataFrame, key_col: str, num_bits: int, k: int) -> bytes:
     shuffle of bitmaps."""
     if num_bits % 8:
         raise ValueError("num_bits must be a byte multiple")
-    hashed = df.select(*_h1h2(F.col(key_col)))
+    # NULL keys never equi-join, so they do not belong in the bitmap —
+    # and md5(NULL) is NULL, which Arrow would deliver as NaN and
+    # NaN.astype(uint64) is platform-dependent garbage (a portability
+    # hole for a persistable artifact). Filter them out explicitly.
+    hashed = df.where(F.col(key_col).isNotNull()).select(*_h1h2(F.col(key_col)))
     bitmap_schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
 
     def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,11 +130,16 @@ def prune_with_bloom(
     BEFORE the real join's shuffle. The bitmap rides to executors as a
     broadcast variable (one copy per executor, not per task); hashing
     is the JVM md5 derivation shared with :func:`build_bloom`, and the
-    membership test is k vectorized bit lookups per Arrow batch."""
+    membership test is k vectorized bit lookups per Arrow batch.
+    NULL-key rows are dropped (a NULL never matches an equi/semi join,
+    so pruning them is exactness-preserving and mirrors the build's
+    NULL filter)."""
     if len(bitmap) * 8 != num_bits:
         raise ValueError(
             f"bitmap is {len(bitmap) * 8} bits, num_bits says {num_bits}"
         )
+    import uuid
+
     spark = fact.sparkSession
     bc = spark.sparkContext.broadcast(bitmap)
 
@@ -141,12 +150,17 @@ def prune_with_bloom(
         hits = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         return pd.Series(hits.all(axis=1))
 
+    # collision-free temp names: a caller column literally named __bh1
+    # must survive the projection untouched
+    tag = uuid.uuid4().hex[:8]
+    c1, c2 = f"__bh1_{tag}", f"__bh2_{tag}"
     h1, h2 = _h1h2(F.col(key_col))
     return (
-        fact.withColumn("__bh1", h1)
-        .withColumn("__bh2", h2)
-        .where(_might_contain(F.col("__bh1"), F.col("__bh2")))
-        .drop("__bh1", "__bh2")
+        fact.where(F.col(key_col).isNotNull())
+        .withColumn(c1, h1)
+        .withColumn(c2, h2)
+        .where(_might_contain(F.col(c1), F.col(c2)))
+        .drop(c1, c2)
     )
 
 
@@ -160,12 +174,19 @@ def bloom_semi_join(
     matching fact rows plus the fp fraction. Use when the dim's rows
     exceed the broadcast threshold but ~10 bits/key fits executor
     memory; below the threshold Spark's own broadcast semi join is
-    already optimal (and AQE picks it without help)."""
+    already optimal (and AQE picks it without help).
+
+    Dim-side cost: ONE scan for the bitmap build plus one for the
+    closing join (left_semi deduplicates its right side itself, so no
+    distinct() shuffle is added), plus an optional counting scan when
+    ``n_keys`` is not supplied — pass it when the caller already knows
+    the cardinality (a catalog stat, a previous count) to stay at two."""
+    keys = dim.select(key_col)
     if n_keys is None:
-        n_keys = dim.select(key_col).distinct().count()
+        n_keys = keys.distinct().count()
     if n_keys == 0:
         return fact.where(F.lit(False))
     num_bits, k = bloom_params(n_keys, fpp)
-    bitmap = build_bloom(dim.select(key_col), key_col, num_bits, k)
+    bitmap = build_bloom(keys, key_col, num_bits, k)
     pruned = prune_with_bloom(fact, key_col, bitmap, num_bits, k)
-    return pruned.join(dim.select(key_col).distinct(), key_col, "left_semi")
+    return pruned.join(keys, key_col, "left_semi")

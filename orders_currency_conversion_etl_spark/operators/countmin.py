@@ -5,10 +5,21 @@ key, completing the sketch family's coverage triangle:
 - Misra-Gries (`sketches.py`): WHICH keys are the top-k — nothing
   about keys outside the summary;
 - count-min (here): "how often did THIS key occur", for every key,
-  with a one-sided epsilon-additive guarantee (Cormode & Muthukrishnan
-  2005): estimate >= true always, and estimate <= true + eps*N with
-  probability 1 - delta, at width w = ceil(e/eps), depth d =
-  ceil(ln(1/delta)).
+  with a one-sided guarantee: estimate >= true ALWAYS (structural —
+  counters only ever add), and each row's overcount is eps*N in
+  expectation at width w = ceil(e/eps) (Cormode & Muthukrishnan 2005).
+  HONEST CAVEAT on the depth bound: the textbook "<= true + eps*N with
+  probability 1 - delta at d = ceil(ln 1/delta)" multiplies
+  per-row failure probabilities, which requires the d row hashes to be
+  independent; this implementation derives all rows from ONE md5 via
+  double hashing (h1 + i*h2 mod w), so two keys agreeing on
+  (h1 mod w, h2 mod w) collide on EVERY row at once and the formal
+  product argument does not apply. In practice the md5 halves behave
+  uniformly and the CI accuracy gate measures the real error on a
+  planted zipf stream (<=5% of keys over the eps*N band at the d
+  sized for delta=1%) — but a caller needing the PROVABLE delta bound
+  should build d grids with d independent key salts and take the
+  elementwise min.
 
 Why it matters at 100 TB: the grid is w*d int64 counters — a few
 hundred KB — however many rows or distinct keys flow through. Build it
@@ -62,7 +73,9 @@ def build_countmin(df: DataFrame, key_col: str, width: int, depth: int) -> np.nd
         raise ValueError("width and depth must be positive")
     if depth > 16:
         raise ValueError("depth > 16 exceeds the double-hash derivation's design range")
-    hashed = df.select(*_h1h2(F.col(key_col)))
+    # NULL keys: md5(NULL) is NULL -> NaN in Arrow -> undefined uint64
+    # cast. A NULL is not a key occurrence; drop it (the bloom policy).
+    hashed = df.where(F.col(key_col).isNotNull()).select(*_h1h2(F.col(key_col)))
     grid_schema = T.StructType([T.StructField("grid", T.BinaryType())])
 
     def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

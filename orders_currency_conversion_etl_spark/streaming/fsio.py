@@ -89,6 +89,12 @@ def list_dir(path: str) -> "list[str]":
     fs, jpath, _ = _fs(path)
     if not fs.exists(jpath):
         return []
+    # Hadoop's listStatus on a FILE returns the file's own status —
+    # which would surface a stray regular file as its own child and
+    # break the local/remote parity this module promises (local branch:
+    # NotADirectoryError -> []). Same "nothing to maintain" answer here.
+    if not fs.getFileStatus(jpath).isDirectory():
+        return []
     return [st.getPath().getName() for st in fs.listStatus(jpath)]
 
 

@@ -97,3 +97,40 @@ def test_bloom_validation_errors(spark):
         bloom.build_bloom(fact, "key", 13, 2)
     with pytest.raises(ValueError, match="bitmap is"):
         bloom.prune_with_bloom(fact, "key", b"\x00" * 4, 64, 2)
+
+
+def test_bloom_null_keys_defined_behavior(spark):
+    """r15 review fix: NULL keys are excluded from the bitmap (md5(NULL)
+    is NULL -> NaN -> undefined uint64 positions) and NULL-key fact
+    rows are pruned (a NULL never matches an equi/semi join) — both
+    sides defined, no numpy cast warnings, bitmap stays portable."""
+    dim = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "key string"
+    )
+    num_bits, k = bloom.bloom_params(2, 0.01)
+    bm_with_null = bloom.build_bloom(dim, "key", num_bits, k)
+    bm_clean = bloom.build_bloom(dim.dropna(), "key", num_bits, k)
+    assert bm_with_null == bm_clean  # NULL contributed nothing
+
+    fact = spark.createDataFrame([("a",), (None,), ("zz",)], "key string")
+    kept = [r["key"] for r in bloom.prune_with_bloom(
+        fact, "key", bm_clean, num_bits, k
+    ).collect()]
+    assert "a" in kept and None not in kept
+    # and the composed join agrees with the plain semi join on NULLs
+    got = bloom.bloom_semi_join(fact, dim, "key").count()
+    plain = fact.join(dim.distinct(), "key", "left_semi").count()
+    assert got == plain
+
+
+def test_bloom_temp_columns_do_not_clobber_caller_columns(spark):
+    """r15 review fix: a fact column literally named __bh1 survives."""
+    dim = spark.range(5).select(F.col("id").alias("key"))
+    num_bits, k = bloom.bloom_params(5, 0.01)
+    bm = bloom.build_bloom(dim, "key", num_bits, k)
+    fact = spark.range(10).select(
+        F.col("id").alias("key"), F.lit("mine").alias("__bh1")
+    )
+    out = bloom.prune_with_bloom(fact, "key", bm, num_bits, k)
+    assert "__bh1" in out.columns
+    assert {r["__bh1"] for r in out.collect()} == {"mine"}

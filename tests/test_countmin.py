@@ -109,3 +109,13 @@ def test_cm_validation(spark):
     empty = df.where(F.lit(False))
     grid = cm.build_countmin(empty, "key", 8, 2)
     assert grid.shape == (2, 8) and grid.sum() == 0
+
+
+def test_cm_null_keys_are_not_occurrences(spark):
+    """r15 review fix: NULL keys contribute nothing to the grid (the
+    bloom policy) instead of NaN-cast garbage positions."""
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "key string")
+    grid = cm.build_countmin(df, "key", 32, 3)
+    clean = cm.build_countmin(df.dropna(), "key", 32, 3)
+    assert np.array_equal(grid, clean)
+    assert cm.cm_estimate(grid, ["a"]) == [2]

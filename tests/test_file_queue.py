@@ -1090,3 +1090,21 @@ def test_fsio_strip_file_scheme_properties():
 
     roundtrip()
     bad_authority()
+
+
+def test_fsio_list_dir_stray_file_parity_on_fs_branch(spark):
+    """r15 review fix: the Hadoop FS branch must answer [] for a stray
+    regular file where a directory is expected — listStatus on a FILE
+    returns the file's own status, which would surface the stray as
+    its own child and break local/remote parity."""
+    import tempfile as _tf
+
+    from orders_currency_conversion_etl_spark.streaming import fsio
+
+    with _tf.TemporaryDirectory() as d:
+        stray = os.path.join(d, "partition=0")
+        with open(stray, "w") as fh:
+            fh.write("not a directory")
+        assert fsio.list_dir("file://" + stray) == []
+        assert fsio.list_dir(stray) == []  # local branch parity
+        assert fsio.list_dir("file://" + os.path.join(d, "absent")) == []
