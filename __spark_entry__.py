@@ -55,11 +55,16 @@ from orders_currency_conversion_etl_spark.streaming import dedup_stream as _dedu
 from orders_currency_conversion_etl_spark.streaming import events_stream as _events_stream  # noqa: F401
 from orders_currency_conversion_etl_spark.streaming import file_queue as _file_queue  # noqa: F401
 from orders_currency_conversion_etl_spark import staged_r15 as _staged_r15
+from orders_currency_conversion_etl_spark import staged_r16 as _staged_r16
 
 # r15 registration (pinned late r13 in staged_r15.py's docstring and
 # tests/test_staged_r15.py): the four staged queries join the registry
 # here — 200 -> 204 names.
 _staged_r15.register_all()
+# r16 registration (pinned r14 in staged_r16.py's docstring): the GIF
+# LZW and palette/interlace-PNG codec tiers join the registry —
+# 204 -> 206 names; capacity 196 <= 200 (tests/test_staged_r16.py).
+_staged_r16.register_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -1028,14 +1033,15 @@ ROTATION_R20_REVALIDATE = [
     "window_top3_per_customer",
 ]
 
-# r15 (ACTIVE): 10 anchors + the 4 staged_r15 registrations + the full
-# 36-name r10 staleness cohort = 50, exactly as pre-computed late r14.
-# The anchor trim 12 -> 10 is PERMANENT (steady-state budget
-# non_anchor_names <= (50 - len(ANCHORS)) * 5: 194 <= 200 after the
-# four registrations; 12 anchors would give 192 > 190). The demoted
-# agg_pricing_summary / generate_orders_seeded have newest green r14
-# -> next due r19 as ordinary rotation names.
-PRIORITY_WINDOW = ANCHORS + ROTATION_R15_NEW + ROTATION_R15_REVALIDATE
+# r16 (ACTIVE): 10 anchors + the 2 staged_r16 registrations + the full
+# 38-name r11 staleness cohort = 50, exactly as pre-computed early r15.
+# Post-registration capacity: 206 names, non-anchor 196 <= (50-10)*5 =
+# 200 — four slots of headroom left for r17+ (r17/r18 each take 2;
+# after r18 the budget is EXACTLY full, see staged_r18.py and the
+# retirement policy in SCALE.md). The r15 window it replaces (10
+# anchors + ROTATION_R15_NEW + the 36-name r10 cohort) went 50/50
+# green in CORRECTNESS_r15.json.
+PRIORITY_WINDOW = ANCHORS + ROTATION_R16_NEW + ROTATION_R16_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,8 +1,15 @@
 """The COMPLETE remaining rotation horizon (r17-r20) is pinned in
 __spark_entry__ — this test re-derives every cohort from the committed
-CORRECTNESS record plus the pinned r15/r16/r17/r18 windows and fails
-on any drift, so no future session can silently break the 5-round
-staleness invariant."""
+CORRECTNESS records plus the pinned r17/r18 windows and fails on any
+drift, so no future session can silently break the 5-round staleness
+invariant.
+
+ADVICE r15 fix: rounds with a committed CORRECTNESS record are derived
+FROM the record, never assumed green — a red driver row now fails this
+test loudly instead of being papered over by the replay. Only the
+ACTIVE round's window (whose record does not exist until the driver
+runs at round end) is assumed; the moment its record lands, the
+assumption is replaced by the recorded truth."""
 
 from __future__ import annotations
 
@@ -13,11 +20,20 @@ import re
 
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
+#: The round this tree is being built in. Bump at each round's
+#: registration/window flip (r16 flipped the window to
+#: ANCHORS + ROTATION_R16_NEW + ROTATION_R16_REVALIDATE).
+ACTIVE_ROUND = 16
 
-def _newest_green() -> dict:
+
+def _records() -> "tuple[dict, int]":
+    """(newest-green map, newest recorded round) from every committed
+    CORRECTNESS_r*.json."""
     newest: dict = {}
+    max_round = 0
     for f in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        max_round = max(max_round, rnd)
         for name, row in json.load(open(f)).items():
             ok = (
                 row.get("rows_match")
@@ -27,35 +43,42 @@ def _newest_green() -> dict:
             )
             if ok:
                 newest[name] = max(newest.get(name, 0), rnd)
-    return newest
+    return newest, max_round
 
 
 def test_rotation_horizon_pins_are_derivable_and_complete():
     import __spark_entry__ as mod
-    from orders_currency_conversion_etl_spark import (
-        staged_r16,
-        staged_r17,
-        staged_r18,
-    )
+    from orders_currency_conversion_etl_spark import staged_r17, staged_r18
 
-    newest = _newest_green()
+    newest, recorded_max = _records()
     anchors = mod.ANCHORS
-    live = list(mod.queries())
 
-    # replay the pinned windows forward (greens assumed, the standing
-    # pre-computation convention since r13)
-    for n in mod.PRIORITY_WINDOW:
-        newest[n] = 15
-    pool = list(live)
+    # Every recorded round speaks for itself (the r15 records already
+    # flow in via _records). Only the active round's window may be
+    # assumed green — and once ITS record exists, a red row fails here.
+    if recorded_max < ACTIVE_ROUND:
+        for n in mod.PRIORITY_WINDOW:
+            newest[n] = max(newest.get(n, 0), ACTIVE_ROUND)
+    else:
+        red = [
+            n for n in mod.PRIORITY_WINDOW if newest.get(n, 0) < ACTIVE_ROUND
+        ]
+        assert not red, (
+            f"CORRECTNESS_r{ACTIVE_ROUND} exists but these window names "
+            f"have no green row — the pinned r17-r20 cohorts must be "
+            f"re-derived in-session: {red}"
+        )
+
+    # replay the pinned future windows forward from the active round
+    pool = list(mod.queries())  # 206 after the r16 registration
     windows = {
-        16: [x for x, *_ in staged_r16.STAGED] + mod.ROTATION_R16_REVALIDATE,
         17: [x for x, *_ in staged_r17.STAGED] + mod.ROTATION_R17_REVALIDATE,
         18: [x for x, *_ in staged_r18.STAGED] + mod.ROTATION_R18_REVALIDATE,
         19: mod.ROTATION_R19_REVALIDATE,
         20: mod.ROTATION_R20_REVALIDATE,
     }
-    staged_by_round = {16: staged_r16, 17: staged_r17, 18: staged_r18}
-    for rnd in (16, 17, 18, 19, 20):
+    staged_by_round = {17: staged_r17, 18: staged_r18}
+    for rnd in (17, 18, 19, 20):
         rotation = windows[rnd]
         # window sums to exactly 50 with the permanent 10 anchors
         assert len(anchors) + len(rotation) == 50, rnd

@@ -54,26 +54,32 @@ def test_register_all_is_idempotent(entry_mod):
         assert n in registry.QUERIES and n in registry.ORACLES
 
 
-def test_r15_registration_landed_in_the_window(entry_mod):
-    """The four staged names are registered AND sit in the active
-    driver window exactly where the late-r14 plan put them — directly
-    after the anchors, before the revalidation cohort."""
+def test_r15_registration_landed_and_greened(entry_mod):
+    """The four r15 names are registered, went through the r15 window
+    (ROTATION_R15_NEW matches the slate name-for-name), got GREEN
+    driver rows in the committed CORRECTNESS_r15.json, and are
+    scheduled for revalidation at r20 per the pinned horizon."""
+    import json
+    import os
+
     q = entry_mod.queries()
     for n in STAGED_NAMES:
         assert n in q, f"{n} missing from the registry"
     assert sorted(entry_mod.ROTATION_R15_NEW) == sorted(STAGED_NAMES)
-    window = list(q)[:50]
-    assert window == (
-        entry_mod.ANCHORS
-        + entry_mod.ROTATION_R15_NEW
-        + entry_mod.ROTATION_R15_REVALIDATE
+    rec = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r15.json"))
     )
+    for n in STAGED_NAMES:
+        row = rec[n]
+        assert row["rows_match"] and row["schema_match"] and not row["err"], n
+        assert n in entry_mod.ROTATION_R20_REVALIDATE  # due again r20
 
 
-def test_r15_window_is_sound(entry_mod):
-    """The ACTIVE r15 window: 10 anchors (the two pinned demotions
-    applied permanently) + 4 registrations + the full 36-name r10
-    staleness cohort = 50 unique registered names, pairwise disjoint."""
+def test_r15_window_archive_is_sound(entry_mod):
+    """The ARCHIVED r15 window lists (kept as module constants for the
+    horizon replay): 10 anchors (the two pinned demotions permanent) +
+    4 registrations + the full 36-name r10 staleness cohort = 50
+    unique registered names, pairwise disjoint."""
     mod = entry_mod
     assert len(mod.ANCHORS) == 10
     demoted = {"agg_pricing_summary", "generate_orders_seeded"}
@@ -83,10 +89,8 @@ def test_r15_window_is_sound(entry_mod):
     cohort = mod.ROTATION_R15_REVALIDATE
     assert len(cohort) == 36 == len(set(cohort))
     assert set(cohort) <= live
-    assert mod.PRIORITY_WINDOW == (
-        mod.ANCHORS + mod.ROTATION_R15_NEW + cohort
-    )
-    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    r15_window = mod.ANCHORS + mod.ROTATION_R15_NEW + cohort
+    assert len(r15_window) == 50 == len(set(r15_window))
 
 
 def test_rotation_capacity_arithmetic(entry_mod):

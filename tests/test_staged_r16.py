@@ -1,8 +1,16 @@
-"""The r14-built GIF LZW codec (operators/gif_codec.py) and its staged
-r16 registration (staged_r16.py): fuzz roundtrips over the container
-knobs, the decode-only deferred-clear branch, cross-checks against the
-header-only gif_dims walk, and the staged query value-exact through
-the registered-then-finalized machinery (the staged_r15 pattern)."""
+"""The r14-built GIF LZW codec (operators/gif_codec.py) and the r16
+registrations (staged_r16.py, ACTIVATED at r16 via
+``staged_r16.register_all()`` in ``__spark_entry__``): fuzz roundtrips
+over the container knobs, the decode-only deferred-clear branch,
+cross-checks against the header-only gif_dims walk, and the registered
+queries value-exact through the LIVE registry machinery — exactly what
+the driver runs.
+
+History: before r16 the registration tests here pinned the
+PRE-registration state (names absent from the registry, window
+precomputation); that era's pins are preserved in git history. The
+activation flipped them to the steady-state form, the
+test_staged_r15.py model."""
 
 from __future__ import annotations
 
@@ -158,64 +166,68 @@ def test_gif_dispatch_reaches_pure_codec():
     assert (w, h) == (8, 5) and rgb == _expected_rgb(pal, idx)
 
 
-@pytest.mark.parametrize("name", [n for n, _sql, _fn in staged_r16.STAGED])
-def test_staged_r16_query_value_exact(spark, name):
-    """The staged query is value-exact TODAY through the registration
-    machinery (boundary casts + finalized oracle), then unregistered
-    so the live registry and its artifact pins stay untouched."""
-    sql, fn = next((s, f) for n, s, f in staged_r16.STAGED if n == name)
-    assert name not in registry.QUERIES
-    registry.query(name, sql)(fn)
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            for t in registry.ORACLE_TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
-                )
-            cols = [
-                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
-            ]
-        finally:
-            con.close()
-        finalized = registry._wrap_oracle(sql, cols)
-        compare_query(spark, SF, registry.QUERIES[name], finalized)
-    finally:
-        del registry.QUERIES[name]
-        del registry.ORACLES[name]
-    assert name not in registry.QUERIES
+STAGED_NAMES = [n for n, _sql, _fn in staged_r16.STAGED]
 
 
-def test_staged_r16_not_registered_before_window():
-    import __spark_entry__ as mod
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod  # registers the full 206-name registry
 
-    for n, _sql, _fn in staged_r16.STAGED:
-        assert n not in mod.queries(), f"{n} registered before its window"
+    return mod
 
 
-def test_r16_window_precomputation_is_sound():
-    """The pre-computed r16 window (early r15): 10 anchors + the two
-    staged_r16 registrations + the full 38-name r11 staleness cohort =
-    50 exactly. The cohort must be registered names, disjoint from the
-    anchors and from the ACTIVE r15 window (so nothing in it gets a
-    newer green row before r16), the NEW list must equal the staged
-    slate name-for-name, and the post-registration capacity must fit
-    the 5-round budget (206 - 10 = 196 <= (50 - 10) * 5 = 200)."""
-    import __spark_entry__ as mod
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_registered_query_value_exact(spark, entry_mod, name):
+    """Each r16-registered query remains value-exact against its
+    FINALIZED oracle through the live registry path (boundary casts on
+    both engines) — the same compare the driver's hash gate replays."""
+    assert name in registry.QUERIES  # registered by __spark_entry__
+    finalized = entry_mod.oracle_sql()[name]
+    compare_query(spark, SF, registry.QUERIES[name], finalized)
 
-    new = mod.ROTATION_R16_NEW
+
+def test_register_all_is_idempotent(entry_mod):
+    """register_all() re-applies dict assignments; a second call must
+    not grow the registry or change the registered objects."""
+    before = dict(registry.QUERIES)
+    staged_r16.register_all()
+    assert set(registry.QUERIES) == set(before)
+    for n in STAGED_NAMES:
+        assert n in registry.QUERIES and n in registry.ORACLES
+
+
+def test_r16_registration_landed_in_the_window(entry_mod):
+    """The two staged names are registered AND sit in the active
+    driver window exactly where the early-r15 plan put them — directly
+    after the anchors, before the revalidation cohort."""
+    q = entry_mod.queries()
+    for n in STAGED_NAMES:
+        assert n in q, f"{n} missing from the registry"
+    assert sorted(entry_mod.ROTATION_R16_NEW) == sorted(STAGED_NAMES)
+    window = list(q)[:50]
+    assert window == (
+        entry_mod.ANCHORS
+        + entry_mod.ROTATION_R16_NEW
+        + entry_mod.ROTATION_R16_REVALIDATE
+    )
+
+
+def test_r16_window_is_sound(entry_mod):
+    """The ACTIVE r16 window: 10 anchors + 2 registrations + the full
+    38-name r11 staleness cohort = 50 unique registered names, pairwise
+    disjoint, with the post-registration capacity inside the 5-round
+    budget (206 - 10 = 196 <= (50 - 10) * 5 = 200)."""
+    mod = entry_mod
+    assert len(mod.ANCHORS) == 10
     cohort = mod.ROTATION_R16_REVALIDATE
-    assert sorted(new) == sorted(n for n, _s, _f in staged_r16.STAGED)
     assert len(cohort) == 38 == len(set(cohort))
     live = set(mod.queries())
     assert set(cohort) <= live
-    assert not (set(cohort) & set(mod.PRIORITY_WINDOW))
-    assert not (set(new) & live)  # staged, not yet registered
-    assert len(mod.ANCHORS) + len(new) + len(cohort) == 50
-    assert (len(live) + len(new)) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
+    assert mod.PRIORITY_WINDOW == (
+        mod.ANCHORS + mod.ROTATION_R16_NEW + cohort
+    )
+    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    assert len(live) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
 
 
 def test_gif_animation_enumeration_roundtrip():

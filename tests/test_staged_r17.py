@@ -63,7 +63,8 @@ def test_r17_capacity_arithmetic():
 
     staged = [n for n, _s, _f in staged_r17.STAGED]
     assert len(staged) == 2 == len(set(staged))
-    live_after_r16 = len(mod.queries()) + len(mod.ROTATION_R16_NEW)
+    # staged_r16 registered at r16: queries() already carries it
+    live_after_r16 = len(mod.queries())
     after_r17 = live_after_r16 + len(staged)
     assert after_r17 - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
     # the r17 window: 10 anchors + 2 new + the 38-name r12 cohort
