@@ -122,8 +122,33 @@ def build_bloom(df: DataFrame, key_col: str, num_bits: int, k: int) -> bytes:
     return bytes(rows[0]["bitmap"]) if rows else bytes(num_bits // 8)
 
 
+def broadcast_bitmap(spark, bitmap: bytes):
+    """Ship a bitmap to executors once; the CALLER owns the lifetime —
+    call ``bc.unpersist()`` (or ``destroy()``) after the downstream
+    action completes. :func:`prune_with_bloom` accepts the result, so
+    iterative callers (a loop over many dims) reuse/retire broadcasts
+    explicitly instead of accumulating executor-side copies."""
+    return spark.sparkContext.broadcast(bitmap)
+
+
+def _membership_udf(bc, num_bits: int, k: int):
+    """k vectorized bit lookups per Arrow batch against a broadcast
+    bitmap. Input h1/h2 must come from non-NULL keys (md5(NULL) is
+    NULL -> NaN -> undefined uint64 cast); callers guard with an
+    isNotNull filter BEFORE this projection."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(h1.to_numpy(), h2.to_numpy(), num_bits, k)
+        hits = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hits.all(axis=1))
+
+    return _might_contain
+
+
 def prune_with_bloom(
-    fact: DataFrame, key_col: str, bitmap: bytes, num_bits: int, k: int
+    fact: DataFrame, key_col: str, bitmap, num_bits: int, k: int
 ) -> DataFrame:
     """Filter ``fact`` to rows whose key MIGHT be in the bitmap —
     exact-join-safe (no false negatives) scan-side pruning to run
@@ -133,22 +158,25 @@ def prune_with_bloom(
     membership test is k vectorized bit lookups per Arrow batch.
     NULL-key rows are dropped (a NULL never matches an equi/semi join,
     so pruning them is exactness-preserving and mirrors the build's
-    NULL filter)."""
-    if len(bitmap) * 8 != num_bits:
-        raise ValueError(
-            f"bitmap is {len(bitmap) * 8} bits, num_bits says {num_bits}"
-        )
+    NULL filter).
+
+    ``bitmap`` may be raw ``bytes`` (a broadcast is created whose
+    lifetime is the SESSION's — fine for one-shot queries) or an
+    existing :func:`broadcast_bitmap` result, which the caller owns
+    and should ``unpersist()`` after the action completes (the r15
+    ADVICE finding: iterative callers must not accumulate copies)."""
     import uuid
 
-    spark = fact.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap)
+    from pyspark.broadcast import Broadcast
 
-    @F.pandas_udf(T.BooleanType())
-    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        pos = _positions(h1.to_numpy(), h2.to_numpy(), num_bits, k)
-        hits = (bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        return pd.Series(hits.all(axis=1))
+    if isinstance(bitmap, Broadcast):
+        bc = bitmap
+        nbytes = len(bc.value)
+    else:
+        nbytes = len(bitmap)
+        bc = broadcast_bitmap(fact.sparkSession, bitmap)
+    if nbytes * 8 != num_bits:
+        raise ValueError(f"bitmap is {nbytes * 8} bits, num_bits says {num_bits}")
 
     # collision-free temp names: a caller column literally named __bh1
     # must survive the projection untouched
@@ -159,9 +187,74 @@ def prune_with_bloom(
         fact.where(F.col(key_col).isNotNull())
         .withColumn(c1, h1)
         .withColumn(c2, h2)
-        .where(_might_contain(F.col(c1), F.col(c2)))
+        .where(_membership_udf(bc, num_bits, k)(F.col(c1), F.col(c2)))
         .drop(c1, c2)
     )
+
+
+def anti_join_with_bloom_bypass(
+    source: DataFrame,
+    sink_keys: DataFrame,
+    key: str,
+    bitmap,
+    num_bits: int,
+    k: int,
+    join_hint: "str | None" = "shuffle_hash",
+) -> DataFrame:
+    """``source LEFT ANTI JOIN sink_keys`` with Bloom-bypass routing —
+    the anti-join twin of semi-join pruning. A Bloom filter has no
+    false negatives, so a source row whose key FAILS the membership
+    test is definitely absent from the sink and belongs in the output
+    WITHOUT touching the join: it never enters the exchange. Only the
+    "might match" fraction (true matches + the fp sliver) shuffles
+    into the exact anti-join. NULL-key rows route to the bypass branch
+    too (NULL = NULL is false under SQL equality, so a plain left-anti
+    always keeps them — exactness preserved).
+
+    Semantics: byte-identical rows to ``source.join(sink_keys, key,
+    "left_anti")`` for any bitmap built over the sink's keys
+    (tests/test_bloom.py pins this on real tables, fp-heavy bitmaps
+    included).
+
+    Cost shape at 100 TB: the source is scanned by BOTH branches (two
+    parquet scans with identical pushdown/pruning — sequential reads),
+    buying a shuffle that carries only the matching fraction. With a
+    steady-state backlog where <20 % of source keys are already
+    processed, the exchange drops 80 %+ of its rows (measured:
+    BLOOM_AB_r15.json, 71-98 % across 20 %→0.2 % selectivities) —
+    rows into the exchange are what become network bytes on a real
+    cluster. On a single node shuffle is memcpy and the extra scan +
+    Arrow stage can LOSE wall-clock (same artifact, stated in its
+    protocol); that is why callers gate this behind a size heuristic
+    (see :func:`operators.incremental.unprocessed_at_scale`) instead
+    of applying it unconditionally."""
+    import uuid
+
+    from pyspark.broadcast import Broadcast
+
+    bc = bitmap if isinstance(bitmap, Broadcast) else broadcast_bitmap(
+        source.sparkSession, bitmap
+    )
+    if len(bc.value) * 8 != num_bits:
+        raise ValueError(
+            f"bitmap is {len(bc.value) * 8} bits, num_bits says {num_bits}"
+        )
+    might = _membership_udf(bc, num_bits, k)
+    tag = uuid.uuid4().hex[:8]
+    c1, c2 = f"__bh1_{tag}", f"__bh2_{tag}"
+    h1, h2 = _h1h2(F.col(key))
+
+    nonnull = source.where(F.col(key).isNotNull()).withColumn(c1, h1).withColumn(c2, h2)
+    flagged = nonnull.withColumn(f"__might_{tag}", might(F.col(c1), F.col(c2)))
+    definitely_new = flagged.where(~F.col(f"__might_{tag}")).drop(
+        c1, c2, f"__might_{tag}"
+    )
+    maybe = flagged.where(F.col(f"__might_{tag}")).drop(c1, c2, f"__might_{tag}")
+    null_rows = source.where(F.col(key).isNull())
+
+    right = sink_keys.hint(join_hint) if join_hint else sink_keys
+    survivors = maybe.join(right, on=key, how="left_anti")
+    return definitely_new.unionByName(survivors).unionByName(null_rows)
 
 
 def bloom_semi_join(
@@ -183,7 +276,10 @@ def bloom_semi_join(
     the cardinality (a catalog stat, a previous count) to stay at two."""
     keys = dim.select(key_col)
     if n_keys is None:
-        n_keys = keys.distinct().count()
+        # count what actually enters the bitmap: build_bloom filters
+        # NULLs out, so a NULL dim key must not inflate the sizing
+        # (r15 ADVICE: the n_keys contract is 'non-NULL dim key count')
+        n_keys = keys.where(F.col(key_col).isNotNull()).distinct().count()
     if n_keys == 0:
         return fact.where(F.lit(False))
     num_bits, k = bloom_params(n_keys, fpp)

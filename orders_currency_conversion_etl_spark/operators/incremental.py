@@ -43,12 +43,24 @@ def unprocessed(
     return out
 
 
+#: Below this many sink keys the bitmap buys nothing: Catalyst would
+#: broadcast the keyset itself (10 MB default threshold ~ 10^5-10^6
+#: keys) and a broadcast anti-join already moves zero fact rows. The
+#: default sits an order of magnitude above that boundary so "auto"
+#: never taxes a small join with the extra scan + Arrow stage that
+#: BLOOM_AB_r15.json measured as a single-node wall-clock LOSS.
+BLOOM_MIN_SINK_KEYS = 10_000_000
+
+
 def unprocessed_at_scale(
     source: DataFrame,
     sink: DataFrame,
     key: str = "order_id",
     batch_limit: int | None = None,
     watermark: Column | None = None,
+    bloom: str = "auto",
+    bloom_fpp: float = 0.01,
+    sink_n_keys: int | None = None,
 ) -> DataFrame:
     """:func:`unprocessed` in its 100 TB form: the sink keyset is
     fact-sized, so broadcasting it (what AQE/Catalyst picks at fixture
@@ -66,11 +78,57 @@ def unprocessed_at_scale(
     anti-joins bucket-to-bucket with no exchange at all; this function
     is the drop-in for plain-parquet pipelines where bucketing isn't
     owned by this job.
+
+    ``bloom`` adds Bloom-bypass routing in FRONT of the anti-join
+    (operators/bloom.py:anti_join_with_bloom_bypass): source rows whose
+    key fails the membership test are definitely unprocessed and skip
+    the exchange entirely; only the "might be processed" fraction
+    (matches + ~``bloom_fpp`` of non-matches) shuffles into the exact
+    anti-join. Exactness-preserving by the no-false-negative guarantee
+    (pinned in tests/test_bloom.py). Modes:
+
+    - ``"off"`` — the plain shuffled-hash anti-join.
+    - ``"on"`` — always route through the bitmap (the 100 TB plan
+      form; what the registered `incremental_unprocessed_at_scale`
+      pins so the sweep/driver exercise it every round).
+    - ``"auto"`` — route only when the sink keyset is big enough that
+      the bitmap can matter: ``sink_n_keys`` (counted if not given —
+      pass it from a catalog stat to avoid the extra scan) must exceed
+      ``BLOOM_MIN_SINK_KEYS``. Below that, Catalyst's own broadcast
+      anti-join is already shuffle-free for the fact side and the
+      bypass's extra scan is pure overhead (the measured single-node
+      loss in BLOOM_AB_r15.json's protocol note).
     """
-    sink_keys = sink.select(key).hint("shuffle_hash")
+    if bloom not in ("off", "auto", "on"):
+        raise ValueError(f"bloom must be off|auto|on, got {bloom!r}")
+    sink_keys = sink.select(key)
     if watermark is not None:
         source = source.filter(watermark)
-    out = source.join(sink_keys, on=key, how="left_anti")
+
+    use_bloom = bloom == "on"
+    if bloom == "auto":
+        if sink_n_keys is None:
+            sink_n_keys = sink_keys.where(F.col(key).isNotNull()).distinct().count()
+        use_bloom = sink_n_keys > BLOOM_MIN_SINK_KEYS
+
+    if use_bloom:
+        from .bloom import anti_join_with_bloom_bypass, bloom_params, build_bloom
+
+        if sink_n_keys is None:
+            sink_n_keys = sink_keys.where(F.col(key).isNotNull()).distinct().count()
+        if sink_n_keys > 0:
+            num_bits, k = bloom_params(sink_n_keys, bloom_fpp)
+            bitmap = build_bloom(sink_keys, key, num_bits, k)
+            out = anti_join_with_bloom_bypass(
+                source, sink_keys, key, bitmap, num_bits, k,
+                join_hint="shuffle_hash",
+            )
+        else:
+            out = source  # empty sink: nothing is processed
+    else:
+        out = source.join(
+            sink_keys.hint("shuffle_hash"), on=key, how="left_anti"
+        )
     if batch_limit is not None:
         out = out.limit(batch_limit)
     return out

@@ -306,6 +306,12 @@ def incremental_unprocessed_at_scale(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("o_orderkey").alias("order_id")
     )
     src = orders.withColumn("order_id", F.col("o_orderkey"))
-    return unprocessed_at_scale(src, sink, key="order_id").select(
+    # bloom="on" pins the full 100 TB plan form at fixture scale (the
+    # same convention as the forced shuffle-hash): Bloom-bypass routing
+    # in front of the anti-join — rows failing the membership test
+    # skip the exchange entirely (operators/bloom.py, r16 wiring; A/B
+    # in BLOOM_WIRED_AB_r16.json). At fixture scale "auto" would
+    # correctly decline (sink ~30k keys < BLOOM_MIN_SINK_KEYS).
+    return unprocessed_at_scale(src, sink, key="order_id", bloom="on").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )

@@ -134,3 +134,103 @@ def test_bloom_temp_columns_do_not_clobber_caller_columns(spark):
     out = bloom.prune_with_bloom(fact, "key", bm, num_bits, k)
     assert "__bh1" in out.columns
     assert {r["__bh1"] for r in out.collect()} == {"mine"}
+
+
+def test_anti_join_bypass_exact_vs_plain_anti(spark):
+    """anti_join_with_bloom_bypass == plain left-anti, byte-identical,
+    including NULL source keys (always kept) and an fp-HEAVY bitmap
+    (tiny m forces many false positives into the maybe branch — the
+    exact join must still remove none of the true non-matches)."""
+    src = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(F.col("id")).alias("key"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    sink = spark.range(0, 5_000).where(F.col("id") % 5 == 0).select(
+        F.col("id").alias("key")
+    )
+    expected = {
+        (r["key"], r["payload"])
+        for r in src.join(sink, "key", "left_anti").collect()
+    }
+    for num_bits in (64, 8192):  # fp-heavy and well-sized
+        k = 3
+        bitmap = bloom.build_bloom(sink, "key", num_bits, k)
+        got = {
+            (r["key"], r["payload"])
+            for r in bloom.anti_join_with_bloom_bypass(
+                src, sink, "key", bitmap, num_bits, k
+            ).collect()
+        }
+        assert got == expected, f"num_bits={num_bits}"
+
+
+def test_anti_join_bypass_routes_rows_around_the_join(spark):
+    """The point of the operator: with a well-sized bitmap, the rows
+    entering the exact anti-join are ~ the matching fraction, not the
+    whole source — counted by executing the maybe branch alone."""
+    src = spark.range(0, 20_000).select(F.col("id").alias("key"))
+    sink = src.where(F.col("key") % 10 >= 8)  # 20% processed
+    n_keys = sink.count()
+    num_bits, k = bloom.bloom_params(n_keys, 0.01)
+    bitmap = bloom.build_bloom(sink, "key", num_bits, k)
+    pruned = bloom.prune_with_bloom(src, "key", bitmap, num_bits, k)
+    into_join = pruned.count()
+    # 20% true matches + ~1% fp of the other 80%
+    assert into_join <= 20_000 * (0.20 + 0.02), into_join
+    # and the composed anti-join is exact
+    got = bloom.anti_join_with_bloom_bypass(
+        src, sink, "key", bitmap, num_bits, k
+    ).count()
+    assert got == 20_000 - n_keys
+
+
+def test_broadcast_bitmap_caller_owned_lifetime(spark):
+    """prune_with_bloom accepts a caller-owned broadcast (the r15
+    ADVICE lifetime finding): one broadcast reused across two prunes,
+    then unpersisted by the caller without error."""
+    dim = spark.range(0, 1_000).select(F.col("id").alias("key"))
+    num_bits, k = bloom.bloom_params(1_000, 0.01)
+    bitmap = bloom.build_bloom(dim, "key", num_bits, k)
+    bc = bloom.broadcast_bitmap(spark, bitmap)
+    fact = spark.range(0, 3_000).select(F.col("id").alias("key"))
+    a = bloom.prune_with_bloom(fact, "key", bc, num_bits, k).count()
+    b = bloom.prune_with_bloom(fact, "key", bc, num_bits, k).count()
+    assert a == b
+    bc.unpersist()
+    with pytest.raises(ValueError, match="bits"):
+        bloom.prune_with_bloom(fact, "key", b"\x00" * 4, num_bits, k)
+
+
+def test_unprocessed_at_scale_bloom_modes(spark):
+    """The wired consumer (operators/incremental.py): bloom='on'
+    equals bloom='off' exactly; 'auto' declines below
+    BLOOM_MIN_SINK_KEYS (plan has no Arrow stage) and a bad mode is
+    loud. Empty sink under 'on' returns the whole source."""
+    from orders_currency_conversion_etl_spark.operators import incremental
+
+    src = spark.range(0, 4_000).select(
+        F.col("id").alias("order_id"), (F.col("id") % 7).alias("v")
+    )
+    sink = src.where(F.col("order_id") % 10 >= 8).select("order_id")
+    off = {
+        r["order_id"]
+        for r in incremental.unprocessed_at_scale(
+            src, sink, key="order_id", bloom="off"
+        ).collect()
+    }
+    on = {
+        r["order_id"]
+        for r in incremental.unprocessed_at_scale(
+            src, sink, key="order_id", bloom="on"
+        ).collect()
+    }
+    assert on == off
+    auto = incremental.unprocessed_at_scale(src, sink, key="order_id", bloom="auto")
+    assert "ArrowEvalPython" not in auto._jdf.queryExecution().executedPlan().toString()
+    assert {r["order_id"] for r in auto.collect()} == off
+    empty = sink.where(F.lit(False))
+    assert incremental.unprocessed_at_scale(
+        src, empty, key="order_id", bloom="on"
+    ).count() == 4_000
+    with pytest.raises(ValueError, match="off|auto|on"):
+        incremental.unprocessed_at_scale(src, sink, key="order_id", bloom="maybe")

@@ -520,14 +520,25 @@ def test_lsh_materialized_scan_is_dynamically_pruned(spark, tmp_path, monkeypatc
 
 
 def test_incremental_at_scale_never_broadcasts_sink(spark):
-    """VERDICT r8 ask #4: the scale form of the J3 anti-join must not
-    broadcast the sink keyset (fact-sized at 100 TB) — shuffled hash
-    anti-join on the key, both sides exchanged, no broadcast anywhere."""
+    """VERDICT r8 ask #4 + r15 ask #2: the scale form of the J3
+    anti-join must not broadcast the sink keyset (fact-sized at
+    100 TB) — shuffled hash anti-join on the key, no plan-level
+    broadcast anywhere — and since r16 it must carry the Bloom-bypass
+    routing on the executed path: an Arrow-batched membership test
+    (ArrowEvalPython, never BatchEvalPython) splitting the source into
+    a definitely-unprocessed branch that bypasses the exchange and a
+    might-match branch that enters the exact anti-join — visible as a
+    Union over exactly one join."""
     plan = _plan(QUERIES["incremental_unprocessed_at_scale"](spark, SF))
     assert "ShuffledHashJoin" in plan
     assert "LeftAnti" in plan
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
+    # the bloom wiring is ON the executed path, not library shelf-ware
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Union" in plan
+    assert plan.count("ShuffledHashJoin") == 1  # bypass branch is join-free
 
 
 def test_bucketed_anti_join_steady_state_has_no_shuffle(spark):
