@@ -143,3 +143,117 @@ def cm_estimate(grid: np.ndarray, keys: "list") -> "list[int]":
         )
         out.append(est)
     return out
+
+
+def detect_hot_keys_sketched(
+    df: DataFrame,
+    key: str,
+    frac_threshold: float = 0.05,
+    max_keys: int = 32,
+    depth: int = 5,
+) -> list:
+    """Hot-key detection in ONE bounded-memory pass — the count-min
+    consumer (VERDICT r15 ask #3), drop-in for
+    :func:`operators.skew.detect_hot_keys`'s exact groupBy form.
+
+    Why: the exact detector's pre-aggregation is one shuffle of
+    |distinct keys| rows — fine when keys are modest, but at 100 TB a
+    fact can carry billions of distinct keys and the aggregate itself
+    becomes fact-sized. This version never aggregates by key at all:
+    each partition folds, IN THE SAME SCAN, (a) a count-min grid
+    (numpy scatter-add per Arrow batch) and (b) a Misra-Gries
+    candidate summary with capacity max(max_keys, ceil(1/t)); the
+    driver ADDs the grids, unions the candidates, and keeps candidates
+    whose grid estimate exceeds t*N (N = one grid row's sum — the
+    total arrives free, no extra count scan).
+
+    Guarantee (what salting needs): NO FALSE NEGATIVES. A key with
+    global share >= t has, by pigeonhole, share >= t in at least one
+    partition, so it survives that partition's Misra-Gries (capacity
+    >= ceil(1/t) keeps everything with partition share > 1/(C+1)); the
+    count-min estimate only OVER-counts, so it clears the t*N bar.
+    False positives (near-threshold keys promoted by the eps*N
+    overcount) merely salt a cold key — semantics-preserving by
+    construction, the documented one-sided tolerance. The candidate
+    SET may vary with partitioning (Misra-Gries survivors do); the
+    guaranteed-hot keys are present under every partitioning (pinned
+    in tests/test_countmin.py), and the salted join's RESULT is
+    partitioning-invariant regardless.
+
+    Keys: any orderable Spark type; NULLs dropped (a NULL never
+    equi-joins, so salting it is a no-op anyway). Estimates use each
+    candidate's JVM-computed (h1, h2) captured in the same scan — no
+    Python-side hash replay, so any key type works.
+    """
+    if not (0.0 < frac_threshold < 1.0):
+        raise ValueError("frac_threshold must be in (0, 1)")
+    # width from eps = frac_threshold/4: the overcount band eps*N sits
+    # well under the t*N bar, so promotion noise stays near-threshold
+    width = math.ceil(math.e / (frac_threshold / 4.0))
+    capacity = max(max_keys, int(math.ceil(1.0 / frac_threshold)))
+    key_type = df.schema[key].dataType
+    hashed = df.where(F.col(key).isNotNull()).select(
+        F.col(key), *_h1h2(F.col(key))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("grid", T.BinaryType()),
+            T.StructField("cand_val", T.ArrayType(key_type)),
+            T.StructField("cand_h1", T.ArrayType(T.LongType())),
+            T.StructField("cand_h2", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        counts: dict = {}
+        hashes: dict = {}
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1 = pdf["__bloom_h1"].to_numpy()
+            h2 = pdf["__bloom_h2"].to_numpy()
+            pos = _positions(h1, h2, width, depth)
+            for d in range(depth):
+                np.add.at(grid[d], pos[:, d].astype(np.int64), 1)
+            # batched Misra-Gries: add the batch's counts, then
+            # decrement-all-by-min until <= capacity survive
+            vals = pdf[key].tolist()
+            for v, a, b in zip(vals, h1.tolist(), h2.tolist()):
+                counts[v] = counts.get(v, 0) + 1
+                if v not in hashes:
+                    hashes[v] = (a, b)
+            while len(counts) > capacity:
+                m = min(counts.values())
+                counts = {v: c - m for v, c in counts.items() if c > m}
+        if any_rows:
+            cand = list(counts)
+            yield pd.DataFrame(
+                {
+                    "grid": [grid.tobytes()],
+                    "cand_val": [cand],
+                    "cand_h1": [[hashes[v][0] for v in cand]],
+                    "cand_h2": [[hashes[v][1] for v in cand]],
+                }
+            )
+
+    rows = hashed.mapInPandas(_fold, schema=out_schema).collect()
+    if not rows:
+        return []
+    grid = np.zeros((depth, width), dtype=np.int64)
+    cands: dict = {}
+    for r in rows:
+        grid += np.frombuffer(bytes(r["grid"]), dtype=np.int64).reshape(depth, width)
+        for v, a, b in zip(r["cand_val"], r["cand_h1"], r["cand_h2"]):
+            cands.setdefault(v, (a, b))
+    total = int(grid[0].sum())
+    bar = frac_threshold * total
+    scored = []
+    for v, (a, b) in cands.items():
+        est = min(int(grid[d, (a + d * b) % width]) for d in range(depth))
+        if est > bar:
+            scored.append((est, v))
+    scored.sort(key=lambda t: (-t[0], str(t[1])))
+    return [v for _est, v in scored[:max_keys]]

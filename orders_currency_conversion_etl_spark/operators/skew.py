@@ -152,18 +152,28 @@ GROUP BY o.o_orderpriority
 def join_skewed_fact_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by priority through the two-sided salted fact-to-fact
     join, hot keys auto-detected (>5% of lineitem rows on one
-    orderkey). On uniform testdata the hot set is empty and the plan
-    degenerates to the plain join — the oracle (the unsalted join)
-    proves the rewrite is semantics-preserving either way; the skewed
-    bench (scripts/bench_skew.py, SCALE.md §Skew) supplies the timing
-    evidence under an actually-hot key."""
+    orderkey). Since r16 detection runs through the count-min +
+    Misra-Gries single-pass sketch (operators/countmin.py:
+    detect_hot_keys_sketched — VERDICT r15 ask #3): at 100 TB the
+    exact detector's groupBy pre-aggregation is itself a shuffle of
+    |distinct keys| rows, while the sketch folds a bounded-memory grid
+    + candidate summary in ONE scan with no per-key aggregation; its
+    one-sided overestimate can only promote extra keys, which salting
+    tolerates by construction (no-false-negative pin in
+    tests/test_countmin.py). On uniform testdata the hot set is empty
+    either way and the plan degenerates to the plain join — the oracle
+    (the unsalted join) proves the rewrite is semantics-preserving;
+    the skewed bench (scripts/bench_skew.py, SCALE.md §Skew) supplies
+    the timing evidence under an actually-hot key."""
+    from .countmin import detect_hot_keys_sketched
+
     li = catalog.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_linenumber"
     )
     orders = catalog.load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    hot = detect_hot_keys(li, "l_orderkey")
+    hot = detect_hot_keys_sketched(li, "l_orderkey")
     joined = salted_fact_join(
         li,
         orders.withColumnRenamed("o_orderkey", "l_orderkey"),

@@ -119,3 +119,101 @@ def test_cm_null_keys_are_not_occurrences(spark):
     clean = cm.build_countmin(df.dropna(), "key", 32, 3)
     assert np.array_equal(grid, clean)
     assert cm.cm_estimate(grid, ["a"]) == [2]
+
+
+def _zipf_df(spark, n_rows=40_000, n_hot=3, hot_share=0.10):
+    """Planted skew: n_hot keys each carrying hot_share of the rows,
+    the rest spread uniformly over 5k cold keys — deterministic."""
+    hot_rows = int(n_rows * hot_share)
+    hot = (
+        spark.range(0, hot_rows * n_hot)
+        .select((F.col("id") % n_hot).alias("key"))
+    )
+    cold = (
+        spark.range(0, n_rows - hot_rows * n_hot)
+        .select((F.lit(1000) + F.col("id") % 5000).alias("key"))
+    )
+    return hot.unionByName(cold)
+
+
+def test_detect_hot_keys_sketched_no_false_negatives(spark):
+    """The salting guarantee: every key the EXACT detector flags is
+    flagged by the sketch too, under more than one partitioning (the
+    Misra-Gries survivor set may vary; the guaranteed-hot keys must
+    not). Extras, if any, are the documented one-sided tolerance."""
+    from orders_currency_conversion_etl_spark.operators.skew import detect_hot_keys
+
+    df = _zipf_df(spark)
+    exact = set(detect_hot_keys(df, "key", frac_threshold=0.05))
+    assert exact == {0, 1, 2}  # the planted hot keys, sanity
+    for parts in (1, 7, 32):
+        sketched = set(
+            cm.detect_hot_keys_sketched(
+                df.repartition(parts), "key", frac_threshold=0.05
+            )
+        )
+        assert exact <= sketched, (parts, exact - sketched)
+        # promotion noise is bounded: nothing with a true share under
+        # half the threshold can clear the bar at eps = t/4
+        assert all(k in exact or k >= 1000 for k in sketched)
+        cold_extras = sketched - exact
+        assert len(cold_extras) <= 2, cold_extras
+
+
+def test_detect_hot_keys_sketched_uniform_is_empty(spark):
+    """On uniform keys (the fixture tables) the sketch returns no hot
+    keys — the wired join_skewed_fact_salted degenerates to the plain
+    join exactly as the exact detector did."""
+    df = spark.range(0, 30_000).select((F.col("id") % 4000).alias("key"))
+    assert cm.detect_hot_keys_sketched(df, "key", frac_threshold=0.05) == []
+
+
+def test_detect_hot_keys_sketched_string_keys_and_nulls(spark):
+    """Any key type via the captured JVM (h1, h2) — no Python hash
+    replay — and NULLs are dropped (a NULL never equi-joins)."""
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 100 == 0, F.lit(None))
+        .when(F.col("id") % 3 == 0, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 997).cast("string")))
+        .alias("key")
+    )
+    hot = cm.detect_hot_keys_sketched(df, "key", frac_threshold=0.2)
+    assert hot == ["HOT"]
+    with pytest.raises(ValueError, match="frac_threshold"):
+        cm.detect_hot_keys_sketched(df, "key", frac_threshold=1.5)
+
+
+def test_sketched_salted_join_result_matches_exact_detection(spark):
+    """End-to-end through salted_fact_join under planted skew: the
+    join result is identical whichever detector chose the hot set —
+    the semantics-preservation that lets the sketch ride inside the
+    registered query with an unchanged oracle."""
+    from orders_currency_conversion_etl_spark.operators.skew import (
+        detect_hot_keys,
+        salted_fact_join,
+    )
+
+    left = _zipf_df(spark).withColumn("v", F.col("key") * 2)
+    right = (
+        spark.range(0, 6_000)
+        .select(F.col("id").alias("key"), (F.col("id") % 5).alias("grp"))
+    )
+    for detector in (
+        lambda: detect_hot_keys(left, "key", frac_threshold=0.05),
+        lambda: cm.detect_hot_keys_sketched(left, "key", frac_threshold=0.05),
+    ):
+        out = salted_fact_join(
+            left, right, key="key", hot_keys=detector(), salt_source="v"
+        )
+        agg = {
+            (r["grp"], r["n"])
+            for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        plain = {
+            (r["grp"], r["n"])
+            for r in left.join(right, on="key")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert agg == plain
