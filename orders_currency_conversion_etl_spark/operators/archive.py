@@ -990,6 +990,29 @@ def build_warc_gz_index_df(df: DataFrame, id_col: str, payload_col: str) -> Data
     return base.mapInPandas(_index, schema=WARC_GZ_INDEX_SCHEMA)
 
 
+def _guarded_slice(offset_expr: str, length_expr: str):
+    """``substr(payload, offset+1, length)`` with a loud JVM-side
+    bound guard (r15 ADVICE): Spark substr positions are INT, so a
+    ZIP64/tar index can carry offsets past 2^31 that a bare
+    ``CAST(... AS INT)`` would silently WRAP into a garbage slice.
+    Unreachable today only because BinaryType cells cap below 2 GiB —
+    this guard keeps the failure loud if either bound moves. Archives
+    larger than one cell belong to a ranged-read source, not an
+    in-cell slice (the fetch docstrings state the same 2 GiB payload
+    bound). Pure JVM CASE expression: no Python stage added."""
+    bound = 2**31 - 1
+    return F.expr(
+        f"CASE WHEN ({offset_expr}) < 0 OR ({length_expr}) < 0 "
+        f"OR ({offset_expr}) + ({length_expr}) > {bound}L THEN "
+        f"CAST(raise_error(concat('archive slice beyond the 2 GiB "
+        f"BinaryType bound: offset=', CAST(({offset_expr}) AS STRING), "
+        f"' len=', CAST(({length_expr}) AS STRING), "
+        f"' — use a ranged-read source for >2GiB archives')) AS BINARY) "
+        f"ELSE substr(payload, CAST(({offset_expr}) AS INT) + 1, "
+        f"CAST(({length_expr}) AS INT)) END"
+    )
+
+
 WARC_GZ_FETCH_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.LongType()),
@@ -1022,10 +1045,7 @@ def fetch_warc_gz_records_df(segments: DataFrame, index: DataFrame) -> DataFrame
         "warc_type",
         "target_uri",
         # substr is 1-based; member bytes only cross into Python
-        F.expr(
-            "substr(payload, CAST(offset AS INT) + 1, "
-            "CAST(compressed_size AS INT))"
-        ).alias("member_bytes"),
+        _guarded_slice("offset", "compressed_size").alias("member_bytes"),
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1191,10 +1211,7 @@ def fetch_zip_members_df(archives: DataFrame, index: DataFrame) -> DataFrame:
         "idx",
         "name",
         "uncompressed_size",
-        F.expr(
-            "substr(payload, CAST(offset AS INT) + 1, "
-            "CAST(slice_end - offset AS INT))"
-        ).alias("member_bytes"),
+        _guarded_slice("offset", "slice_end - offset").alias("member_bytes"),
     )
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1278,9 +1295,7 @@ def fetch_tar_members_df(archives: DataFrame, index: DataFrame) -> DataFrame:
             "archive_id",
             "idx",
             "name",
-            F.expr(
-                "substr(payload, CAST(offset AS INT) + 1, CAST(size AS INT))"
-            ).alias("data"),
+            _guarded_slice("offset", "size").alias("data"),
             "size",
         )
         .select(

@@ -415,3 +415,65 @@ def test_read_pruned_rowgroups(spark, tmp_path):
     assert empty.count() == 0
     assert empty.columns == ["k", "v"]
     mf.unpersist()
+
+
+def test_rowgroup_pruning_never_touches_skipped_groups(spark, tmp_path):
+    """VERDICT r15 ask #7: the lake_rowgroup_stats consumer path must
+    PROVE the skip — not just return correct rows. Fixture: a sorted
+    4-group file whose group 0 data pages are overwritten with junk
+    (footer left intact). The footer-only manifest still builds, a
+    full scan of the file fails on the poisoned pages (the poison is
+    real), and read_pruned_rowgroups over a range that excludes group
+    0 succeeds with exact rows — a skipped row group costs no page
+    read and no decode, the 100 TB claim stated in the docstring."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orders_currency_conversion_etl_spark.operators.layout import (
+        read_pruned_rowgroups,
+        rowgroup_manifest,
+        surviving_rowgroups,
+    )
+
+    path = str(tmp_path / "poisoned.parquet")
+    ids = list(range(128))
+    pq.write_table(
+        pa.table({"k": pa.array(ids, pa.int64()),
+                  "v": pa.array([i * 3 for i in ids], pa.int64())}),
+        path,
+        row_group_size=32,
+    )
+    # poison group 0's column chunks in place; the footer (file tail)
+    # and every other group's pages are untouched
+    md = pq.ParquetFile(path).metadata
+    rg0 = md.row_group(0)
+    with open(path, "r+b") as f:
+        for ci in range(rg0.num_columns):
+            col = rg0.column(ci)
+            start = col.data_page_offset
+            if col.dictionary_page_offset is not None:
+                start = min(start, col.dictionary_page_offset)
+            f.seek(start)
+            f.write(b"\xff" * col.total_compressed_size)
+
+    # sanity: the poison is real — a whole-file read fails
+    with pytest.raises(Exception):
+        pq.read_table(path)
+
+    # footer-only manifest still builds (proves it reads no pages)
+    mf = rowgroup_manifest(spark, path, ["k"])
+    assert mf.count() == 4
+
+    # [40, 100] overlaps groups 1-3 only; the pruned read never opens
+    # group 0's pages, so it succeeds despite the poison
+    plan = surviving_rowgroups(mf, "k", 40, 100)
+    assert plan == {"poisoned.parquet": [1, 2, 3]}
+    got = read_pruned_rowgroups(spark, path, mf, "k", 40, 100)
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (k, 3 * k) for k in range(40, 101)
+    ]
+
+    # and a range REACHING group 0 fails loudly — no silent skip of
+    # data the plan says must be read
+    with pytest.raises(Exception):
+        read_pruned_rowgroups(spark, path, mf, "k", 0, 40).collect()

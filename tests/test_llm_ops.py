@@ -2915,3 +2915,26 @@ def test_decompress_payloads_df(spark):
     )
     with pytest.raises(Exception, match="zstd"):
         bad.collect()
+
+
+def test_guarded_slice_raises_past_int_bound(spark):
+    """r15 ADVICE: an index offset past 2^31 must raise loudly instead
+    of silently wrapping the INT cast into a garbage slice — all three
+    fetch plan-forms share _guarded_slice. In-range slices unchanged."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.operators import archive as ar
+
+    zipped = ar.build_zip([("a.txt", b"hello world")])
+    arch_df = spark.createDataFrame([(1, bytearray(zipped))], "archive_id long, payload binary")
+    idx = ar.build_zip_index_df(arch_df, "archive_id", "payload")
+    ok = ar.fetch_zip_members_df(arch_df, idx).collect()
+    assert [bytes(r["data"]) for r in ok] == [b"hello world"]
+    # forge a ZIP64-scale offset: the guard must fire before any cast
+    forged = idx.withColumn("offset", F.lit(2**31 + 10).cast("long")).withColumn(
+        "slice_end", F.lit(2**31 + 50).cast("long")
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="2 GiB|raise_error|beyond"):
+        ar.fetch_zip_members_df(arch_df, forged).collect()
