@@ -21,7 +21,11 @@ pre-registration pins to steady-state pins (the r15 rewrite is the
 model).
 
 Both queries are value-exact against their oracles TODAY through the
-registration machinery (``tests/test_staged_r17.py``).
+registration machinery (``tests/test_staged_r17.py``), and were
+SPOT-VERIFIED VALUE-EXACT AT SF1 in the r16 session (VERDICT r15 ask
+#8; artifact ``ORACLE_SWEEP_sf1_staged_r17.json``: video_dims 7.1 s,
+warc_gz_fetch 20.5 s on local[32]) — the r17 registration is pure
+bookkeeping with zero scale surprises.
 
 What they register:
 
