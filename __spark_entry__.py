@@ -868,6 +868,19 @@ ROTATION_R15_REVALIDATE = [
 #       the alphabetically-last cohort member (handle in-session).
 #       tests/test_rotation_horizon.py re-derives all four lists from
 #       the CORRECTNESS record and fails on any drift.
+#   r17 flip (pre-staged r16; the r17 session only needs to
+#   (1) import staged_r17 + call register_all() next to the staged_r16
+#   call, (2) set PRIORITY_WINDOW = ANCHORS + ROTATION_R17_NEW +
+#   ROTATION_R17_REVALIDATE, (3) regenerate the registry-keyed
+#   artifacts, (4) record extras baselines, (5) rewrite
+#   tests/test_staged_r17.py steady-state, (6) bump
+#   tests/test_rotation_horizon.py ACTIVE_ROUND to 17 and move r17 out
+#   of its replay. Both names are ALREADY sf1 spot-verified
+#   (ORACLE_SWEEP_sf1_staged_r17.json).
+ROTATION_R17_NEW = [
+    "multimodal_video_dims",
+    "archive_warc_gz_fetch",
+]
 ROTATION_R17_REVALIDATE = [
     "agg_cube_status_priority",
     "agg_grouping_sets",
