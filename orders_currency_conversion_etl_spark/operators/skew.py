@@ -80,7 +80,11 @@ def detect_hot_keys(
     |keys|-sized aggregate, not the base table); both collects are
     bounded and tiny. At 100 TB this is the standard pre-pass (or
     comes free from table statistics), amortized across every query
-    over the table — far below the straggler it prevents."""
+    over the table — far below the straggler it prevents. When the
+    DISTINCT key count is itself fact-sized (billions of keys), the
+    groupBy pre-aggregate stops being cheap — use the bounded-memory
+    single-pass :func:`operators.countmin.detect_hot_keys_sketched`
+    instead (r16; same no-false-negative contract at the threshold)."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n")).persist()
     try:
         total = counts.agg(F.sum("_n").alias("t")).collect()[0]["t"] or 0
