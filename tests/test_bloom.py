@@ -234,3 +234,20 @@ def test_unprocessed_at_scale_bloom_modes(spark):
     ).count() == 4_000
     with pytest.raises(ValueError, match="off|auto|on"):
         incremental.unprocessed_at_scale(src, sink, key="order_id", bloom="maybe")
+
+
+def test_unprocessed_at_scale_auto_accepts_above_threshold(spark):
+    """The other half of the auto heuristic: with a caller-supplied
+    sink_n_keys above BLOOM_MIN_SINK_KEYS (the catalog-stat path — no
+    counting scan), auto routes through the bypass; result unchanged."""
+    from orders_currency_conversion_etl_spark.operators import incremental
+
+    src = spark.range(0, 3_000).select(F.col("id").alias("order_id"))
+    sink = src.where(F.col("order_id") % 4 == 0)
+    forced = incremental.unprocessed_at_scale(
+        src, sink, key="order_id", bloom="auto",
+        sink_n_keys=incremental.BLOOM_MIN_SINK_KEYS + 1,
+    )
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Union" in plan
+    assert forced.count() == 3_000 - sink.count()
