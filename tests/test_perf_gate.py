@@ -136,7 +136,22 @@ def test_bench_auto_adjudication_noop_when_clean(monkeypatch):
 # --------------------------------------------------------------------------
 
 #: (query, sf_label) -> committed adjudication clearing a >GATE delta.
-EXTRAS_WAIVERS: dict[tuple[str, str], str] = {}
+#: A waiver cites either a DRIFT_AB artifact (rig noise cleared by the
+#: paired protocol) or the A/B artifact of a DELIBERATE plan-form
+#: change (the r16 precedent: bloom='on' wiring trades a known local
+#: wall loss for a 79/49/20% shuffle-row cut at cluster scale).
+EXTRAS_WAIVERS: dict[tuple[str, str], str] = {
+    ("incremental_unprocessed_at_scale", "sf0.1"): (
+        "BLOOM_WIRED_AB_r16.json — deliberate r16 plan change, not drift: "
+        "bloom='on' bypass wiring (bitmap build + second source scan) is a "
+        "documented LOCAL loss buying shuffle-row reduction; series break "
+        "adjudicated in BENCH_EXTRAS_r16.json:series_breaks"
+    ),
+    ("incremental_unprocessed_at_scale", "sf1"): (
+        "BLOOM_WIRED_AB_r16.json — same deliberate r16 plan change "
+        "(see the sf0.1 waiver)"
+    ),
+}
 
 
 def _extras_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
@@ -206,8 +221,8 @@ def test_extras_within_2x_of_best_round():
 
 def test_extras_waivers_cite_committed_adjudications():
     for key, citation in EXTRAS_WAIVERS.items():
-        m = re.search(r"DRIFT_AB_r\d+\w*\.json", citation)
-        assert m, f"waiver for {key} must cite a DRIFT_AB artifact"
+        m = re.search(r"\b[A-Z][A-Z_]*_AB_r\d+\w*\.json", citation)
+        assert m, f"waiver for {key} must cite a committed A/B artifact"
         assert os.path.exists(os.path.join(_ROOT, m.group(0)))
 
 
