@@ -218,16 +218,22 @@ def detect_hot_keys_sketched(
             pos = _positions(h1, h2, width, depth)
             for d in range(depth):
                 np.add.at(grid[d], pos[:, d].astype(np.int64), 1)
-            # batched Misra-Gries: add the batch's counts, then
-            # decrement-all-by-min until <= capacity survive
+            # batched Misra-Gries: add the batch's counts, then ONE
+            # generalized-decrement step — subtract the (capacity+1)-th
+            # largest count from everything and drop the non-positive.
+            # Any uniform subtraction with <=0 removal preserves the
+            # MG undercount bound; choosing that order statistic leaves
+            # at most `capacity` survivors in O(n log n), where the
+            # subtract-min-and-repeat form is O(n^2) when a partition's
+            # count values are all distinct (a real shape at scale).
             vals = pdf[key].tolist()
             for v, a, b in zip(vals, h1.tolist(), h2.tolist()):
                 counts[v] = counts.get(v, 0) + 1
                 if v not in hashes:
                     hashes[v] = (a, b)
-            while len(counts) > capacity:
-                m = min(counts.values())
-                counts = {v: c - m for v, c in counts.items() if c > m}
+            if len(counts) > capacity:
+                d = sorted(counts.values(), reverse=True)[capacity]
+                counts = {v: c - d for v, c in counts.items() if c > d}
         if any_rows:
             cand = list(counts)
             yield pd.DataFrame(
