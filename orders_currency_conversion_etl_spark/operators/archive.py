@@ -990,8 +990,8 @@ def build_warc_gz_index_df(df: DataFrame, id_col: str, payload_col: str) -> Data
     return base.mapInPandas(_index, schema=WARC_GZ_INDEX_SCHEMA)
 
 
-def _guarded_slice(offset_expr: str, length_expr: str):
-    """``substr(payload, offset+1, length)`` with a loud JVM-side
+def _guarded_slice(offset_expr: str, length_expr: str, payload_expr: str = "payload"):
+    """``substr(<payload>, offset+1, length)`` with a loud JVM-side
     bound guard (r15 ADVICE): Spark substr positions are INT, so a
     ZIP64/tar index can carry offsets past 2^31 that a bare
     ``CAST(... AS INT)`` would silently WRAP into a garbage slice.
@@ -999,7 +999,10 @@ def _guarded_slice(offset_expr: str, length_expr: str):
     this guard keeps the failure loud if either bound moves. Archives
     larger than one cell belong to a ranged-read source, not an
     in-cell slice (the fetch docstrings state the same 2 GiB payload
-    bound). Pure JVM CASE expression: no Python stage added."""
+    bound). Pure JVM CASE expression: no Python stage added. The
+    binary column is a parameter (default matches the three fetch
+    plan-forms) so a caller with a differently-named column cannot
+    silently slice the wrong one (r16 review)."""
     bound = 2**31 - 1
     return F.expr(
         f"CASE WHEN ({offset_expr}) < 0 OR ({length_expr}) < 0 "
@@ -1008,7 +1011,7 @@ def _guarded_slice(offset_expr: str, length_expr: str):
         f"BinaryType bound: offset=', CAST(({offset_expr}) AS STRING), "
         f"' len=', CAST(({length_expr}) AS STRING), "
         f"' — use a ranged-read source for >2GiB archives')) AS BINARY) "
-        f"ELSE substr(payload, CAST(({offset_expr}) AS INT) + 1, "
+        f"ELSE substr({payload_expr}, CAST(({offset_expr}) AS INT) + 1, "
         f"CAST(({length_expr}) AS INT)) END"
     )
 

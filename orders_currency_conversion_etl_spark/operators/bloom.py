@@ -131,6 +131,28 @@ def broadcast_bitmap(spark, bitmap: bytes):
     return spark.sparkContext.broadcast(bitmap)
 
 
+def _as_broadcast(spark, bitmap, num_bits: int):
+    """Wrap-and-validate shared by the two probe-side operators.
+    Size is checked BEFORE broadcasting so a mis-sized bytes argument
+    raises without leaking an executor-resident broadcast (r16 review:
+    the failure path must not accumulate exactly the copies the
+    caller-owned-lifetime API exists to prevent)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(bitmap, Broadcast):
+        nbytes = len(bitmap.value)
+        if nbytes * 8 != num_bits:
+            raise ValueError(
+                f"bitmap is {nbytes * 8} bits, num_bits says {num_bits}"
+            )
+        return bitmap
+    if len(bitmap) * 8 != num_bits:
+        raise ValueError(
+            f"bitmap is {len(bitmap) * 8} bits, num_bits says {num_bits}"
+        )
+    return broadcast_bitmap(spark, bitmap)
+
+
 def _membership_udf(bc, num_bits: int, k: int):
     """k vectorized bit lookups per Arrow batch against a broadcast
     bitmap. Input h1/h2 must come from non-NULL keys (md5(NULL) is
@@ -167,16 +189,7 @@ def prune_with_bloom(
     ADVICE finding: iterative callers must not accumulate copies)."""
     import uuid
 
-    from pyspark.broadcast import Broadcast
-
-    if isinstance(bitmap, Broadcast):
-        bc = bitmap
-        nbytes = len(bc.value)
-    else:
-        nbytes = len(bitmap)
-        bc = broadcast_bitmap(fact.sparkSession, bitmap)
-    if nbytes * 8 != num_bits:
-        raise ValueError(f"bitmap is {nbytes * 8} bits, num_bits says {num_bits}")
+    bc = _as_broadcast(fact.sparkSession, bitmap, num_bits)
 
     # collision-free temp names: a caller column literally named __bh1
     # must survive the projection untouched
@@ -227,18 +240,19 @@ def anti_join_with_bloom_bypass(
     Arrow stage can LOSE wall-clock (same artifact, stated in its
     protocol); that is why callers gate this behind a size heuristic
     (see :func:`operators.incremental.unprocessed_at_scale`) instead
-    of applying it unconditionally."""
+    of applying it unconditionally.
+
+    PRECONDITION: ``source`` must be deterministic under re-execution
+    (file/table scans, deterministic transforms). The split evaluates
+    the source in independent subtrees, so a non-deterministic source
+    (``df.sample``, an ``F.rand()``-derived filter, a ``LIMIT`` over
+    an unordered shuffle) can draw DIFFERENT rows per branch and lose
+    or duplicate rows vs the plain anti-join — the same rule Spark
+    itself applies to reused non-deterministic subplans. Persist such
+    a source first (not viable at 100 TB — restructure instead)."""
     import uuid
 
-    from pyspark.broadcast import Broadcast
-
-    bc = bitmap if isinstance(bitmap, Broadcast) else broadcast_bitmap(
-        source.sparkSession, bitmap
-    )
-    if len(bc.value) * 8 != num_bits:
-        raise ValueError(
-            f"bitmap is {len(bc.value) * 8} bits, num_bits says {num_bits}"
-        )
+    bc = _as_broadcast(source.sparkSession, bitmap, num_bits)
     might = _membership_udf(bc, num_bits, k)
     tag = uuid.uuid4().hex[:8]
     c1, c2 = f"__bh1_{tag}", f"__bh2_{tag}"

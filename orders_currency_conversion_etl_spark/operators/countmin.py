@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bloom import _h1h2, _positions
+from .sketches import mg_reduce
 
 
 def cm_params(eps: float, delta: float) -> "tuple[int, int]":
@@ -167,11 +168,15 @@ def detect_hot_keys_sketched(
     whose grid estimate exceeds t*N (N = one grid row's sum — the
     total arrives free, no extra count scan).
 
-    Guarantee (what salting needs): NO FALSE NEGATIVES. A key with
-    global share >= t has, by pigeonhole, share >= t in at least one
-    partition, so it survives that partition's Misra-Gries (capacity
-    >= ceil(1/t) keeps everything with partition share > 1/(C+1)); the
-    count-min estimate only OVER-counts, so it clears the t*N bar.
+    Guarantee (what salting needs): NO FALSE NEGATIVES above the
+    threshold. A key with global share STRICTLY greater than t (the
+    same strict boundary as the exact detector's ``_n > t * total``)
+    has, by pigeonhole, share > t in at least one partition, so it
+    survives that partition's Misra-Gries (capacity >= ceil(1/t) keeps
+    everything with partition share > 1/(C+1)); the count-min estimate
+    only OVER-counts, so it clears the strict t*N bar. A key at
+    EXACTLY t*N may be dropped by either detector — callers needing
+    the closed boundary should lower t one notch.
     False positives (near-threshold keys promoted by the eps*N
     overcount) merely salt a cold key — semantics-preserving by
     construction, the documented one-sided tolerance. The candidate
@@ -218,22 +223,28 @@ def detect_hot_keys_sketched(
             pos = _positions(h1, h2, width, depth)
             for d in range(depth):
                 np.add.at(grid[d], pos[:, d].astype(np.int64), 1)
-            # batched Misra-Gries: add the batch's counts, then ONE
-            # generalized-decrement step — subtract the (capacity+1)-th
-            # largest count from everything and drop the non-positive.
-            # Any uniform subtraction with <=0 removal preserves the
-            # MG undercount bound; choosing that order statistic leaves
-            # at most `capacity` survivors in O(n log n), where the
-            # subtract-min-and-repeat form is O(n^2) when a partition's
-            # count values are all distinct (a real shape at scale).
-            vals = pdf[key].tolist()
-            for v, a, b in zip(vals, h1.tolist(), h2.tolist()):
-                counts[v] = counts.get(v, 0) + 1
+            # batched Misra-Gries over vectorized per-batch counts
+            # (value_counts, not a per-row loop), reduced by the shared
+            # one-step order-statistic cut (sketches.mg_reduce — the
+            # same bound-preserving decrement the heavy-hitters
+            # operator uses; one copy of the subtle math, not two)
+            vc = pdf[key].value_counts()
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            firsts = pdf.drop_duplicates(subset=[key])
+            for v, a, b in zip(
+                firsts[key], firsts["__bloom_h1"], firsts["__bloom_h2"]
+            ):
                 if v not in hashes:
-                    hashes[v] = (a, b)
-            if len(counts) > capacity:
-                d = sorted(counts.values(), reverse=True)[capacity]
-                counts = {v: c - d for v, c in counts.items() if c > d}
+                    hashes[v] = (int(a), int(b))
+            counts = mg_reduce(counts, capacity)
+            # prune hashes to the MG survivors: without this the dict
+            # grows with every distinct key the partition ever saw,
+            # breaking the bounded-memory contract at exactly the
+            # billions-of-keys scale this detector exists for (r16
+            # review). An evicted key that re-enters counts later
+            # re-captures its hash from that batch's firsts.
+            hashes = {v: hashes[v] for v in counts}
         if any_rows:
             cand = list(counts)
             yield pd.DataFrame(

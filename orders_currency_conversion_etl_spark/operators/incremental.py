@@ -105,26 +105,41 @@ def unprocessed_at_scale(
     if watermark is not None:
         source = source.filter(watermark)
 
+    counted = None  # set only when counted IN-FUNCTION (trustworthy)
+
+    def _count_sink_keys() -> int:
+        return sink_keys.where(F.col(key).isNotNull()).distinct().count()
+
     use_bloom = bloom == "on"
     if bloom == "auto":
         if sink_n_keys is None:
-            sink_n_keys = sink_keys.where(F.col(key).isNotNull()).distinct().count()
+            sink_n_keys = counted = _count_sink_keys()
         use_bloom = sink_n_keys > BLOOM_MIN_SINK_KEYS
 
     if use_bloom:
         from .bloom import anti_join_with_bloom_bypass, bloom_params, build_bloom
 
-        if sink_n_keys is None:
-            sink_n_keys = sink_keys.where(F.col(key).isNotNull()).distinct().count()
-        if sink_n_keys > 0:
-            num_bits, k = bloom_params(sink_n_keys, bloom_fpp)
+        # The empty-sink shortcut (skip the join entirely) is taken
+        # ONLY on an in-function count: a stale catalog stat of 0 with
+        # a non-empty sink would silently re-emit processed rows — a
+        # correctness flip, unlike a wrong-but-positive stat, which
+        # merely degrades the fp rate (r16 review). Caller-supplied
+        # zero/None therefore triggers a recount.
+        if counted is None:
+            counted = (
+                sink_n_keys
+                if sink_n_keys is not None and sink_n_keys > 0
+                else _count_sink_keys()
+            )
+        if counted > 0:
+            num_bits, k = bloom_params(counted, bloom_fpp)
             bitmap = build_bloom(sink_keys, key, num_bits, k)
             out = anti_join_with_bloom_bypass(
                 source, sink_keys, key, bitmap, num_bits, k,
                 join_hint="shuffle_hash",
             )
         else:
-            out = source  # empty sink: nothing is processed
+            out = source  # verified-empty sink: nothing is processed
     else:
         out = source.join(
             sink_keys.hint("shuffle_hash"), on=key, how="left_anti"

@@ -248,6 +248,26 @@ def _hh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_reduce(counts: dict, capacity: int) -> dict:
+    """One generalized Misra-Gries decrement: subtract the
+    (capacity+1)-th LARGEST count from every key and drop the
+    non-positive — `cut` uniform MG rounds at once, leaving at most
+    ``capacity`` survivors in O(n log n). At least capacity+1 keys
+    carry >= cut, so each application removes >= (capacity+1)*cut
+    mass, preserving w >= count - n_p/(capacity+1) exactly (r6 review:
+    vals[len-capacity] is one position too high — only capacity keys
+    at >= cut, bound degrades to n_p/capacity, and a flat batch of
+    capacity+1 equal counts would wipe the whole summary). Shared by
+    the heavy-hitters operator below and
+    :func:`operators.countmin.detect_hot_keys_sketched` (r16 review:
+    one copy of the subtle order statistic, not two)."""
+    if len(counts) <= capacity:
+        return counts
+    vals = sorted(counts.values())
+    cut = vals[len(counts) - capacity - 1]
+    return {k: v - cut for k, v in counts.items() if v > cut}
+
+
 def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
     """Per-partition Misra-Gries summaries via mapInPandas: at most
     ``capacity`` (key, weight) rows leave each partition regardless of
@@ -264,19 +284,7 @@ def _mg_partition_summaries(stream: DataFrame, capacity: int = MG_CAPACITY) -> D
             n_p += len(pdf)
             for k, c in pdf["key"].value_counts().items():
                 counts[int(k)] = counts.get(int(k), 0) + int(c)
-            if len(counts) > capacity:
-                # batched decrement: subtracting `cut` from every key and
-                # dropping <=0 is `cut` uniform MG rounds at once. cut is
-                # the (capacity+1)-th LARGEST value — at least capacity+1
-                # keys carry >= cut, so each round removes >= capacity+1
-                # mass, preserving w >= count - n_p/(capacity+1) exactly
-                # (r6 review: vals[len-capacity] is one position too
-                # high — only capacity keys at >= cut, bound degrades to
-                # n_p/capacity, and a flat batch of capacity+1 equal
-                # counts would wipe the whole summary).
-                vals = sorted(counts.values())
-                cut = vals[len(counts) - capacity - 1]
-                counts = {k: v - cut for k, v in counts.items() if v > cut}
+            counts = mg_reduce(counts, capacity)
         # sentinel row (key=-1: real keys are >=1 by construction)
         # carries the partition's processed-row count, so the merge can
         # recover the global n — and with it the global error bound —
