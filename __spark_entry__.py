@@ -56,6 +56,7 @@ from orders_currency_conversion_etl_spark.streaming import events_stream as _eve
 from orders_currency_conversion_etl_spark.streaming import file_queue as _file_queue  # noqa: F401
 from orders_currency_conversion_etl_spark import staged_r15 as _staged_r15
 from orders_currency_conversion_etl_spark import staged_r16 as _staged_r16
+from orders_currency_conversion_etl_spark import staged_r17 as _staged_r17
 
 # r15 registration (pinned late r13 in staged_r15.py's docstring and
 # tests/test_staged_r15.py): the four staged queries join the registry
@@ -65,6 +66,12 @@ _staged_r15.register_all()
 # LZW and palette/interlace-PNG codec tiers join the registry —
 # 204 -> 206 names; capacity 196 <= 200 (tests/test_staged_r16.py).
 _staged_r16.register_all()
+# r17 registration (pinned early r15 in staged_r17.py's docstring): the
+# unified MP4/AVI/MKV video dispatch and the WARC.gz ranged-fetch half
+# of the side-car pattern join the registry — 206 -> 208 names;
+# capacity 198 <= 200 (tests/test_staged_r17.py). Both names were sf1
+# spot-verified at r16 (ORACLE_SWEEP_sf1_staged_r17.json).
+_staged_r17.register_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -868,7 +875,7 @@ ROTATION_R15_REVALIDATE = [
 #       the alphabetically-last cohort member (handle in-session).
 #       tests/test_rotation_horizon.py re-derives all four lists from
 #       the CORRECTNESS record and fails on any drift.
-#   r17 flip (pre-staged r16; the r17 session only needs to
+#   r17 flip (pre-staged r16, EXECUTED at r17; the r17 session only needed to
 #   (1) import staged_r17 + call register_all() next to the staged_r16
 #   call, (2) set PRIORITY_WINDOW = ANCHORS + ROTATION_R17_NEW +
 #   ROTATION_R17_REVALIDATE, (3) regenerate the registry-keyed
@@ -1046,15 +1053,16 @@ ROTATION_R20_REVALIDATE = [
     "window_top3_per_customer",
 ]
 
-# r16 (ACTIVE): 10 anchors + the 2 staged_r16 registrations + the full
-# 38-name r11 staleness cohort = 50, exactly as pre-computed early r15.
-# Post-registration capacity: 206 names, non-anchor 196 <= (50-10)*5 =
-# 200 — four slots of headroom left for r17+ (r17/r18 each take 2;
-# after r18 the budget is EXACTLY full, see staged_r18.py and the
-# retirement policy in SCALE.md). The r15 window it replaces (10
-# anchors + ROTATION_R15_NEW + the 36-name r10 cohort) went 50/50
-# green in CORRECTNESS_r15.json.
-PRIORITY_WINDOW = ANCHORS + ROTATION_R16_NEW + ROTATION_R16_REVALIDATE
+# r17 (ACTIVE): 10 anchors + the 2 staged_r17 registrations + the full
+# 38-name r12 staleness cohort = 50, exactly as pre-computed early r15.
+# Post-registration capacity: 208 names, non-anchor 198 <= (50-10)*5 =
+# 200 — two slots of headroom left, taken by the pinned staged_r18
+# pair; after r18 the budget is EXACTLY full (retirement policy in
+# SCALE.md §Registration budget, pinned by
+# tests/test_retirement_policy.py). The r16 window this replaces
+# (10 anchors + ROTATION_R16_NEW + the 38-name r11 cohort) went 50/50
+# green in CORRECTNESS_r16.json.
+PRIORITY_WINDOW = ANCHORS + ROTATION_R17_NEW + ROTATION_R17_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

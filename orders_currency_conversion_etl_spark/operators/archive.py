@@ -1004,8 +1004,14 @@ def _guarded_slice(offset_expr: str, length_expr: str, payload_expr: str = "payl
     plan-forms) so a caller with a differently-named column cannot
     silently slice the wrong one (r16 review)."""
     bound = 2**31 - 1
+    # offset is compared against bound on its own as well: the ELSE
+    # branch computes CAST(offset AS INT) + 1, so offset == 2^31-1
+    # (e.g. a zero-length member at the exact cap) would overflow the
+    # INT cast even though offset+length stays within the bound
+    # (ADVICE r16).
     return F.expr(
         f"CASE WHEN ({offset_expr}) < 0 OR ({length_expr}) < 0 "
+        f"OR ({offset_expr}) >= {bound}L "
         f"OR ({offset_expr}) + ({length_expr}) > {bound}L THEN "
         f"CAST(raise_error(concat('archive slice beyond the 2 GiB "
         f"BinaryType bound: offset=', CAST(({offset_expr}) AS STRING), "

@@ -177,6 +177,12 @@ def detect_hot_keys_sketched(
     only OVER-counts, so it clears the strict t*N bar. A key at
     EXACTLY t*N may be dropped by either detector — callers needing
     the closed boundary should lower t one notch.
+    The returned list is truncated to max(max_keys, ceil(1/t)) — the
+    raised cap (not bare max_keys) so the at-most-floor(1/t) truly-hot
+    keys always fit; a truncation false negative would additionally
+    need that many DISTINCT cold keys each overcounted past a hot
+    key's estimate, which the eps = t/4 width makes a
+    multiple-independent-overcount event, not a boundary case.
     False positives (near-threshold keys promoted by the eps*N
     overcount) merely salt a cold key — semantics-preserving by
     construction, the documented one-sided tolerance. The candidate
@@ -273,4 +279,10 @@ def detect_hot_keys_sketched(
         if est > bar:
             scored.append((est, v))
     scored.sort(key=lambda t: (-t[0], str(t[1])))
-    return [v for _est, v in scored[:max_keys]]
+    # Truncate at `capacity` (= max(max_keys, ceil(1/t))), NOT raw
+    # max_keys: at most floor(1/t) keys can hold a share strictly
+    # above t, so the raised cap always has room for every truly-hot
+    # key even when frac_threshold < 1/max_keys — truncation at bare
+    # max_keys could let overcount-promoted cold keys displace a hot
+    # one in the estimate ranking (ADVICE r16).
+    return [v for _est, v in scored[:capacity]]

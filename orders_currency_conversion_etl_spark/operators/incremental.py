@@ -98,6 +98,18 @@ def unprocessed_at_scale(
       anti-join is already shuffle-free for the fact side and the
       bypass's extra scan is pure overhead (the measured single-node
       loss in BLOOM_AB_r15.json's protocol note).
+
+    Snapshot semantics (bloom on/auto, ADVICE r16): the bitmap is
+    built EAGERLY at DataFrame-construction time and freezes the sink
+    keyset as of this call, while the exact anti-join branch re-reads
+    the sink at each action. A key appended to the sink BETWEEN
+    constructing and executing the returned frame fails the stale
+    membership probe and routes to the definitely-new bypass,
+    re-emitting an already-processed row — a divergence the plain
+    ``bloom='off'`` form does not have. Construct-then-execute within
+    one batch (the incremental pattern this operator exists for), or
+    rebuild the frame after any sink mutation — the same determinism
+    precondition documented on ``anti_join_with_bloom_bypass``.
     """
     if bloom not in ("off", "auto", "on"):
         raise ValueError(f"bloom must be off|auto|on, got {bloom!r}")

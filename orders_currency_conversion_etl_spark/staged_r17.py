@@ -1,6 +1,7 @@
-"""Registration-ready r17 queries — staged early r15, NOT imported by
-``__spark_entry__`` until r17 (the r16 window is exactly filled:
-10 anchors + the 2 staged_r16 names + the 38-name r11 cohort).
+"""r17 queries — staged early r15, ACTIVATED at r17 (``__spark_entry__``
+imports this module and calls :func:`register_all`, 206 -> 208 names;
+the r16 window was exactly filled: 10 anchors + the 2 staged_r16 names
++ the 38-name r11 cohort).
 
 Window math (the staged_r15/staged_r16 convention): the r17 due cohort
 is the 38-name r12 bucket, leaving exactly ``50 - 10 - 38 = 2`` slots —

@@ -160,6 +160,21 @@ def test_detect_hot_keys_sketched_no_false_negatives(spark):
         assert len(cold_extras) <= 2, cold_extras
 
 
+def test_detect_hot_keys_sketched_cap_raises_past_max_keys(spark):
+    """ADVICE r16: when frac_threshold < 1/max_keys, more than max_keys
+    keys can legitimately clear the bar — the truncation cap must rise
+    to ceil(1/t) so no truly-hot key is displaced by an
+    overcount-promoted cold one. 40 planted keys at share 0.025 > t =
+    0.02 with max_keys = 32: all 40 must come back."""
+    df = spark.range(0, 10_000).select((F.col("id") % 40).alias("key"))
+    hot = set(
+        cm.detect_hot_keys_sketched(
+            df, "key", frac_threshold=0.02, max_keys=32
+        )
+    )
+    assert hot == set(range(40))
+
+
 def test_detect_hot_keys_sketched_uniform_is_empty(spark):
     """On uniform keys (the fixture tables) the sketch returns no hot
     keys — the wired join_skewed_fact_salted degenerates to the plain

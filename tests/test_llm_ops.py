@@ -2938,3 +2938,11 @@ def test_guarded_slice_raises_past_int_bound(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="2 GiB|raise_error|beyond"):
         ar.fetch_zip_members_df(arch_df, forged).collect()
+    # r16 ADVICE boundary: offset == 2^31-1 with a zero-length slice
+    # passes the SUM bound but the ELSE branch's CAST(offset AS INT)+1
+    # would overflow — the guard must fire on the offset alone
+    edge = idx.withColumn("offset", F.lit(2**31 - 1).cast("long")).withColumn(
+        "slice_end", F.lit(2**31 - 1).cast("long")
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="2 GiB|raise_error|beyond"):
+        ar.fetch_zip_members_df(arch_df, edge).collect()

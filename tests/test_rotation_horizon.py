@@ -21,9 +21,9 @@ import re
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 #: The round this tree is being built in. Bump at each round's
-#: registration/window flip (r16 flipped the window to
-#: ANCHORS + ROTATION_R16_NEW + ROTATION_R16_REVALIDATE).
-ACTIVE_ROUND = 16
+#: registration/window flip (r17 flipped the window to
+#: ANCHORS + ROTATION_R17_NEW + ROTATION_R17_REVALIDATE).
+ACTIVE_ROUND = 17
 
 
 def _records() -> "tuple[dict, int]":
@@ -48,7 +48,7 @@ def _records() -> "tuple[dict, int]":
 
 def test_rotation_horizon_pins_are_derivable_and_complete():
     import __spark_entry__ as mod
-    from orders_currency_conversion_etl_spark import staged_r17, staged_r18
+    from orders_currency_conversion_etl_spark import staged_r18
 
     newest, recorded_max = _records()
     anchors = mod.ANCHORS
@@ -70,15 +70,17 @@ def test_rotation_horizon_pins_are_derivable_and_complete():
         )
 
     # replay the pinned future windows forward from the active round
-    pool = list(mod.queries())  # 206 after the r16 registration
+    # (r17 moved out of the replay when it became active: its window is
+    # the live PRIORITY_WINDOW, covered by the assumption/record logic
+    # above, and its registrations are already in mod.queries()).
+    pool = list(mod.queries())  # 208 after the r17 registration
     windows = {
-        17: [x for x, *_ in staged_r17.STAGED] + mod.ROTATION_R17_REVALIDATE,
         18: [x for x, *_ in staged_r18.STAGED] + mod.ROTATION_R18_REVALIDATE,
         19: mod.ROTATION_R19_REVALIDATE,
         20: mod.ROTATION_R20_REVALIDATE,
     }
-    staged_by_round = {17: staged_r17, 18: staged_r18}
-    for rnd in (17, 18, 19, 20):
+    staged_by_round = {18: staged_r18}
+    for rnd in (18, 19, 20):
         rotation = windows[rnd]
         # window sums to exactly 50 with the permanent 10 anchors
         assert len(anchors) + len(rotation) == 50, rnd

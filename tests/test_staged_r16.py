@@ -196,37 +196,29 @@ def test_register_all_is_idempotent(entry_mod):
         assert n in registry.QUERIES and n in registry.ORACLES
 
 
-def test_r16_registration_landed_in_the_window(entry_mod):
-    """The two staged names are registered AND sit in the active
-    driver window exactly where the early-r15 plan put them — directly
-    after the anchors, before the revalidation cohort."""
+def test_r16_registration_landed(entry_mod):
+    """The two r16 names are registered and carried by the pinned
+    ROTATION_R16_NEW list (the r16 window itself retired at the r17
+    flip; it went 50/50 green in CORRECTNESS_r16.json)."""
     q = entry_mod.queries()
     for n in STAGED_NAMES:
         assert n in q, f"{n} missing from the registry"
     assert sorted(entry_mod.ROTATION_R16_NEW) == sorted(STAGED_NAMES)
-    window = list(q)[:50]
-    assert window == (
-        entry_mod.ANCHORS
-        + entry_mod.ROTATION_R16_NEW
-        + entry_mod.ROTATION_R16_REVALIDATE
-    )
 
 
-def test_r16_window_is_sound(entry_mod):
-    """The ACTIVE r16 window: 10 anchors + 2 registrations + the full
-    38-name r11 staleness cohort = 50 unique registered names, pairwise
-    disjoint, with the post-registration capacity inside the 5-round
-    budget (206 - 10 = 196 <= (50 - 10) * 5 = 200)."""
+def test_r16_window_was_sound(entry_mod):
+    """The RETIRED r16 window (historical form, the test_staged_r15
+    model): 10 anchors + 2 registrations + the full 38-name r11
+    staleness cohort = 50 unique registered names, pairwise disjoint,
+    with the capacity inside the 5-round budget."""
     mod = entry_mod
     assert len(mod.ANCHORS) == 10
     cohort = mod.ROTATION_R16_REVALIDATE
     assert len(cohort) == 38 == len(set(cohort))
     live = set(mod.queries())
     assert set(cohort) <= live
-    assert mod.PRIORITY_WINDOW == (
-        mod.ANCHORS + mod.ROTATION_R16_NEW + cohort
-    )
-    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    r16_window = mod.ANCHORS + mod.ROTATION_R16_NEW + cohort
+    assert len(r16_window) == 50 == len(set(r16_window))
     assert len(live) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
 
 

@@ -1,11 +1,14 @@
-"""The staged r17 registrations (staged_r17.py) are value-exact against
-their oracles TODAY, through the exact machinery registration will
-apply — each test registers the query with the real decorator (boundary
-casts), compares via the driver-replica harness against the FINALIZED
-oracle, then removes the entry so the live registry (and the artifact-
-sync pins keyed to it) is untouched. Window/capacity pins encode the
-PRE-registration state; at r17 rewrite them steady-state (the
-test_staged_r15.py r15 rewrite is the model)."""
+"""The r17 registrations (staged_r17.py, ACTIVATED at r17 via
+``staged_r17.register_all()`` in ``__spark_entry__``): the unified
+MP4/AVI/MKV video-dims dispatch and the WARC.gz ranged-fetch half of
+the side-car pattern, value-exact through the LIVE registry machinery —
+exactly what the driver runs.
+
+History: before r17 the registration tests here pinned the
+PRE-registration state (names absent from the registry, window
+precomputation); that era's pins are preserved in git history. The
+activation flipped them to the steady-state form, the
+test_staged_r15.py / test_staged_r16.py model."""
 
 from __future__ import annotations
 
@@ -18,57 +21,68 @@ from oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
 
-
-@pytest.mark.parametrize("name", [n for n, _sql, _fn in staged_r17.STAGED])
-def test_staged_r17_query_value_exact(spark, name):
-    sql, fn = next((s, f) for n, s, f in staged_r17.STAGED if n == name)
-    assert name not in registry.QUERIES  # really unregistered today
-    registry.query(name, sql)(fn)
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            for t in registry.ORACLE_TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
-                )
-            cols = [
-                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
-            ]
-        finally:
-            con.close()
-        finalized = registry._wrap_oracle(sql, cols)
-        compare_query(spark, SF, registry.QUERIES[name], finalized)
-    finally:
-        del registry.QUERIES[name]
-        del registry.ORACLES[name]
-    assert name not in registry.QUERIES
+STAGED_NAMES = [n for n, _sql, _fn in staged_r17.STAGED]
 
 
-def test_staged_r17_not_registered_before_window():
-    import __spark_entry__ as mod
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod  # registers the full 208-name registry
 
-    for n, _sql, _fn in staged_r17.STAGED:
-        assert n not in mod.queries(), f"{n} registered before its window"
+    return mod
 
 
-def test_r17_capacity_arithmetic():
-    """The r17 slate must fit the window and the 5-round budget: the
-    r12 due cohort is 38 names, leaving exactly 2 slots; capacity
-    after registration is 206 + 2 - 10 = 198 <= 200. This test fails
-    if the slate grows past the slots or the budget."""
-    import __spark_entry__ as mod
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_registered_query_value_exact(spark, entry_mod, name):
+    """Each r17-registered query remains value-exact against its
+    FINALIZED oracle through the live registry path (boundary casts on
+    both engines) — the same compare the driver's hash gate replays."""
+    assert name in registry.QUERIES  # registered by __spark_entry__
+    finalized = entry_mod.oracle_sql()[name]
+    compare_query(spark, SF, registry.QUERIES[name], finalized)
 
-    staged = [n for n, _s, _f in staged_r17.STAGED]
-    assert len(staged) == 2 == len(set(staged))
-    # staged_r16 registered at r16: queries() already carries it
-    live_after_r16 = len(mod.queries())
-    after_r17 = live_after_r16 + len(staged)
-    assert after_r17 - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
-    # the r17 window: 10 anchors + 2 new + the 38-name r12 cohort
-    assert len(mod.ANCHORS) + len(staged) + 38 == 50
+
+def test_register_all_is_idempotent(entry_mod):
+    """register_all() re-applies dict assignments; a second call must
+    not grow the registry or change the registered objects."""
+    before = dict(registry.QUERIES)
+    staged_r17.register_all()
+    assert set(registry.QUERIES) == set(before)
+    for n in STAGED_NAMES:
+        assert n in registry.QUERIES and n in registry.ORACLES
+
+
+def test_r17_registration_landed_in_the_window(entry_mod):
+    """The two staged names are registered AND sit in the active
+    driver window exactly where the early-r15 plan put them — directly
+    after the anchors, before the revalidation cohort."""
+    q = entry_mod.queries()
+    for n in STAGED_NAMES:
+        assert n in q, f"{n} missing from the registry"
+    assert sorted(entry_mod.ROTATION_R17_NEW) == sorted(STAGED_NAMES)
+    window = list(q)[:50]
+    assert window == (
+        entry_mod.ANCHORS
+        + entry_mod.ROTATION_R17_NEW
+        + entry_mod.ROTATION_R17_REVALIDATE
+    )
+
+
+def test_r17_window_is_sound(entry_mod):
+    """The ACTIVE r17 window: 10 anchors + 2 registrations + the full
+    38-name r12 staleness cohort = 50 unique registered names, pairwise
+    disjoint, with the post-registration capacity inside the 5-round
+    budget (208 - 10 = 198 <= (50 - 10) * 5 = 200)."""
+    mod = entry_mod
+    assert len(mod.ANCHORS) == 10
+    cohort = mod.ROTATION_R17_REVALIDATE
+    assert len(cohort) == 38 == len(set(cohort))
+    live = set(mod.queries())
+    assert set(cohort) <= live
+    assert mod.PRIORITY_WINDOW == (
+        mod.ANCHORS + mod.ROTATION_R17_NEW + cohort
+    )
+    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    assert len(live) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
 
 
 def test_video_dims_dispatch_branches_loud():

@@ -61,12 +61,11 @@ def test_r18_capacity_arithmetic():
     r19/r20 have zero slots. This test fails if anything tries to grow
     the slate or the registry past that."""
     import __spark_entry__ as mod
-    from orders_currency_conversion_etl_spark import staged_r17
 
     staged = [n for n, _s, _f in staged_r18.STAGED]
     assert len(staged) == 2 == len(set(staged))
-    # staged_r16 registered at r16: queries() already carries it
-    live_after_r17 = len(mod.queries()) + len(staged_r17.STAGED)
+    # staged_r17 registered at r17: queries() already carries it
+    live_after_r17 = len(mod.queries())
     after_r18 = live_after_r17 + len(staged)
     assert after_r18 == 210
     assert after_r18 - len(mod.ANCHORS) == (50 - len(mod.ANCHORS)) * 5
