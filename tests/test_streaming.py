@@ -165,13 +165,23 @@ def test_rate_source_live_windowed_agg(spark):
             .start()
         )
         try:
-            deadline = time.time() + 60
+            # 120 s: wall-clock-paced micro-batches starve when the box
+            # is shared with another full Spark suite (the one r16
+            # spurious red — passed standalone); the loop exits as soon
+            # as two closed windows land, so a quiet rig pays seconds
+            deadline = time.time() + 120
             # run until at least two closed windows have been emitted
             while time.time() < deadline and seen["rows"] < 2:
                 time.sleep(0.5)
                 if q.exception() is not None:
                     raise AssertionError(f"stream failed: {q.exception()}")
         finally:
-            q.stop()
+            try:
+                q.stop()
+            except OSError:
+                # stage-cancel noise on a starved rig can surface as a
+                # transient py4j socket error from stop(); the stream
+                # state we assert on is already captured in `seen`
+                pass
     assert seen["rows"] >= 2, f"no closed windows emitted: {seen}"
     assert seen["batches"] == sorted(seen["batches"])  # monotone batch ids
