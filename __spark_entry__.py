@@ -928,6 +928,30 @@ ROTATION_R17_REVALIDATE = [
     "window_lag_delta",
     "window_lead_first",
 ]
+#   r18 flip (pre-staged r17, the LAST registration pair — the budget
+#   lands EXACTLY full at 210 = 10 anchors + 200; a bookkeeping slip
+#   here cannot be recovered by r19/r20, which have zero slots. The
+#   r18 session only needs to:
+#   (1) import staged_r18 + call register_all() next to the staged_r17
+#   call (208 -> 210), (2) set PRIORITY_WINDOW = ANCHORS +
+#   ROTATION_R18_NEW + ROTATION_R18_REVALIDATE, (3) regenerate the four
+#   registry-keyed artifacts at 210 (sweeps sf0.01/sf0.1/sf1 +
+#   CODEGEN_AUDIT + PARTITION_INVARIANCE + PLANCHECK_BROADCASTS —
+#   tests/test_artifact_sync.py fails otherwise), (4) record extras
+#   introduction baselines (scripts/bench_extras_r18.py, copy the r17
+#   script), (5) rewrite tests/test_staged_r18.py steady-state (the
+#   r16/r17 rewrite is the model; also flip test_budget_is_exactly_full
+#   in tests/test_retirement_policy.py to len(mod.queries()) == 210),
+#   (6) bump tests/test_rotation_horizon.py ACTIVE_ROUND to 18 and
+#   move r18 out of its replay dict (r17 flip commit is the model).
+#   Both names are value-exact through the registration machinery
+#   every session (tests/test_staged_r18.py, re-verified at r17);
+#   like every registration since r15, sf1-spot-verify them BEFORE the
+#   flip if not already recorded.
+ROTATION_R18_NEW = [
+    "multimodal_audio_info",
+    "multimodal_image_dims",
+]
 ROTATION_R18_REVALIDATE = [
     "archive_tar_members",
     "archive_warc_records",
@@ -968,6 +992,15 @@ ROTATION_R18_REVALIDATE = [
     "window_ntile_percent_rank",
     "window_range_frame",
 ]
+#   r19 flip (ZERO registration slots — pure revalidation; see the
+#   retirement policy in SCALE.md if a new operator needs a name):
+#   (1) set PRIORITY_WINDOW = ANCHORS + ROTATION_R19_REVALIDATE (40
+#   names — no _NEW list), (2) bump tests/test_rotation_horizon.py
+#   ACTIVE_ROUND to 19 and move r19 out of its replay dict, (3) the
+#   registry is UNCHANGED at 210, so the four registry-keyed artifacts
+#   stay valid — regenerate only what the round's code changes touch,
+#   (4) record the quiet bench FIRST THING on the unchanged tree.
+#   r20 flip: identical with ROTATION_R20_REVALIDATE / ACTIVE_ROUND=20.
 ROTATION_R19_REVALIDATE = [
     "agg_mode_median",
     "agg_pricing_summary",
