@@ -183,6 +183,12 @@ def detect_hot_keys_sketched(
     need that many DISTINCT cold keys each overcounted past a hot
     key's estimate, which the eps = t/4 width makes a
     multiple-independent-overcount event, not a boundary case.
+    Consequence for the drop-in contract: when frac_threshold <
+    1/max_keys the result can EXCEED max_keys (the exact detector
+    hard-caps at max_keys and silently drops hot keys in that regime
+    — this one refuses to). Callers needing a hard output bound
+    should raise frac_threshold so ceil(1/t) <= max_keys; at the
+    defaults (t=0.05, max_keys=32) the cap is max_keys exactly.
     False positives (near-threshold keys promoted by the eps*N
     overcount) merely salt a cold key — semantics-preserving by
     construction, the documented one-sided tolerance. The candidate

@@ -64,6 +64,11 @@ def test_r18_capacity_arithmetic():
 
     staged = [n for n, _s, _f in staged_r18.STAGED]
     assert len(staged) == 2 == len(set(staged))
+    # the pinned window list must track STAGED today, not mid-r18-flip
+    # (the rotation-horizon replay derives r18 from STAGED, so drift
+    # in ROTATION_R18_NEW would otherwise surface only in the round
+    # with zero recovery slots)
+    assert sorted(mod.ROTATION_R18_NEW) == sorted(staged)
     # staged_r17 registered at r17: queries() already carries it
     live_after_r17 = len(mod.queries())
     after_r18 = live_after_r17 + len(staged)
