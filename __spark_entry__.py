@@ -57,6 +57,7 @@ from orders_currency_conversion_etl_spark.streaming import file_queue as _file_q
 from orders_currency_conversion_etl_spark import staged_r15 as _staged_r15
 from orders_currency_conversion_etl_spark import staged_r16 as _staged_r16
 from orders_currency_conversion_etl_spark import staged_r17 as _staged_r17
+from orders_currency_conversion_etl_spark import staged_r18 as _staged_r18
 
 # r15 registration (pinned late r13 in staged_r15.py's docstring and
 # tests/test_staged_r15.py): the four staged queries join the registry
@@ -72,6 +73,13 @@ _staged_r16.register_all()
 # capacity 198 <= 200 (tests/test_staged_r17.py). Both names were sf1
 # spot-verified at r16 (ORACLE_SWEEP_sf1_staged_r17.json).
 _staged_r17.register_all()
+# r18 registration (pinned r15 in staged_r18.py's docstring): the
+# unified WAV/OGG/FLAC/MP3 audio dispatch and the PNM/ICO/BMP/HEIF
+# image-dims families join the registry — 208 -> 210 names; the LAST
+# registration pair: capacity lands EXACTLY full at 200/200
+# (tests/test_staged_r18.py, tests/test_retirement_policy.py). Both
+# names were sf1 spot-verified at r17 (ORACLE_SWEEP_sf1_staged_r18.json).
+_staged_r18.register_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -1086,16 +1094,15 @@ ROTATION_R20_REVALIDATE = [
     "window_top3_per_customer",
 ]
 
-# r17 (ACTIVE): 10 anchors + the 2 staged_r17 registrations + the full
-# 38-name r12 staleness cohort = 50, exactly as pre-computed early r15.
-# Post-registration capacity: 208 names, non-anchor 198 <= (50-10)*5 =
-# 200 — two slots of headroom left, taken by the pinned staged_r18
-# pair; after r18 the budget is EXACTLY full (retirement policy in
-# SCALE.md §Registration budget, pinned by
-# tests/test_retirement_policy.py). The r16 window this replaces
-# (10 anchors + ROTATION_R16_NEW + the 38-name r11 cohort) went 50/50
-# green in CORRECTNESS_r16.json.
-PRIORITY_WINDOW = ANCHORS + ROTATION_R17_NEW + ROTATION_R17_REVALIDATE
+# r18 (ACTIVE): 10 anchors + the 2 staged_r18 registrations + the full
+# 38-name r13 staleness cohort = 50, exactly as pre-computed early r15.
+# Post-registration capacity: 210 names, non-anchor 200 == (50-10)*5 =
+# 200 — the budget is now EXACTLY full: r19/r20 have zero slots and any
+# further registration requires the retirement policy (SCALE.md
+# §Registration budget, pinned by tests/test_retirement_policy.py).
+# The r17 window this replaces (10 anchors + ROTATION_R17_NEW + the
+# 38-name r12 cohort) went 50/50 green in CORRECTNESS_r17.json.
+PRIORITY_WINDOW = ANCHORS + ROTATION_R18_NEW + ROTATION_R18_REVALIDATE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -152,6 +152,7 @@ def detect_hot_keys_sketched(
     frac_threshold: float = 0.05,
     max_keys: int = 32,
     depth: int = 5,
+    strict_max_keys: bool = False,
 ) -> list:
     """Hot-key detection in ONE bounded-memory pass — the count-min
     consumer (VERDICT r15 ask #3), drop-in for
@@ -186,9 +187,15 @@ def detect_hot_keys_sketched(
     Consequence for the drop-in contract: when frac_threshold <
     1/max_keys the result can EXCEED max_keys (the exact detector
     hard-caps at max_keys and silently drops hot keys in that regime
-    — this one refuses to). Callers needing a hard output bound
-    should raise frac_threshold so ceil(1/t) <= max_keys; at the
-    defaults (t=0.05, max_keys=32) the cap is max_keys exactly.
+    — this one refuses to by default). Callers needing the exact
+    detector's hard output bound pass ``strict_max_keys=True`` (an
+    explicit opt-in, ADVICE r17: a parameter named max_keys that is
+    not a hard bound surprises drop-in callers) — that truncates the
+    estimate-ranked list at bare max_keys, accepting the same
+    silent hot-key drop the exact form has in that regime.
+    Alternatively raise frac_threshold so ceil(1/t) <= max_keys; at
+    the defaults (t=0.05, max_keys=32) the cap is max_keys exactly
+    and the flag is moot.
     False positives (near-threshold keys promoted by the eps*N
     overcount) merely salt a cold key — semantics-preserving by
     construction, the documented one-sided tolerance. The candidate
@@ -290,5 +297,8 @@ def detect_hot_keys_sketched(
     # above t, so the raised cap always has room for every truly-hot
     # key even when frac_threshold < 1/max_keys — truncation at bare
     # max_keys could let overcount-promoted cold keys displace a hot
-    # one in the estimate ranking (ADVICE r16).
-    return [v for _est, v in scored[:capacity]]
+    # one in the estimate ranking (ADVICE r16). strict_max_keys is the
+    # documented opt-in back to the exact detector's hard bound
+    # (ADVICE r17), which re-accepts that displacement risk.
+    cap = max_keys if strict_max_keys else capacity
+    return [v for _est, v in scored[:cap]]

@@ -1,6 +1,7 @@
-"""Registration-ready r18 queries — staged at r15, NOT imported by
-``__spark_entry__`` until r18 (r16 and r17 windows are exactly filled
-by the staged_r16/staged_r17 slates plus their due cohorts).
+"""r18 queries — staged at r15, ACTIVATED at r18 (``__spark_entry__``
+imports this module and calls :func:`register_all`, 208 -> 210 names;
+the r16 and r17 windows were exactly filled by the staged_r16/
+staged_r17 slates plus their due cohorts).
 
 Window math (the staged_r15..r17 convention): the r18 due cohort is
 the 38-name r13 bucket, leaving exactly ``50 - 10 - 38 = 2`` slots —
@@ -11,17 +12,18 @@ NO further registration is possible without retiring a query or
 widening the window. This module deliberately spends the last two
 slots of the build's horizon.
 
-At r18: (1) import this module's :func:`register_all` in
-``__spark_entry__`` next to the staged_r15/r16/r17 calls, (2) set
-``ROTATION_R18_NEW = [n for n, _s, _f in staged_r18.STAGED]`` and
+Executed at r18: (1) :func:`register_all` imported/called in
+``__spark_entry__`` next to the staged_r15/r16/r17 calls, (2)
 ``PRIORITY_WINDOW = ANCHORS + ROTATION_R18_NEW + ROTATION_R18_REVALIDATE``
-(the r13 cohort, recompute from CORRECTNESS_r01..r17 + the active r17
-window), (3) regenerate the registry-keyed artifacts, (4) record
-extras introduction baselines, (5) update tests/test_staged_r18.py to
-steady-state pins (the test_staged_r15.py rewrite is the model).
+(the pinned 38-name r13 cohort), (3) registry-keyed artifacts
+regenerated at 210, (4) extras introduction baselines recorded
+(``BENCH_EXTRAS_r18.json``), (5) ``tests/test_staged_r18.py``
+rewritten to steady-state pins.
 
-Both queries are value-exact against their oracles TODAY through the
-registration machinery (``tests/test_staged_r18.py``).
+Both queries are value-exact against their oracles every session
+through the live registry machinery (``tests/test_staged_r18.py``)
+and were sf1 spot-verified at r17
+(``ORACLE_SWEEP_sf1_staged_r18.json``).
 
 What they register (the same move as r17's video dispatch: first
 DRIVER-hard signals for parser families that today have only pytest

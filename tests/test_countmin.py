@@ -173,6 +173,14 @@ def test_detect_hot_keys_sketched_cap_raises_past_max_keys(spark):
         )
     )
     assert hot == set(range(40))
+    # ADVICE r17 opt-in: strict_max_keys restores the exact detector's
+    # hard output bound (and its silent hot-key drop in this regime) —
+    # exactly max_keys entries, every one a truly-hot key
+    strict = cm.detect_hot_keys_sketched(
+        df, "key", frac_threshold=0.02, max_keys=32, strict_max_keys=True
+    )
+    assert len(strict) == 32
+    assert set(strict) <= set(range(40))
 
 
 def test_detect_hot_keys_sketched_uniform_is_empty(spark):

@@ -62,12 +62,11 @@ def test_retirement_candidates_remain_eligible():
 
 
 def test_budget_is_exactly_full_after_r18():
-    """The arithmetic the policy exists for: 208 live (incl. the r17
-    pair) + 2 (r18) = 210 = 10 anchors + the 200-name rotation
-    budget."""
+    """The arithmetic the policy exists for: the r18 registration
+    landed and the registry is frozen at 210 = 10 anchors + the
+    200-name rotation budget — EXACTLY full, zero slots for r19/r20."""
     import __spark_entry__ as mod
-    from orders_currency_conversion_etl_spark import staged_r18
 
-    total = len(mod.queries()) + len(staged_r18.STAGED)
+    total = len(mod.queries())
     assert total == 210
     assert total - len(mod.ANCHORS) == (50 - len(mod.ANCHORS)) * 5

@@ -21,9 +21,9 @@ import re
 _ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 #: The round this tree is being built in. Bump at each round's
-#: registration/window flip (r17 flipped the window to
-#: ANCHORS + ROTATION_R17_NEW + ROTATION_R17_REVALIDATE).
-ACTIVE_ROUND = 17
+#: registration/window flip (r18 flipped the window to
+#: ANCHORS + ROTATION_R18_NEW + ROTATION_R18_REVALIDATE).
+ACTIVE_ROUND = 18
 
 
 def _records() -> "tuple[dict, int]":
@@ -48,7 +48,6 @@ def _records() -> "tuple[dict, int]":
 
 def test_rotation_horizon_pins_are_derivable_and_complete():
     import __spark_entry__ as mod
-    from orders_currency_conversion_etl_spark import staged_r18
 
     newest, recorded_max = _records()
     anchors = mod.ANCHORS
@@ -65,40 +64,33 @@ def test_rotation_horizon_pins_are_derivable_and_complete():
         ]
         assert not red, (
             f"CORRECTNESS_r{ACTIVE_ROUND} exists but these window names "
-            f"have no green row — the pinned r17-r20 cohorts must be "
+            f"have no green row — the pinned r19/r20 cohorts must be "
             f"re-derived in-session: {red}"
         )
 
     # replay the pinned future windows forward from the active round
-    # (r17 moved out of the replay when it became active: its window is
+    # (r18 moved out of the replay when it became active: its window is
     # the live PRIORITY_WINDOW, covered by the assumption/record logic
-    # above, and its registrations are already in mod.queries()).
-    pool = list(mod.queries())  # 208 after the r17 registration
+    # above, and its registrations are already in mod.queries(). No
+    # staged rounds remain — the registry is frozen at 210 and r19/r20
+    # are pure revalidation.)
+    pool = list(mod.queries())  # 210 after the r18 registration
     windows = {
-        18: [x for x, *_ in staged_r18.STAGED] + mod.ROTATION_R18_REVALIDATE,
         19: mod.ROTATION_R19_REVALIDATE,
         20: mod.ROTATION_R20_REVALIDATE,
     }
-    staged_by_round = {18: staged_r18}
-    for rnd in (18, 19, 20):
+    for rnd in (19, 20):
         rotation = windows[rnd]
         # window sums to exactly 50 with the permanent 10 anchors
         assert len(anchors) + len(rotation) == 50, rnd
         assert len(set(rotation)) == len(rotation), rnd
         assert not (set(rotation) & set(anchors)), rnd
-        if rnd in staged_by_round:
-            staged = [x for x, *_ in staged_by_round[rnd].STAGED]
-            pool += staged
-            # the revalidation half is exactly the names turning 5
-            # rounds old: newest green == rnd - 5
-            expected = sorted(n for n in pool if newest.get(n, 0) == rnd - 5)
-            got = sorted(set(rotation) - set(staged))
-            assert got == expected, (rnd, set(got) ^ set(expected))
-        else:
-            expected = sorted(
-                n for n in pool if newest.get(n, 0) == rnd - 5 and n not in anchors
-            )
-            assert sorted(rotation) == expected, (rnd, set(rotation) ^ set(expected))
+        # the revalidation cohort is exactly the names turning 5 rounds
+        # old: newest green == rnd - 5
+        expected = sorted(
+            n for n in pool if newest.get(n, 0) == rnd - 5 and n not in anchors
+        )
+        assert sorted(rotation) == expected, (rnd, set(rotation) ^ set(expected))
         for n in list(anchors) + list(rotation):
             newest[n] = rnd
 

@@ -26,7 +26,7 @@ STAGED_NAMES = [n for n, _sql, _fn in staged_r17.STAGED]
 
 @pytest.fixture(scope="module")
 def entry_mod():
-    import __spark_entry__ as mod  # registers the full 208-name registry
+    import __spark_entry__ as mod  # registers the full 210-name registry
 
     return mod
 
@@ -51,37 +51,29 @@ def test_register_all_is_idempotent(entry_mod):
         assert n in registry.QUERIES and n in registry.ORACLES
 
 
-def test_r17_registration_landed_in_the_window(entry_mod):
-    """The two staged names are registered AND sit in the active
-    driver window exactly where the early-r15 plan put them — directly
-    after the anchors, before the revalidation cohort."""
+def test_r17_registration_landed(entry_mod):
+    """The two r17 names are registered and carried by the pinned
+    ROTATION_R17_NEW list (the r17 window itself retired at the r18
+    flip; it went 50/50 green in CORRECTNESS_r17.json)."""
     q = entry_mod.queries()
     for n in STAGED_NAMES:
         assert n in q, f"{n} missing from the registry"
     assert sorted(entry_mod.ROTATION_R17_NEW) == sorted(STAGED_NAMES)
-    window = list(q)[:50]
-    assert window == (
-        entry_mod.ANCHORS
-        + entry_mod.ROTATION_R17_NEW
-        + entry_mod.ROTATION_R17_REVALIDATE
-    )
 
 
-def test_r17_window_is_sound(entry_mod):
-    """The ACTIVE r17 window: 10 anchors + 2 registrations + the full
-    38-name r12 staleness cohort = 50 unique registered names, pairwise
-    disjoint, with the post-registration capacity inside the 5-round
-    budget (208 - 10 = 198 <= (50 - 10) * 5 = 200)."""
+def test_r17_window_was_sound(entry_mod):
+    """The RETIRED r17 window (historical form, the test_staged_r16
+    model): 10 anchors + 2 registrations + the full 38-name r12
+    staleness cohort = 50 unique registered names, pairwise disjoint,
+    with the capacity inside the 5-round budget."""
     mod = entry_mod
     assert len(mod.ANCHORS) == 10
     cohort = mod.ROTATION_R17_REVALIDATE
     assert len(cohort) == 38 == len(set(cohort))
     live = set(mod.queries())
     assert set(cohort) <= live
-    assert mod.PRIORITY_WINDOW == (
-        mod.ANCHORS + mod.ROTATION_R17_NEW + cohort
-    )
-    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    r17_window = mod.ANCHORS + mod.ROTATION_R17_NEW + cohort
+    assert len(r17_window) == 50 == len(set(r17_window))
     assert len(live) - len(mod.ANCHORS) <= (50 - len(mod.ANCHORS)) * 5
 
 

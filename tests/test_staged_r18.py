@@ -1,12 +1,17 @@
-"""The staged r18 registrations (staged_r18.py) are value-exact against
-their oracles TODAY, through the exact machinery registration will
-apply — registered with the real decorator (boundary casts), compared
-via the driver-replica harness against the FINALIZED oracle, then
-removed so the live registry stays untouched. Capacity pins encode the
-PRE-registration state; at r18 rewrite them steady-state (the
-test_staged_r15.py r15 rewrite is the model). NOTE: these two names
-spend the LAST free rotation slots of the build's horizon (post-r18
-budget is exactly 200/200)."""
+"""The r18 registrations (staged_r18.py, ACTIVATED at r18 via
+``staged_r18.register_all()`` in ``__spark_entry__``): the unified
+WAV/OGG/FLAC/MP3 audio-info dispatch and the PNM/ICO/BMP/HEIF
+image-dims families, value-exact through the LIVE registry machinery —
+exactly what the driver runs. These two names spent the LAST free
+rotation slots of the build's horizon: the registry is now frozen at
+210 and the budget is exactly 200/200 (tests/test_retirement_policy.py
+pins the only escape hatch).
+
+History: before r18 the registration tests here pinned the
+PRE-registration state (names absent from the registry, window
+precomputation); that era's pins are preserved in git history. The
+activation flipped them to the steady-state form, the
+test_staged_r15.py / test_staged_r16.py / test_staged_r17.py model."""
 
 from __future__ import annotations
 
@@ -19,61 +24,69 @@ from oracle_harness import compare_query
 
 SF = "/root/testdata/sf0.01"
 
-
-@pytest.mark.parametrize("name", [n for n, _sql, _fn in staged_r18.STAGED])
-def test_staged_r18_query_value_exact(spark, name):
-    sql, fn = next((s, f) for n, s, f in staged_r18.STAGED if n == name)
-    assert name not in registry.QUERIES  # really unregistered today
-    registry.query(name, sql)(fn)
-    try:
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            for t in registry.ORACLE_TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{registry.SCHEMA_PROBE_DIR}/{t}.parquet')"
-                )
-            cols = [
-                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
-            ]
-        finally:
-            con.close()
-        finalized = registry._wrap_oracle(sql, cols)
-        compare_query(spark, SF, registry.QUERIES[name], finalized)
-    finally:
-        del registry.QUERIES[name]
-        del registry.ORACLES[name]
-    assert name not in registry.QUERIES
+STAGED_NAMES = [n for n, _sql, _fn in staged_r18.STAGED]
 
 
-def test_staged_r18_not_registered_before_window():
-    import __spark_entry__ as mod
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as mod  # registers the full 210-name registry
 
-    for n, _sql, _fn in staged_r18.STAGED:
-        assert n not in mod.queries(), f"{n} registered before its window"
+    return mod
 
 
-def test_r18_capacity_arithmetic():
-    """The r18 slate fills the budget EXACTLY: r13 due cohort is 38
-    names -> 2 slots; after registration non-anchor is 200/200 and
-    r19/r20 have zero slots. This test fails if anything tries to grow
-    the slate or the registry past that."""
-    import __spark_entry__ as mod
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_registered_query_value_exact(spark, entry_mod, name):
+    """Each r18-registered query remains value-exact against its
+    FINALIZED oracle through the live registry path (boundary casts on
+    both engines) — the same compare the driver's hash gate replays."""
+    assert name in registry.QUERIES  # registered by __spark_entry__
+    finalized = entry_mod.oracle_sql()[name]
+    compare_query(spark, SF, registry.QUERIES[name], finalized)
 
-    staged = [n for n, _s, _f in staged_r18.STAGED]
-    assert len(staged) == 2 == len(set(staged))
-    # the pinned window list must track STAGED today, not mid-r18-flip
-    # (the rotation-horizon replay derives r18 from STAGED, so drift
-    # in ROTATION_R18_NEW would otherwise surface only in the round
-    # with zero recovery slots)
-    assert sorted(mod.ROTATION_R18_NEW) == sorted(staged)
-    # staged_r17 registered at r17: queries() already carries it
-    live_after_r17 = len(mod.queries())
-    after_r18 = live_after_r17 + len(staged)
-    assert after_r18 == 210
-    assert after_r18 - len(mod.ANCHORS) == (50 - len(mod.ANCHORS)) * 5
+
+def test_register_all_is_idempotent(entry_mod):
+    """register_all() re-applies dict assignments; a second call must
+    not grow the registry or change the registered objects."""
+    before = dict(registry.QUERIES)
+    staged_r18.register_all()
+    assert set(registry.QUERIES) == set(before)
+    for n in STAGED_NAMES:
+        assert n in registry.QUERIES and n in registry.ORACLES
+
+
+def test_r18_registration_landed_in_the_window(entry_mod):
+    """The two staged names are registered AND sit in the active
+    driver window exactly where the early-r15 plan put them — directly
+    after the anchors, before the revalidation cohort."""
+    q = entry_mod.queries()
+    for n in STAGED_NAMES:
+        assert n in q, f"{n} missing from the registry"
+    assert sorted(entry_mod.ROTATION_R18_NEW) == sorted(STAGED_NAMES)
+    window = list(q)[:50]
+    assert window == (
+        entry_mod.ANCHORS
+        + entry_mod.ROTATION_R18_NEW
+        + entry_mod.ROTATION_R18_REVALIDATE
+    )
+
+
+def test_r18_window_is_sound(entry_mod):
+    """The ACTIVE r18 window: 10 anchors + 2 registrations + the full
+    38-name r13 staleness cohort = 50 unique registered names, pairwise
+    disjoint, with the post-registration capacity landing EXACTLY at
+    the 5-round budget (210 - 10 = 200 == (50 - 10) * 5)."""
+    mod = entry_mod
+    assert len(mod.ANCHORS) == 10
+    cohort = mod.ROTATION_R18_REVALIDATE
+    assert len(cohort) == 38 == len(set(cohort))
+    live = set(mod.queries())
+    assert set(cohort) <= live
+    assert mod.PRIORITY_WINDOW == (
+        mod.ANCHORS + mod.ROTATION_R18_NEW + cohort
+    )
+    assert len(mod.PRIORITY_WINDOW) == 50 == len(set(mod.PRIORITY_WINDOW))
+    # the budget is EXACTLY full — r19/r20 have zero slots
+    assert len(live) - len(mod.ANCHORS) == (50 - len(mod.ANCHORS)) * 5
 
 
 def test_audio_info_dispatch_branches_loud():

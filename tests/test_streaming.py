@@ -192,6 +192,28 @@ def test_rate_source_live_windowed_agg(spark):
                 try:
                     q.stop()
                 except (OSError, Py4JError):
-                    pass
+                    # both stops failed (ADVICE r17): poll isActive
+                    # briefly so a genuinely still-running stream is
+                    # VISIBLE as a warning instead of silently having
+                    # its checkpoint TemporaryDirectory deleted out
+                    # from under it (which surfaces as unrelated
+                    # background JVM noise in later tests)
+                    import warnings
+
+                    for _ in range(10):
+                        try:
+                            if not q.isActive:
+                                break
+                        except (OSError, Py4JError):
+                            break  # gateway gone -> stream is down too
+                        time.sleep(0.5)
+                    else:
+                        warnings.warn(
+                            "streaming query still active after two "
+                            "failed stop() attempts; its checkpoint "
+                            "dir is being deleted under it",
+                            RuntimeWarning,
+                            stacklevel=1,
+                        )
     assert seen["rows"] >= 2, f"no closed windows emitted: {seen}"
     assert seen["batches"] == sorted(seen["batches"])  # monotone batch ids
