@@ -51,11 +51,17 @@ from orders_currency_conversion_etl_spark.session import get_spark  # noqa: E402
 # record movers without a paired verdict —
 # tpch_q18_large_volume_customers (+30%) and cohort_retention_weekly
 # (+36%, 1.16x vs r1).
+# r18 addition (VERDICT r17 ask #4): queue_lag_report — tripped the
+# extras 2x gate once at sf1 (r17: 6.78 s in-run vs 2.93 s r13 best;
+# adjudicated transient, DRIFT_AB_r17_queue_lag.json). ESCALATION
+# RULE: a SECOND trip is no longer adjudicable as noise — it triggers
+# a plan read of the lagging-suffix backfill (streaming/file_queue.py)
+# before any bench number is accepted.
 QUERIES = os.environ.get(
     "SPARK_GRAFT_AB_QUERIES",
     "agg_pricing_summary,pagerank_parts,flagship_conversion,curation_pipeline_lsh,"
     "dedup_minhash_lsh,knn_lsh_bucketed,multimodal_features,text_token_stats,"
-    "tpch_q18_large_volume_customers,cohort_retention_weekly",
+    "tpch_q18_large_volume_customers,cohort_retention_weekly,queue_lag_report",
 ).split(",")
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_AB_SF_DIR", os.path.join("/root/repo", ".localdata", "sf1")
