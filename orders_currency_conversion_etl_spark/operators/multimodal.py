@@ -917,6 +917,14 @@ def pnm_dims(payload: bytes) -> tuple[int, int, str]:
             end = pos
             while end < n and payload[end : end + 1].isdigit():
                 end += 1
+            if end == n:
+                # the token runs to end-of-payload: a valid binary
+                # netpbm always has a maxval/raster after the dims, so
+                # an unterminated dims token is a truncated stream —
+                # accepting it would silently report a WRONG dimension
+                # (e.g. "480" cut to "48"; r18 fuzz-screen finding,
+                # FUZZ_SCREEN_r18.json image_truncation tier)
+                raise ValueError("truncated netpbm header (unterminated dims token)")
             tokens.append(int(payload[pos:end]))
             pos = end
         else:

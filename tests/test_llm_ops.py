@@ -2587,6 +2587,11 @@ def test_pnm_and_ico_dims():
     assert mm.image_dims(b"P4 8 8 " + b"\x00" * 8) == (8, 8, "1")
     with pytest.raises(ValueError, match="truncated"):
         mm.pnm_dims(b"P5\n640")
+    # r18 fuzz-screen finding (FUZZ_SCREEN_r18.json image_truncation
+    # tier): a stream cut MID-DIGIT must raise, not silently report the
+    # truncated prefix as a smaller dimension ("480" cut to "48")
+    with pytest.raises(ValueError, match="unterminated"):
+        mm.pnm_dims(b"P5\n# c\n640 48")
     with pytest.raises(ValueError, match="netpbm"):
         mm.pnm_dims(b"P7 foo")
 
