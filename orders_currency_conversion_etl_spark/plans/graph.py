@@ -141,10 +141,25 @@ def _pagerank_state_build(spark, sf_dir: str):
     # network-bound cluster shuffle.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    # r18 opt: route the edge-dedup shuffle through hashpartitioning(dst)
+    # instead of the default (src,dst). hashpartitioning(dst) satisfies
+    # the distinct's ClusteredDistribution({src,dst}) (subset rule), so
+    # the aggregate still needs no further exchange — and the persisted
+    # edge list (hence contrib_src below, whose broadcast join preserves
+    # the streamed side's partitioning) comes out partitioned by dst,
+    # which is exactly the distribution every iteration's contribution
+    # aggregation requires. Measured plan diff: the per-iteration
+    # Exchange hashpartitioning(dst) disappears from _pagerank_step — 3
+    # exchanges of the edge-scale contribution stream per query become
+    # 0 (guide §2.4 "two operations keyed the same way share one
+    # exchange"). The lost map-side pre-dedup below the distinct is
+    # negligible on this graph (2.399M pre-distinct pairs vs 2.392M
+    # edges, measured sf0.1).
     edges = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
+        .repartition("dst")
         .distinct()
         .persist()
     )

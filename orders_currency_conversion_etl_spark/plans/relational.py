@@ -484,8 +484,12 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
         currency_from_orderkey(F.col("o_orderkey")).alias("currency"),
     )
-    rh = spark.createDataFrame(
-        rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
+    rh = catalog.session_memo(
+        spark,
+        ("__rates_history__", "default", "default"),
+        lambda: spark.createDataFrame(
+            rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
+        ),
     )
     joined = asof_join_union(
         src, rh, by="currency", left_on="order_date", right_on="rate_date",
@@ -787,8 +791,12 @@ def join_asof_forward_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("order_date"),
         currency_from_orderkey(F.col("o_orderkey")).alias("currency"),
     )
-    rh = spark.createDataFrame(
-        rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
+    rh = catalog.session_memo(
+        spark,
+        ("__rates_history__", "default", "default"),
+        lambda: spark.createDataFrame(
+            rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
+        ),
     )
     joined = asof_join_broadcast(
         src, rh, by="currency", left_on="order_date", right_on="rate_date",

@@ -78,7 +78,23 @@ def rates_df(
     rate_date: dt.date | None = None,
 ) -> DataFrame:
     """Materialize the EUR-base rates map as a broadcastable DataFrame."""
-    rates = DEFAULT_EUR_RATES if rates is None else rates
+    if rates is None and rate_date is None:
+        # The default (static) rates table: memoize the 25-row local
+        # relation per session — createDataFrame is pure driver work
+        # repeated on every flagship-family invocation (r18 opt).
+        from .catalog import session_memo
+
+        return session_memo(
+            spark,
+            ("__rates_df__", "default", "default"),
+            lambda: _rates_df_uncached(spark, DEFAULT_EUR_RATES, None),
+        )
+    return _rates_df_uncached(spark, DEFAULT_EUR_RATES if rates is None else rates, rate_date)
+
+
+def _rates_df_uncached(
+    spark: SparkSession, rates: dict[str, float], rate_date: dt.date | None
+) -> DataFrame:
     rows = [(cur, float(rate), rate_date) for cur, rate in sorted(rates.items())]
     return spark.createDataFrame(rows, schema=schemas.EXCHANGE_RATES)
 
