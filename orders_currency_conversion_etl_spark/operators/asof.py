@@ -62,6 +62,43 @@ def asof_join_broadcast(
     )
 
 
+def asof_join_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join for a SMALL right side (r18 opt): the right
+    history is folded into one sorted struct-array per key, broadcast,
+    and probed per left row with a higher-order filter — the left side
+    is never shuffled or sorted.
+
+    Same contract as :func:`asof_join_union` (backward match: greatest
+    ``right_on <= left_on``; unmatched left rows get NULL values), and
+    proven row-identical against it in tests/test_asof_boundary.py.
+    Where the union form keys a window on ``by`` — capping parallelism
+    at the number of distinct keys and sorting every row — this form is
+    a pure broadcast-join + per-row probe over a |history-per-key|
+    array, the right plan whenever the right side fits in a broadcast
+    (a rates history is currencies x dates). Keep the union form for
+    genuinely large right sides.
+    """
+    hist = right.groupBy(by).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(right_on), *[F.col(c) for c in value_cols if c != right_on]))
+        ).alias("__hist")
+    )
+    joined = left.join(F.broadcast(hist), by, "left")
+    matched = F.filter(F.col("__hist"), lambda h: h[right_on] <= F.col(left_on))
+    pick = F.get(matched, F.size(matched) - 1)
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[pick[c].alias(c) for c in value_cols],
+    )
+
+
 def asof_join_union(
     left: DataFrame,
     right: DataFrame,

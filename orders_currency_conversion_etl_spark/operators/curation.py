@@ -285,10 +285,15 @@ def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc_id",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_val").alias("band_val"),
+    # r18 opt: persist the band table — it feeds both sides of the
+    # self-join and the signature pipeline above the shared scan was
+    # otherwise evaluated twice (see operators/dedup.py, same fix).
+    bands = _shared(
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_val").alias("band_val"),
+        )
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

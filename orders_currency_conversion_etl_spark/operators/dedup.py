@@ -253,9 +253,21 @@ def _minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+    # r18 opt: the band table feeds BOTH sides of the self-join below,
+    # and only the scan-level exchange is reused between them — the
+    # md5 + k-minhash signature pipeline above it was evaluated twice
+    # (once for the broadcast build, once for the probe). Persisting
+    # the (doc_id, band) rows halves the signature compute (measured
+    # 1.13-1.20 s -> 0.94 s at sf0.1, identical pairs); at 100 TB this
+    # is the same "materialize the signature table once" move as
+    # _shared's docstring.
+    bands = _shared(
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_val").alias("band_val"),
+        )
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

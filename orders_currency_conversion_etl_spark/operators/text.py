@@ -635,7 +635,16 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.lower(F.col("raw")).alias("term"))
     )
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    # r18 opt: df derived from tf instead of a second pass over the
+    # exploded token stream — tf is keyed (source, term), so its row
+    # count per term IS countDistinct(source). The second tokenize +
+    # explode + corpus-token-scale shuffle disappears (the tf exchange
+    # is reused for both consumers); at 100 TB the df aggregation now
+    # reads |sources x vocab| rows instead of |corpus tokens|
+    # (guide §2.3 "aggregate before you shuffle"). Row-identical
+    # (documents with NULL/empty text still tokenize to one '' token on
+    # both engines, so every source survives into tf).
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_sources = _docs(spark, sf_dir).select("source").distinct().count()
     scored = tf.join(idf, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df"))

@@ -22,7 +22,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join_union
+from ..operators.asof import asof_join_lookup, asof_join_union
 from ..sources import catalog
 from ..sources.rates import DEFAULT_EUR_RATES, currency_from_orderkey
 from .registry import query
@@ -491,7 +491,14 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             rates_history_rows(), schema="currency string, rate double, rate_date timestamp"
         ),
     )
-    joined = asof_join_union(
+    # r18 opt: the rates history is 25 currencies x 8 dates — a
+    # broadcast-probe as-of (asof_join_lookup) replaces the union +
+    # per-currency window: the orders side is no longer shuffled or
+    # sorted at all, and parallelism is no longer capped at
+    # |currencies| (the union form's window keys 25 partitions at any
+    # scale). Row-identical to asof_join_union by construction and by
+    # the parity test in tests/test_asof_boundary.py.
+    joined = asof_join_lookup(
         src, rh, by="currency", left_on="order_date", right_on="rate_date",
         value_cols=["rate", "rate_date"],
     )

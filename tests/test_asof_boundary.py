@@ -95,3 +95,47 @@ def test_asof_half_cent_rounds_half_up(spark, tmp_path):
     assert out["75"] == "250.13"  # 26013/1.04 = 25012.5 cents
     assert out["100"] == "0.13"  # rate exactly 1.0
     assert out["125"] == "0.13"  # NULL rate -> 1.0 passthrough
+
+
+def test_asof_lookup_matches_union_strategy(spark):
+    """r18 opt: join_asof_rates switched from asof_join_union to
+    asof_join_lookup (broadcast probe — the small-right-side plan).
+    Pin the two strategies row-identical on a fixture that exercises
+    every boundary: exact-date match, between-dates, before-first-date
+    (NULL fill), after-last-date, and a left key absent from the right
+    side entirely."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from orders_currency_conversion_etl_spark.operators.asof import (
+        asof_join_lookup,
+        asof_join_union,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("EUR", dt.datetime(1995, 6, 1), 1),
+            ("EUR", dt.datetime(1994, 1, 1), 2),   # exact date match
+            ("EUR", dt.datetime(1990, 1, 1), 3),   # before first -> NULL
+            ("EUR", dt.datetime(2030, 1, 1), 4),   # after last
+            ("XXX", dt.datetime(1995, 6, 1), 5),   # key missing on right
+        ],
+        "cur string, t timestamp, k int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("EUR", 1.0, dt.datetime(1994, 1, 1)),
+            ("EUR", 1.2, dt.datetime(1996, 1, 1)),
+            ("USD", 0.9, dt.datetime(1994, 1, 1)),
+        ],
+        "cur string, rate double, rate_date timestamp",
+    )
+    kwargs = dict(by="cur", left_on="t", right_on="rate_date", value_cols=["rate", "rate_date"])
+    a = asof_join_union(left, right, **kwargs)
+    b = asof_join_lookup(left, right, **kwargs)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = a.columns
+    ra = sorted(tuple(r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ra == rb and len(ra) == 5
