@@ -117,7 +117,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction through real mapInPandas
     plumbing (Arrow batches, fixed output schema)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
-    return with_binary_payload(docs).mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    # r18 opt (guide §4.1): mapInPandas is opaque to column pruning —
+    # project to exactly the columns _feature_batches reads before the
+    # boundary, so media_meta (a struct the function never touches)
+    # stops crossing JVM->Arrow->Python.
+    return (
+        with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+    )
 
 
 _FRAME_LEN = 16
@@ -144,8 +152,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through the real mapInPandas plumbing; frames are
     emitted as md5 digests so the comparison is byte-portable."""
     docs = catalog.load_table(spark, sf_dir, "documents")
+    # r18 opt (guide §4.1): project to the two columns the frame
+    # sampler reads before the opaque mapInPandas boundary.
     frames = sample_frames(
-        with_binary_payload(docs), frame_len=_FRAME_LEN, stride=_FRAME_STRIDE
+        with_binary_payload(docs).select("doc_id", "payload"),
+        frame_len=_FRAME_LEN,
+        stride=_FRAME_STRIDE,
     )
     return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
