@@ -80,7 +80,11 @@ def run(out_path: str, sf_dir: str) -> None:
         "cache_roots": {e: os.environ.get(e) for e in CACHE_ENVS},
     }
     hashes = {}
+    only = os.environ.get("SPARK_GRAFT_PI_ONLY")
+    wanted = set(only.split(",")) if only else None
     for name, fn in entry.queries().items():
+        if wanted is not None and name not in wanted:
+            continue
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)
