@@ -30,10 +30,18 @@ def token_shingles(toks_col_name: str, k: int = 3) -> Column:
     c = toks_col_name
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
     # empty array — short docs must short-circuit explicitly.
+    # r18 opt: concat_ws over k unrolled element_at lookups instead of
+    # concat_ws(slice(...)) — slice allocated a k-element array per
+    # shingle position; the unrolled form reads in place. Identical
+    # output (concat_ws skips NULLs the same way in both forms; split
+    # never yields NULL tokens) and measured 0.25-0.32 -> 0.19-0.21 s
+    # for the sf0.1 shingle stage (paired x2). Shingling sits on the
+    # hot path of the whole dedup/curation family.
+    parts = ", ".join(f"element_at({c}, i + {j})" for j in range(k))
     return F.expr(
         f"CASE WHEN size({c}) < {k} THEN array() "
         f"ELSE transform(sequence(1, size({c}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({c}, i, {k}))) END"
+        f"i -> concat_ws(' ', {parts})) END"
     )
 
 
