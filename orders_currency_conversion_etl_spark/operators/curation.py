@@ -40,6 +40,32 @@ from .text import CHUNK_STRIDE, CHUNK_TOKENS, CONTAMINATION_BLOCKLIST, quality_s
 QUALITY_THRESHOLD = 0.54
 CURATION_JACCARD_T = 0.5
 
+#: Broadcast the duplicate-id list into the final anti-join while it
+#: stays under this cap, shuffle (SMJ) beyond it. Same pattern as
+#: graph.py's RANKS_BROADCAST_MAX_NODES: the driver KNOWS the dup count
+#: exactly (dups is persisted and counted — the count also materializes
+#: the cache, so the expensive LSH/pair pipeline still runs once), so
+#: the choice is made with perfect information. 2 M single-long rows is
+#: a ~100 MB hash relation — comfortably inside any executor; past the
+#: cap the plan falls back to the exchange-both-sides SMJ, which is the
+#: only tenable shape once a high-duplication corpus makes |dups|
+#: O(corpus) at 100 TB (the unbounded-broadcast risk r18 declined to
+#: take with a hard hint is exactly what the gate removes).
+DUPS_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _anti_join_survivors(clean: DataFrame, dups: DataFrame) -> DataFrame:
+    """clean LEFT ANTI dups with a size-gated broadcast (r19 opt,
+    guide §3.1): persist + count the dup list, broadcast it while it
+    fits. Measured paired at sf0.1: curation_pipeline_lsh 2.74→2.36 s
+    (the SMJ exchanged BOTH sides on doc_id; the broadcast form leaves
+    the survivor side unshuffled for the chunker)."""
+    dups = _shared(dups)
+    n_dups = dups.count()
+    dup_side = F.broadcast(dups) if n_dups <= DUPS_BROADCAST_MAX_ROWS else dups
+    return clean.join(dup_side, "doc_id", "left_anti")
+
+
 _SCORE_SQL = rf"""(
     CAST(0.4 AS DOUBLE) * least(CAST(len(toks) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
   + CAST(0.3 AS DOUBLE) * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
@@ -144,7 +170,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = clean.join(dups, "doc_id", "left_anti")
+    survivors = _anti_join_survivors(clean, dups)
 
     # 5. chunk survivors into training windows
     n_chunks = F.ceil(
@@ -316,7 +342,7 @@ def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = clean.join(dups, "doc_id", "left_anti")
+    survivors = _anti_join_survivors(clean, dups)
 
     n_chunks = F.ceil(
         F.greatest(F.size("toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1))

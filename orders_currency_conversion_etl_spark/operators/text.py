@@ -635,15 +635,25 @@ def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.lower(F.col("raw")).alias("term"))
     )
     tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # r18 opt: df derived from tf instead of a second pass over the
-    # exploded token stream — tf is keyed (source, term), so its row
-    # count per term IS countDistinct(source). The second tokenize +
-    # explode + corpus-token-scale shuffle disappears (the tf exchange
-    # is reused for both consumers); at 100 TB the df aggregation now
-    # reads |sources x vocab| rows instead of |corpus tokens|
-    # (guide §2.3 "aggregate before you shuffle"). Row-identical
-    # (documents with NULL/empty text still tokenize to one '' token on
-    # both engines, so every source survives into tf).
+    # r18 opt: df derived from tf instead of a second COUNT(DISTINCT
+    # source) pass over the exploded token stream — tf is keyed
+    # (source, term), so its row count per term IS countDistinct(source)
+    # (exact while `source` is never NULL, pinned by
+    # tests/test_opt_r19.py::test_documents_source_never_null).
+    # Row-identical (documents with NULL/empty text still tokenize to
+    # one '' token on both engines, so every source survives into tf).
+    # What this buys (r19 correction of the r18 note): the df
+    # aggregation's INPUT shrinks from |corpus tokens| to
+    # |sources x vocab| rows and the distinct-expand disappears — but
+    # Catalyst still re-plans the tf subtree under the df branch, so
+    # the corpus IS scanned/tokenized twice (two FileScans in the
+    # committed plan, zero ReusedExchange: the two aggregates carry
+    # different payloads and cannot unify). Persisting tf to make the
+    # claim literal was A/B'd r19 and is locally SLOWER (1.08 → 1.27 s
+    # paired at sf0.1: materializing the |sources x vocab| cache costs
+    # more than the 5k-doc rescan) — at 100 TB, where the rescan is
+    # corpus-scale, persist/write-then-read tf is the right call, and
+    # the negative A/B is recorded in OPTIMIZATION_r19.md.
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_sources = _docs(spark, sf_dir).select("source").distinct().count()
     scored = tf.join(idf, "term").withColumn(

@@ -16,8 +16,9 @@ re-greened at r15 itself, so their next due round is r20). r15 window:
 10 anchors + 4 new + the 36-name r10 cohort = 50 exactly.
 (3) regenerate
 the registry-keyed artifacts (oracle sweeps, CODEGEN_AUDIT,
-PARTITION_INVARIANCE, PLANCHECK_BROADCASTS — the exact commands are in
-.claude/skills/verify/SKILL.md), (4) record extras introduction
+PARTITION_INVARIANCE, PLANCHECK_BROADCASTS — scripts/oracle_sweep.py,
+audit_codegen.py, audit_partition_invariance.py, audit_broadcasts.py),
+(4) record extras introduction
 baselines for the four names on THAT session's rig (the
 `bench_extras` pattern — deliberately not recorded on the late-r13
 rig, which measured ~30-40% slow; see DRIFT_AB_r13_rig2.json). Every query here is ALREADY
