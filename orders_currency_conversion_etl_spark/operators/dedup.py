@@ -28,7 +28,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text_fn import hex_to_long_sql, token_shingles
+from ..functions.text_fn import hex_to_long_spark_sql, hex_to_long_sql, token_shingles
 from ..plans.registry import query
 from ..sources import catalog
 
@@ -170,12 +170,16 @@ def _minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
 
 #: base-hash of one shingle: 32-bit integer from the md5 prefix —
 #: computed ONCE per shingle into a `hashes` array, then each of the k
-#: min-hashes is a cheap affine pass over that array.
+#: min-hashes is a cheap affine pass over that array. The portable
+#: digit-expansion form is what the ORACLES inline (DuckDB has no
+#: conv); the Spark side uses the value-identical conv() twin
+#: (r19 opt — see functions/text_fn.hex_to_long_spark_sql).
 _BASE_HASH_SQL = hex_to_long_sql("substr(md5(s), 1, 8)")
+_BASE_HASH_SPARK_SQL = hex_to_long_spark_sql("substr(md5(s), 1, 8)")
 
 
 def _hashes_col() -> F.Column:
-    return F.expr(f"transform(shingles, s -> {_BASE_HASH_SQL})")
+    return F.expr(f"transform(shingles, s -> {_BASE_HASH_SPARK_SQL})")
 
 
 def _minhash_cols(k: int = MINHASH_K) -> list[F.Column]:
@@ -408,7 +412,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    hashed = tok.withColumn("h", F.expr(hex_to_long_sql("substr(md5(tok), 1, 8)")))
+    # r19 opt: Spark-side conv() hash (the oracle keeps the portable
+    # digit expansion) — one builtin per token instead of 8 substr/instr
+    # chains on the per-token hot path.
+    hashed = tok.withColumn("h", F.expr(hex_to_long_spark_sql("substr(md5(tok), 1, 8)")))
     sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -106,6 +106,39 @@ def test_curation_anti_join_gated_broadcast(spark):
         curation.DUPS_BROADCAST_MAX_ROWS = saved
 
 
+def test_conv_hash_matches_portable_expansion(spark):
+    """The Spark-side conv() base hash must equal the portable
+    digit-expansion form the oracles inline — over the real corpus
+    shingles AND the hex extremes."""
+    from orders_currency_conversion_etl_spark.functions.text_fn import (
+        hex_to_long_spark_sql,
+        hex_to_long_sql,
+    )
+    from orders_currency_conversion_etl_spark.operators.dedup import _docs_shingled
+
+    sh = _docs_shingled(spark, SF).select("doc_id", "shingles")
+    both = sh.select(
+        F.expr(
+            "transform(shingles, s -> " + hex_to_long_sql("substr(md5(s), 1, 8)") + ")"
+        ).alias("h_old"),
+        F.expr(
+            "transform(shingles, s -> "
+            + hex_to_long_spark_sql("substr(md5(s), 1, 8)")
+            + ")"
+        ).alias("h_new"),
+    )
+    assert both.filter(F.col("h_old") != F.col("h_new")).count() == 0
+
+    extremes = spark.createDataFrame(
+        [("00000000",), ("ffffffff",), ("0123abcd",), ("deadbeef",)], ["s"]
+    ).selectExpr(
+        hex_to_long_sql("s") + " AS old",
+        hex_to_long_spark_sql("s") + " AS new",
+    )
+    rows = extremes.collect()
+    assert all(r["old"] == r["new"] for r in rows), rows
+
+
 def test_documents_source_never_null(spark):
     """tfidf's df == COUNT(DISTINCT source) equivalence (and its
     n_sources count) assume non-NULL sources; pin the fixture contract
