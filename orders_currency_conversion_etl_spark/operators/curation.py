@@ -56,11 +56,16 @@ DUPS_BROADCAST_MAX_ROWS = 2_000_000
 
 def _anti_join_survivors(clean: DataFrame, dups: DataFrame) -> DataFrame:
     """clean LEFT ANTI dups with a size-gated broadcast (r19 opt,
-    guide §3.1): persist + count the dup list, broadcast it while it
-    fits. Measured paired at sf0.1: curation_pipeline_lsh 2.74→2.36 s
-    (the SMJ exchanged BOTH sides on doc_id; the broadcast form leaves
-    the survivor side unshuffled for the chunker)."""
-    dups = _shared(dups)
+    guide §3.1): materialize + count the dup list, broadcast it while
+    it fits. Measured paired at sf0.1: curation_pipeline_lsh
+    2.74→2.36 s (the SMJ exchanged BOTH sides on doc_id; the broadcast
+    form leaves the survivor side unshuffled for the chunker).
+    localCheckpoint, not persist: the dup pipeline runs once either
+    way, but the checkpoint truncates lineage so the final plan (and
+    the plan-lint exchange tally) doesn't re-print the whole LSH
+    pipeline under the broadcast build — the same reasoning as the
+    pagerank loop's checkpoints."""
+    dups = dups.localCheckpoint(eager=True)
     n_dups = dups.count()
     dup_side = F.broadcast(dups) if n_dups <= DUPS_BROADCAST_MAX_ROWS else dups
     return clean.join(dup_side, "doc_id", "left_anti")
